@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+The reference hand-configures Kryo, 1-core executors and
+``spark.default.parallelism=1`` (coloring.py:190-198); under the
+DataFrame engine all of that is obsolete — Tungsten UnsafeRow replaces
+Kryo-pickled Python objects and AQE sizes shuffles at runtime. We pin:
+
+- AQE on (runtime broadcast conversion, skew-join splitting, partition
+  coalescing) — the scale path for 100 TB joins.
+- ``spark.sql.session.timeZone=UTC`` — Spark timestamps are session-TZ
+  while DuckDB's (the correctness oracle) are UTC-naive.
+- Arrow on — every Pandas-UDF boundary is Arrow-batched.
+- shuffle partitions default to local core count; on a real cluster this
+  is overridden (AQE coalesces down, so a high initial value is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "dgc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned local session.
+
+    On a real cluster, master/memory come from spark-submit; everything
+    set here is safe to keep.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
