@@ -1,0 +1,117 @@
+"""Graph-over-relational bridge (FIXTURES.md §3): derive a deterministic
+graph fixture from the TPC-H-ish testdata and run the coloring engine on
+it — the flagship query tying the reference's native domain (graph
+coloring) to the extended relational surface.
+
+Edge rule: two distinct customers are adjacent iff they ordered the SAME
+part on the SAME calendar day (``orders ⋈ lineitem``, symmetrized,
+self-loops removed). The share-any-part projection is near-complete even
+at sf0.001 (avg degree 146 of 149 — measured), so the day restriction is
+what keeps the co-purchase graph sparse and the fixture meaningful;
+density stays ~1-2 avg degree across scale factors.
+
+Scale: the bipartite projection groups by (part, day) — bounded fan-out
+per group — then pair-joins within groups. At 100 TB the (part, day)
+grouping key is high-cardinality and well-distributed; a hot (part, day)
+cell would be AQE-skew-split. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .coloring import minimal_coloring, validate_coloring
+
+
+def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric edges(src, dst): customers sharing a (part, order-day)."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+            F.date_trunc("day", "o_orderdate").alias("dy"),
+        )
+        .distinct()
+    )
+    a = cp.select(F.col("c").alias("src"), "p", "dy")
+    b = cp.select(F.col("c").alias("dst"), "p", "dy")
+    return (
+        a.join(b, ["p", "dy"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the fixture graph → (degree, n_customers)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    return (
+        cu.join(deg, "id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("degree")
+    )
+
+
+def color_customer_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: minimal proper coloring of the customer fixture graph.
+    Returns (id, color) — validity is asserted (the reference's G6 oracle
+    is the correctness check; not SQL-expressible, so the driver records
+    a rows-only check for this one)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    result = minimal_coloring(cu, edges)
+    valid, n_uncolored, conflicts = validate_coloring(result.vertices, edges)
+    if not valid:
+        raise AssertionError(
+            f"invalid coloring: uncolored={n_uncolored} conflicts={conflicts}"
+        )
+    return result.vertices.select("id", F.col("color").cast("long").alias("color"))
+
+
+QUERIES = {
+    "customer_graph_edges": customer_graph_edges,
+    "graph_degree_stats": graph_degree_stats,
+    "graph_color_customers": color_customer_graph,
+}
+
+ORACLES = {
+    "customer_graph_edges": """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+                   date_trunc('day', o_orderdate) AS dy
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT DISTINCT a.c AS src, b.c AS dst
+        FROM cp a JOIN cp b USING (p, dy)
+        WHERE a.c <> b.c
+    """,
+    "graph_degree_stats": """
+        WITH cp AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+                   date_trunc('day', o_orderdate) AS dy
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT DISTINCT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b USING (p, dy)
+            WHERE a.c <> b.c
+        ),
+        deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src)
+        SELECT coalesce(degree, 0) AS degree, count(*) AS n_customers
+        FROM customer LEFT JOIN deg ON c_custkey = id
+        GROUP BY 1
+        ORDER BY degree
+    """,
+    # graph_color_customers: not SQL-expressible (iterative fixed-point);
+    # rows-only check + the G6 validator assertion inside the query itself.
+}

@@ -1,0 +1,522 @@
+"""Relational query library over the TPC-H-ish testdata tables.
+
+The reference's own surface has exactly three join shapes and four
+aggregations (SURVEY.md §2.3-2.4); this module is the *extended* surface
+mandated by BASELINE.json — the full join family, grouped/rollup/cube
+aggregation, windows, set ops, pivot, as-of — each expressed as a single
+declarative DataFrame plan so Catalyst gets predicate pushdown, column
+pruning, join reordering and AQE for free.
+
+Every query here has a DuckDB oracle (ORACLES) with identical column
+names and types; all computed columns are explicitly cast/rounded on both
+sides so the driver's order-insensitive value-hash matches.
+
+Scale notes: filters are written against scan columns (pushed into
+parquet), dimension joins are broadcast-sized, wide aggregations are
+partial-aggregated map-side by default, and window queries partition on
+high-cardinality keys (custkey/user_id) so no single partition explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- 1. TPC-H Q1 style pricing summary (scan + groupBy, 8 aggregates) ---
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- 2. TPC-H Q3 style shipping priority (3-way join + top-k) ---
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- 3. TPC-H Q5 style local supplier volume (6-way join) ---
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter(cu.c_nationkey == su.s_nationkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- 4. top customers by order revenue (join + agg + deterministic top-k) ---
+
+
+def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+# --- 5. ROLLUP / 6. CUBE (multi-dimensional aggregates) ---
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part")
+    return (
+        pa.cube("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "n_parts",
+            "avg_price",
+        )
+    )
+
+
+# --- 7-9. window functions ---
+
+
+def window_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cu.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+# --- 10-11. semi / anti joins ---
+
+
+def semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cu.join(big, cu.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+# --- 12-14. set operations ---
+
+
+def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.intersect(su)
+
+
+def nations_customers_minus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cu.subtract(su)
+
+
+def union_balances_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return (
+        cu.unionAll(su)
+        .groupBy("nationkey", "side")
+        .agg(F.count("*").alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+    )
+
+
+# --- 15. distinct aggregation ---
+
+
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+# --- 16. time bucketing ---
+
+
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- 17. pivot (conditional aggregation) ---
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    piv = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+# --- 18. as-of join (Spark lacks a native one; last-non-null window carry) ---
+
+
+def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent click by the same user at
+    or before it. Implemented as the classic union+window as-of: order the
+    per-user event stream by time and carry the last click id/ts forward —
+    one shuffle on user_id, no range explosion, skew-safe under AQE.
+    (DuckDB oracle uses the identical window formulation.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "last_click_id",
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "top_customers_revenue": top_customers_revenue,
+    "rollup_order_stats": rollup_order_stats,
+    "cube_part_stats": cube_part_stats,
+    "window_top3_customers_per_nation": window_top3_customers_per_nation,
+    "window_running_order_total": window_running_order_total,
+    "window_order_gap_days": window_order_gap_days,
+    "semi_customers_with_big_orders": semi_customers_with_big_orders,
+    "anti_customers_without_orders": anti_customers_without_orders,
+    "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "nations_customers_minus_suppliers": nations_customers_minus_suppliers,
+    "union_balances_by_nation": union_balances_by_nation,
+    "supplier_distinct_parts": supplier_distinct_parts,
+    "orders_per_month": orders_per_month,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "asof_purchase_after_click": asof_purchase_after_click,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "top_customers_revenue": """
+        SELECT c_custkey, c_name,
+               round(sum(o_totalprice), 2) AS total_spent,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 10
+    """,
+    "rollup_order_stats": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_part_stats": """
+        SELECT coalesce(p_brand, 'ALL') AS brand,
+               coalesce(p_type, 'ALL') AS ptype,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        GROUP BY CUBE (p_brand, p_type)
+    """,
+    "window_top3_customers_per_nation": """
+        SELECT c_nationkey, rk, c_custkey, acctbal FROM (
+            SELECT c_nationkey,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rk,
+                   c_custkey,
+                   round(c_acctbal, 2) AS acctbal
+            FROM customer
+        ) WHERE rk <= 3
+    """,
+    "window_running_order_total": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+    """,
+    "window_order_gap_days": """
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate)::BIGINT AS days_since_prev
+        FROM orders
+    """,
+    "semi_customers_with_big_orders": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "anti_customers_without_orders": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "nations_customers_and_suppliers": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "nations_customers_minus_suppliers": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+    "union_balances_by_nation": """
+        SELECT nationkey, side, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+        FROM (
+            SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS side
+            FROM customer
+            UNION ALL
+            SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+        )
+        GROUP BY nationkey, side
+    """,
+    "supplier_distinct_parts": """
+        SELECT l_suppkey,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_lineitems
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    "orders_per_month": """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY month
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "asof_purchase_after_click": """
+        SELECT event_id AS purchase_id, user_id, last_click_id
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+    """,
+}

@@ -1,0 +1,124 @@
+"""Local stand-in for the driver's t2 correctness gate: run every
+__spark_entry__.queries() entry at sf0.01 AND its oracle_sql() in DuckDB,
+compare row count, column-name set, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values canonicalized).
+
+Usage: python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            dcols = ddf.columns
+            drows = ddf.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+            if hs != hd:
+                problems.append(f"hash {hs} != {hd}")
+                # show first differing canonical line for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
+                ld = sorted("|".join(canon(r[i]) for i in order_d) for r in drows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  first diff:\n  spark: {a[:200]}\n  duck : {b[:200]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
