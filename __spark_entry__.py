@@ -21,8 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_graph_coloring_with_pyspark_spark.operators import graph_bridge, relational
+from distributed_graph_coloring_with_pyspark_spark.streaming import events as streaming_events
 
-_MODULES = [relational, graph_bridge]
+_MODULES = [relational, graph_bridge, streaming_events]
 
 
 def entry(spark: SparkSession) -> DataFrame:

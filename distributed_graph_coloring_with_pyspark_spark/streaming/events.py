@@ -1,0 +1,250 @@
+"""Event-time analytics over the ``events`` table — batch window queries
+plus a real Structured Streaming pipeline (the reference is batch-only;
+this is the extended surface of SURVEY.md §2.6).
+
+Batch queries are plain Catalyst plans with DuckDB oracles. The
+streaming query (``streaming_hourly_counts``) drives an actual
+``readStream → withWatermark → window agg → memory sink`` pipeline to
+completion with ``processAllAvailable`` — same semantics as the batch
+hourly rollup, so it shares the batch query's SQL oracle: a streaming
+operator with an exact correctness gate.
+
+Scale notes: event-time windows + watermark bound state; sessionization
+partitions by user_id (high cardinality). On a cluster the parquet
+source is swapped for Kafka with identical downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+# schema as the parquet file reads under nanosAsLong (ts = long nanos)
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when a user
+    is idle > 30 minutes. lag + conditional cumsum — one shuffle on
+    user_id, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_breaks = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sessions = with_breaks.select(
+        "user_id", "ts", "event_id", F.sum("brk").over(ws).alias("session_seq")
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 3
+            ).alias("duration_secs"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "duration_secs",
+        )
+    )
+
+
+def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (props is a JSON string column)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users whose first view precedes
+    their first click precedes their first purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_funnel_users"),
+        F.count("*").alias("n_users"),
+    )
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: file source → watermark → tumbling
+    window aggregation → memory sink, driven to completion synchronously.
+    Semantically identical to ``events_hourly`` (same SQL oracle)."""
+    # the streaming file source monitors a directory; glob-filter down to
+    # the events file so sibling tables in sf_dir aren't picked up
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    sink_name = "streaming_hourly_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink_name).select(
+        F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+        "avg_value",
+    )
+
+
+_HOURLY_ORACLE = """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_epoch, event_type
+"""
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_sessionization": events_sessionization,
+    "events_json_kv": events_json_kv,
+    "user_funnel": user_funnel,
+    "streaming_hourly_counts": streaming_hourly_counts,
+}
+
+ORACLES = {
+    "events_hourly": _HOURLY_ORACLE,
+    "streaming_hourly_counts": _HOURLY_ORACLE,
+    "events_sessionization": f"""
+        WITH brk AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                         > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS brk,
+                   event_id
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM brk
+        )
+        SELECT user_id, session_seq::BIGINT AS session_seq,
+               count(*) AS n_events,
+               round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_secs
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    "events_json_kv": """
+        SELECT event_type, count(*) AS n,
+               round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+               max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "user_funnel": """
+        SELECT count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
+                   AS n_funnel_users,
+               count(*) AS n_users
+        FROM (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+    """,
+}
