@@ -12,6 +12,30 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 rejects
+# under schema inference unless spark.sql.legacy.parquet.nanosAsLong is
+# set.  An explicit LongType schema sidesteps inference entirely, so the
+# read works under ANY SparkSession (the verification driver builds its
+# own, without our session.py conf).  ts is then long epoch-nanos.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 TABLE_NAMES = [
     "region",
@@ -30,18 +54,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet; the session reads it as
-        # long nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to a
-        # proper timestamp (microsecond precision, matching DuckDB's python
-        # fetch precision; the generator emits only micros so it's lossless).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return df
+        # Explicit schema (no inference) → readable under any session; then
+        # convert long nanos → timestamp.  `ts div 1000` is exact integer
+        # division — (ts/1000).cast("long") would round-trip through double,
+        # whose 2^53 mantissa cannot represent ~1.7e18 nanos exactly and
+        # silently shifts ~1.5% of values by 1µs.  The generator emits only
+        # microsecond timestamps, so truncation to micros is lossless.
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

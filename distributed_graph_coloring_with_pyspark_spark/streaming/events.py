@@ -20,30 +20,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import EVENTS_RAW_SCHEMA, load_table
 
 SESSION_GAP_MIN = 30
-
-# schema as the parquet file reads under nanosAsLong (ts = long nanos)
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,11 +128,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming file source monitors a directory; glob-filter down to
     # the events file so sibling tables in sf_dir aren't picked up
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # exact integer division nanos→micros (see sources/tables.py note)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
