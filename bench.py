@@ -1,0 +1,65 @@
+"""Benchmark harness: time every __spark_entry__.queries() entry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON
+line on stdout:
+
+    {"metric": "sum_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Everything else (progress, errors) goes to stderr so stdout stays
+machine-parseable.  Each query is materialized with a noop-format write
+— full computation of every output column on the executors, no driver
+collect, no disk — the standard way to bench a Spark plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+
+    spark = get_spark(app_name="dgc-bench", cpus=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + parquet-footer warmup so query 1 isn't charged startup cost
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"{name}: {timings[name]}s", file=sys.stderr)
+        except Exception as exc:  # keep benching; a broken query scores inf
+            print(f"{name}: FAILED {exc}", file=sys.stderr)
+            timings[name] = float("inf")
+
+    finite = [v for v in timings.values() if v != float("inf")]
+    out = {
+        "metric": "sum_query_sec",
+        "value": round(sum(finite), 3),
+        "unit": "sec",
+        "queries": {k: (v if v != float("inf") else None) for k, v in timings.items()},
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
