@@ -20,10 +20,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from distributed_graph_coloring_with_pyspark_spark.operators import graph_bridge, relational
+from distributed_graph_coloring_with_pyspark_spark.operators import (
+    graph_bridge,
+    relational,
+    text_dedup,
+)
 from distributed_graph_coloring_with_pyspark_spark.streaming import events as streaming_events
 
-_MODULES = [relational, graph_bridge, streaming_events]
+_MODULES = [relational, graph_bridge, streaming_events, text_dedup]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,546 @@
+"""Deduplication + text analysis over the ``documents`` table — the
+LLM-training-pipeline surface (extends the reference, which has no text
+ops; see SURVEY.md §1.3).
+
+Everything is built-in Catalyst expressions (split / transform /
+xxhash64 / array_* higher-order functions) — zero Python UDFs, so the
+whole pipeline stays inside whole-stage codegen and scales by
+partitioning alone.
+
+Scale design (100 TB corpus):
+
+- ``dedup_exact``: one hash-shuffle on a 64-hex-char key; map-side
+  partial aggregation makes the shuffle proportional to *distinct*
+  hashes, not rows.
+- ``dedup_near_minhash``: banded MinHash-LSH.  Cost is
+  O(rows × bands) shuffle, never all-pairs; candidate pairs are
+  generated per band-bucket via a self-equi-join on the bucket key, and
+  only candidates pay the exact-Jaccard verify.  A pathological bucket
+  (every doc identical) degrades to quadratic within that bucket —
+  mitigated by the ``_BUCKET_CAP`` guard, which drops buckets larger
+  than the cap (a bucket that hot means thousands of copies of one doc;
+  exact-dedup already catches those).
+- ``dedup_simhash``: 64-bit signature per doc, then a 4×16-bit
+  band-bucket join (hamming ≤ 3 ⇒ at least one of 4 bands equal —
+  pigeonhole) — again never all-pairs.
+
+DuckDB-oracle notes: shingling / jaccard use only distinct-set
+semantics (array_intersect / array_union ↔ list_intersect /
+list_distinct ∘ list_concat), which agree exactly between engines;
+xxhash64-based signatures (minhash / simhash) are NOT reproducible in
+DuckDB, so those queries verify candidates with *exact* Jaccard and the
+oracle recomputes the same exact predicate all-pairs — the LSH layer
+only has to achieve recall 1.0 at the threshold, which the band/row
+parameters guarantee to ~1e-4 at s ≥ 0.5 (P_miss = (1 - s^r)^b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# MinHash parameters: b bands × r rows = k hashes.
+# s-curve: P(candidate | jaccard=s) = 1 - (1 - s^r)^b
+#   r=2, b=16, s=0.5 → 1 - 0.75^16 ≈ 0.990 ; s=0.6 → 0.9996 ; s=0.8 → 1-1e-13
+_MINHASH_ROWS = 2
+_MINHASH_BANDS = 16
+_NUM_HASHES = _MINHASH_ROWS * _MINHASH_BANDS
+_JACCARD_THRESHOLD = 0.5
+_BUCKET_CAP = 1000  # max docs per LSH bucket before the bucket is dropped
+_SIMHASH_HAMMING_MAX = 3
+
+_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it"]
+
+# marker tokens for the n-gram-free language-ID heuristic; the guess is
+# argmax over per-language distinct-marker hits (ties → first in list
+# order en,es,de,fr,zh — both engines implement the same tie-break).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "fast", "slow"],
+    "es": ["data", "query", "small", "row"],
+    "de": ["window", "merge", "batch", "stream"],
+    "fr": ["value", "table", "part", "key"],
+    "zh": ["join", "big", "line", "agg"],
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    """Whitespace tokens of the trimmed text (single-space separated in
+    the synthetic corpus; split on ' ' matches DuckDB string_split)."""
+    return F.split(F.trim(F.col(col)), " ")
+
+
+def _shingles(tok: Column) -> Column:
+    """Distinct 3-token shingles, '' -joined with single spaces.
+    Matches the oracle's  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2].
+    Docs with < 3 tokens yield an empty shingle set (guarded: Spark's
+    sequence(0, negative) would count *down*)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok, i + 1), F.element_at(tok, i + 2), F.element_at(tok, i + 3)
+        ),
+    )
+    return F.array_distinct(F.when(F.size(tok) >= 3, make).otherwise(F.array()))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection on sha256 of normalized text (lower +
+    trim).  One row out: corpus size, distinct-normalized-text count,
+    number of duplicate docs a dedup pass would drop.  At scale the
+    groupBy shuffles 32-byte keys with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    groups = hashed.groupBy("h").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dups_removed"),
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT sha256(lower(trim(text))))::BIGINT AS n_unique,
+           (count(*) - count(DISTINCT sha256(lower(trim(text)))))::BIGINT
+               AS n_dups_removed
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash + LSH banding, exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at 3-gram-shingle Jaccard ≥ 0.5.
+
+    Plan: shingle → 32 seeded-xxhash64 minhashes → 16 bands × 2 rows →
+    band-bucket self-join (candidates) → exact Jaccard on the candidate
+    pairs only → threshold filter.  The only shuffles are the band
+    groupBy/join (rows × 16) and the two doc_id-keyed verify joins.
+    False positives from band-key collisions are removed by the exact
+    verify, so the 64-bit bucket key needs no collision handling.
+    """
+    sh = _doc_shingles(spark, sf_dir).persist()
+
+    # signature[i] = min over shingles of xxhash64(shingle, seed=i)
+    sig = sh.filter(F.size("shingles") > 0).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+            ),
+        ).alias("sig"),
+    )
+
+    # one row per (doc, band); bucket key hashes the band's r minhashes
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice(F.col("sig"), b * _MINHASH_ROWS + 1, _MINHASH_ROWS)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+    # drop pathological buckets (see module docstring) before the pair join
+    sized = bands.join(
+        bands.groupBy("band", "bucket").count().filter(F.col("count") <= _BUCKET_CAP),
+        ["band", "bucket"],
+    )
+
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+_NEAR_DUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END) AS sg
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+          / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup: SimHash (rows-only check; xxhash64 not reproducible in DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(tok: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of a token array: per bit, sign of the sum over
+    distinct tokens of ±1 depending on that bit of xxhash64(token).
+    Pure HOF expression — aggregate over tokens, per-bit vote.  Bit
+    positions are Python ints (shiftleft/shiftright require literal
+    shift amounts), so the per-bit logic unrolls at plan-build time."""
+    votes = F.aggregate(
+        F.array_distinct(tok),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # shiftleft(1L, i) rather than lit(1 << i): bit 63 overflows a signed
+    # long literal but shifts correctly
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.get(votes, i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 3 over 64-bit
+    token-set signatures.  Candidate generation is a 4×16-bit band
+    join (pigeonhole: ≤ 3 differing bits can't touch all 4 bands), then
+    the exact hamming filter.  Rows-only correctness check (no DuckDB
+    xxhash64); the pytest suite covers semantics on synthetic dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash_col(_tokens()).alias("sig")).persist()
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc count, char stats, token
+    stats.  Single hash-aggregate; exact percentile is fine per-group at
+    any scale because groups are small — for a true 100 TB profile swap
+    percentile → percentile_approx."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return (
+        docs.select("lang", "source", "n_chars", F.size(toks).alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_TEXT_STATS_ORACLE = """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS total_tokens,
+           round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency table (top 25): the classic corpus
+    word-count.  explode → two-phase hash agg; at 100 TB the map-side
+    combine collapses each partition to its distinct tokens before the
+    shuffle, so the shuffle is tiny for Zipfian text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(25)
+    )
+
+
+_TOKEN_FREQ_ORACLE = """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+"""
+
+
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic vs the labeled lang column.
+    guess = argmax over languages of |distinct markers present|, ties
+    broken by list order.  Output: per labeled lang, docs and agreement
+    count.  All set ops (array_intersect ↔ list_intersect) — identical
+    distinct semantics in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    scored = docs.select(
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))
+            ).alias(f"s_{lg}")
+            for lg, marks in _LANG_MARKERS.items()
+        ],
+    )
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"s_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return (
+        scored.select("lang", guess.alias("guessed"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == F.col("guessed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_score_sql(lg: str) -> str:
+    marks = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lg])
+    return (
+        f"len(list_intersect(list_distinct(string_split(trim(text), ' ')), "
+        f"[{marks}]))"
+    )
+
+
+_LANG_ID_ORACLE = f"""
+    WITH scored AS (
+        SELECT lang,
+               {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANG_MARKERS)}
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE
+                   {" ".join(
+                       f"WHEN s_{lg} = greatest({', '.join('s_' + l2 for l2 in _LANG_MARKERS)}) THEN '{lg}'"
+                       for lg in _LANG_MARKERS
+                   )}
+               END AS guessed
+        FROM scored
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN lang = guessed THEN 1 ELSE 0 END)::BIGINT AS n_agree
+    FROM guessed
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality profile: stopword ratio, mean token length,
+    short-doc rate — the usual cheap quality heuristics an LLM-data
+    pipeline filters on.  One aggregate pass, all HOF expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tok
+    per_doc = docs.select(
+        "source",
+        (n_stop.cast("double") / n_tok).alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        F.when(F.col("n_chars") < 200, 1).otherwise(0).alias("is_short"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("mean_tok_len"), 6).alias("avg_tok_len"),
+            F.sum("is_short").cast("long").alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEXT_QUALITY_ORACLE = f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(list_filter(string_split(trim(text), ' '),
+                   t -> list_contains({_STOPWORDS!r}, t)))::DOUBLE
+                   / len(string_split(trim(text), ' ')) AS stop_ratio,
+               list_sum(list_transform(string_split(trim(text), ' '),
+                                       t -> length(t)))::DOUBLE
+                   / len(string_split(trim(text), ' ')) AS mean_tok_len,
+               CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS is_short
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(stop_ratio), 6) AS avg_stop_ratio,
+           round(avg(mean_tok_len), 6) AS avg_tok_len,
+           sum(is_short)::BIGINT AS n_short
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc: md5 of the sorted distinct token
+    set (order-insensitive bag fingerprint — catches shuffled copies
+    that exact-dedup misses).  Plus the fingerprint-collision count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    counts = with_fp.groupBy("fingerprint").agg(F.count("*").alias("n_same"))
+    return (
+        with_fp.join(counts, "fingerprint")
+        .select("doc_id", "fingerprint", "n_same")
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_ORACLE = """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(trim(text), ' '))), ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS n_same
+    FROM fp
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near_minhash": dedup_near_minhash,
+    "dedup_simhash": dedup_simhash,
+    "text_stats": text_stats,
+    "token_frequencies": token_frequencies,
+    "lang_id_agreement": lang_id_agreement,
+    "text_quality": text_quality,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_near_minhash": _NEAR_DUP_ORACLE,
+    # dedup_simhash: rows-only (xxhash64 signatures not reproducible in SQL)
+    "text_stats": _TEXT_STATS_ORACLE,
+    "token_frequencies": _TOKEN_FREQ_ORACLE,
+    "lang_id_agreement": _LANG_ID_ORACLE,
+    "text_quality": _TEXT_QUALITY_ORACLE,
+    "doc_fingerprints": _FINGERPRINT_ORACLE,
+}
