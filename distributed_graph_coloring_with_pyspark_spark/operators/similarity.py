@@ -1,0 +1,283 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+ARRAY<FLOAT> 64-d, label) — the LLM-pipeline ANN surface (SURVEY.md
+§1.3 extended data model).
+
+Two tiers, per the standard ANN playbook:
+
+- **Exact (baseline / oracle-able)**: brute-force cosine via array
+  higher-order functions (zip_with product + aggregate sum — JVM-side,
+  whole-stage codegen, no UDF).  ``knn_exact_topk`` broadcasts a small
+  probe set and makes ONE pass over the corpus (scales to 100 TB:
+  cost = corpus scan × |probes|, embarrassingly parallel, no shuffle
+  until the tiny per-probe top-k).  ``cosine_neardup_pairs`` is the
+  all-pairs variant — exact and oracle-checked at test scale; at 100 TB
+  you run ``ann_hyperplane_topk``'s bucketing instead (never all-pairs).
+- **ANN (scale path)**: random-hyperplane LSH.  16 fixed seeded
+  hyperplanes → 16-bit signature; 4 bands × 4 bits; candidates share at
+  least one band value; rerank candidates with exact cosine.  Shuffle
+  is O(rows × 4 bands); recall is checked by the pytest suite on
+  planted clusters (signatures are plan literals — fully deterministic).
+
+Float discipline: products/sums are computed in DOUBLE over the float32
+inputs (float32×float32 is exact in double), sequentially left-to-right
+in both engines, so Spark and the DuckDB oracle agree bit-for-bit
+before the final rounding; results round to 6 dp for the value-hash.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+_DIM = 64
+_N_PLANES = 16
+_LSH_BANDS = 4
+_LSH_BAND_BITS = _N_PLANES // _LSH_BANDS
+_TOP_K = 5
+_N_PROBES = 20  # probes = vec_id < 20
+_NEARDUP_THRESHOLD = 0.45
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(|a|*|b|) — written exactly as the DuckDB oracle computes it
+    (sqrt(na2)*sqrt(nb2), not sqrt(na2*nb2): different rounding)."""
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+# SQL fragment computing the identical cosine between embeddings of
+# relations aliased a and b (DuckDB list ops, double math).
+_COS_SQL = """
+    list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+             x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], v -> v * v)))
+       * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], v -> v * v))))
+"""
+
+
+def knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each probe (vec_id < 20).
+
+    Probe set is broadcast; the corpus is scanned once; the window
+    top-k shuffles only |probes| × corpus candidate rows *after* the
+    projection down to (probe_id, vec_id, cos) — at 100 TB swap the
+    window for a per-partition partial top-k (same plan Spark derives
+    for window + filter rank<=k under AQE, since the rank filter is
+    pushed into the sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(emb, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("probe_id", "rank")
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH scored AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {_N_PROBES}
+    ), ranked AS (
+        SELECT probe_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, rank, neighbor_id, cos_sim
+    FROM ranked WHERE rank <= {_TOP_K}
+    ORDER BY probe_id, rank
+"""
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.45).  This is the
+    *baseline* formulation — an O(n²) pair join, fine at oracle scale
+    and the ground truth for ANN recall.  The 100 TB path is the LSH
+    bucketing of ``ann_hyperplane_topk`` (candidates-only, then this
+    same exact filter on candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats: count, norm profile, mean first
+    component — the sanity scan every embedding pipeline runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = _as_double(F.col("embedding"))
+    return (
+        emb.select(
+            "label",
+            norm(ed).alias("nrm"),
+            F.element_at("embedding", 1).cast("double").alias("c0"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("c0"), 6).alias("avg_c0"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM_STATS_ORACLE = """
+    SELECT label, count(*) AS n_vecs,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(c0), 6) AS avg_c0
+    FROM (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS nrm,
+               embedding[1]::DOUBLE AS c0
+        FROM embeddings
+    )
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+def _hyperplanes(seed: int = 7, n: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Fixed seeded Gaussian hyperplanes, baked into the plan as
+    literals — deterministic across engines/runs (no Date.now/np state
+    at execution time)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def lsh_signature(emb: Column, planes: list[list[float]]) -> Column:
+    """Signature int: bit i = sign(dot(emb, plane_i)) — random
+    hyperplane LSH (collision prob = 1 - angle/π, monotone in cosine)."""
+    ed = _as_double(emb)
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(ed, pl) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for the same probes as ``knn_exact_topk``: signature →
+    4×4-bit band buckets → candidates sharing any band with a probe →
+    exact-cosine rerank → top-5.  Never all-pairs: the candidate join
+    is an equi-join on (band, chunk).  Rows-only correctness check;
+    tests/test_similarity.py measures recall vs the exact query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    sigs = emb.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding"), planes).alias("sig")
+    )
+    mask = (1 << _LSH_BAND_BITS) - 1
+    bands = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * _LSH_BAND_BITS).bitwiseAND(F.lit(mask))
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    probe_bands = bands.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        "band",
+        "chunk",
+    )
+    cand = (
+        F.broadcast(probe_bands)
+        .join(bands, ["band", "chunk"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "probe_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("probe_id", "rank")
+    )
+
+
+QUERIES = {
+    "knn_exact_topk": knn_exact_topk,
+    "cosine_neardup_pairs": cosine_neardup_pairs,
+    "embedding_norm_stats": embedding_norm_stats,
+    "ann_hyperplane_topk": ann_hyperplane_topk,
+}
+
+ORACLES = {
+    "knn_exact_topk": _KNN_ORACLE,
+    "cosine_neardup_pairs": _NEARDUP_ORACLE,
+    "embedding_norm_stats": _NORM_STATS_ORACLE,
+    # ann_hyperplane_topk: rows-only (LSH recall < 1 by design; see tests)
+}
