@@ -22,13 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from distributed_graph_coloring_with_pyspark_spark.operators import (
     graph_bridge,
+    multimodal,
     relational,
     similarity,
     text_dedup,
 )
 from distributed_graph_coloring_with_pyspark_spark.streaming import events as streaming_events
 
-_MODULES = [relational, graph_bridge, streaming_events, text_dedup, similarity]
+_MODULES = [relational, graph_bridge, streaming_events, text_dedup, similarity, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,246 @@
+"""Multimodal (binary) column plumbing — images/audio/video as opaque
+``BinaryType`` payloads with typed metadata (SURVEY.md §1.3 extended
+surface; the reference has no binary data at all).
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (`_fake_decode`) and the real one is an explicit
+stub (`decode_media_real` → NotImplementedError).  Everything around
+the decode — BinaryType synthesis, Arrow-batched ``mapInPandas`` with a
+declared output schema, JVM-side binary slicing/hashing — is real and
+oracle-checked.
+
+Payloads are synthesized from ``documents``: a 4-byte magic header
+(media type, derived from ``source``) + the UTF-8 text bytes.  Because
+the corpus is ASCII, every byte-level computation Spark does on the
+BLOB is reproducible by the DuckDB oracle on the VARCHAR side (DuckDB
+1.0 has no blob substring/md5) — the match proves the binary path
+round-trips byte-exactly through Arrow and the JVM.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches — constant
+memory per task regardless of corpus size; binary payloads ride along
+shuffles only when selected (column pruning drops them otherwise).  At
+100 TB the blob column would live in its own parquet column chunk,
+scanned only by queries that touch it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_MAGICS = ["IMG!", "AUD!", "VID!"]
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4
+_FEAT_PREFIX_BYTES = 16
+
+
+def _media_type_col() -> Column:
+    """source → fake media type (deterministic; src7 → VID!, etc.)."""
+    idx = F.regexp_replace("source", "src", "").cast("int") % len(_MAGICS)
+    return F.element_at(F.array(*[F.lit(m) for m in _MAGICS]), idx + 1)
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """Attach media_type + BinaryType payload = magic ++ utf8(text)."""
+    return docs.select(
+        "doc_id",
+        _media_type_col().alias("media_type"),
+        F.encode(F.concat(_media_type_col(), F.col("text")), "UTF-8").alias("blob"),
+        "text",
+    )
+
+
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per media type: count, byte totals, distinct payload hashes,
+    magic verification.  All JVM-side binary expressions (octet_length /
+    substring / md5 on BinaryType) — no Python in the plan."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents"))
+    return (
+        blobs.select(
+            "media_type",
+            F.octet_length("blob").alias("n_bytes"),
+            F.md5("blob").alias("payload_md5"),
+            # decode the first 4 payload bytes back to string: magic check
+            F.decode(F.substring("blob", 1, 4), "UTF-8").alias("magic"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.countDistinct("payload_md5").alias("n_distinct_payloads"),
+            F.sum(F.when(F.col("magic") == F.col("media_type"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_magic_ok"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_MAGIC_CASE = (
+    "CASE (regexp_replace(source, 'src', '')::INT % 3) "
+    "WHEN 0 THEN 'IMG!' WHEN 1 THEN 'AUD!' ELSE 'VID!' END"
+)
+
+_BLOB_STATS_ORACLE = f"""
+    WITH blobs AS (
+        SELECT {_MAGIC_CASE} AS media_type,
+               octet_length(encode({_MAGIC_CASE} || text)) AS n_bytes,
+               md5({_MAGIC_CASE} || text) AS payload_md5
+        FROM documents
+    )
+    SELECT media_type, count(*) AS n_blobs,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           round(avg(n_bytes), 4) AS avg_bytes,
+           count(DISTINCT payload_md5) AS n_distinct_payloads,
+           count(*)::BIGINT AS n_magic_ok
+    FROM blobs
+    GROUP BY media_type
+    ORDER BY media_type
+"""
+
+
+def decode_media_real(payload: bytes, media_type: str):  # pragma: no cover
+    """Real codec hook (PIL / librosa / pyav).  Those libraries are not
+    in this container — STUB, per the build contract.  The Spark-side
+    plumbing (schema, Arrow batching, partitioning) is identical for
+    the real and fake decoders."""
+    raise NotImplementedError(
+        "real media decoding requires image/audio codecs not present in "
+        "this environment; use _fake_decode (deterministic) instead"
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for decode/feature-extract: metadata as
+    pure functions of the payload bytes (so the DuckDB oracle can
+    recompute them from the text side)."""
+    body = payload[4:]  # strip magic
+    n = len(body)
+    width = 16 + (n * 7) % 240
+    height = 16 + (n * 13) % 240
+    n_frames = 1 + n % 50 if media_type in ("AUD!", "VID!") else 1
+    brightness = sum(body[:_FEAT_PREFIX_BYTES]) / _FEAT_PREFIX_BYTES
+    return width, height, n_frames, brightness
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` feature extraction over BinaryType
+    payloads — THE pattern for decode/resize/embed at scale.  Each task
+    receives an iterator of pandas batches (constant memory); output
+    schema is declared up front.  The fake decoder keeps every output
+    value a deterministic function of payload bytes → exact oracle."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", "blob"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(payload, mt)
+                for payload, mt in zip(pdf["blob"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "brightness": [round(f[3], 4) for f in feats],
+                }
+            )
+
+    out = blobs.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, media_type string, width int, height int, "
+            "n_frames int, brightness double"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+_DECODE_FEATURES_ORACLE = f"""
+    SELECT doc_id,
+           {_MAGIC_CASE} AS media_type,
+           (16 + (length(text) * 7) % 240)::INT AS width,
+           (16 + (length(text) * 13) % 240)::INT AS height,
+           (CASE WHEN {_MAGIC_CASE} IN ('AUD!', 'VID!')
+                 THEN 1 + length(text) % 50 ELSE 1 END)::INT AS n_frames,
+           round(list_sum([ascii(substr(text, i, 1))
+                           for i in range(1, {_FEAT_PREFIX_BYTES + 1})])::DOUBLE
+                 / {_FEAT_PREFIX_BYTES}, 4) AS brightness
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling without Python: treat the payload as 64-byte
+    frames, take every 4th, hash the sampled bytes — binary substring/
+    concat/md5 are all Catalyst expressions, so sampling stays in
+    whole-stage codegen (this is the op you want JVM-side at 100 TB;
+    only the *decode* of sampled frames needs Python)."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents"))
+    body_len = F.octet_length("blob") - 4
+    n_frames = F.floor(body_len / _FRAME_BYTES).cast("int")
+    n_sampled = F.ceil(n_frames / _FRAME_STRIDE).cast("int")
+    # concat(substring(blob, 5 + f*stride*64, 64) for sampled frame f)
+    sampled = F.aggregate(
+        F.when(
+            n_frames > 0, F.sequence(F.lit(0), ((n_frames - 1) / _FRAME_STRIDE).cast("int"))
+        ).otherwise(F.array().cast("array<int>")),
+        F.lit(b""),
+        lambda acc, f: F.concat(
+            acc,
+            F.substring(
+                F.col("blob"),
+                F.lit(5) + f * (_FRAME_STRIDE * _FRAME_BYTES),
+                F.lit(_FRAME_BYTES),
+            ),
+        ),
+    )
+    return blobs.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        n_sampled.alias("n_sampled"),
+        F.md5(sampled).alias("sample_md5"),
+    ).orderBy("doc_id")
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) // {_FRAME_BYTES} AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_frames::INT AS n_frames,
+           ceil(n_frames::DOUBLE / {_FRAME_STRIDE})::INT AS n_sampled,
+           md5(CASE WHEN n_frames > 0 THEN
+               array_to_string([substr(text, 1 + f * {_FRAME_STRIDE * _FRAME_BYTES},
+                                       {_FRAME_BYTES})
+                                for f in range(0, (n_frames - 1) // {_FRAME_STRIDE} + 1)], '')
+               ELSE '' END) AS sample_md5
+    FROM base
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "multimodal_blob_stats": multimodal_blob_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_blob_stats": _BLOB_STATS_ORACLE,
+    "multimodal_decode_features": _DECODE_FEATURES_ORACLE,
+    "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
+}
