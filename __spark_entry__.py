@@ -8,10 +8,12 @@ value-hash → CORRECTNESS_r{N}.json).
 Queries live in the package modules; this file only aggregates them:
     operators/relational.py   — TPC-H-style joins/aggs/windows/set-ops
     operators/graph_bridge.py — the reference's native domain (coloring)
-    operators/text_dedup.py   — documents dedup + text analysis
-    operators/similarity.py   — embeddings KNN / ANN
-    operators/multimodal.py   — binary-column plumbing
+    operators/text_dedup.py   — exact/MinHash-LSH/SimHash dedup + text analysis
+    operators/similarity.py   — embeddings exact KNN + hyperplane-LSH ANN
+    operators/multimodal.py   — BinaryType payloads + mapInPandas decode
     streaming/events.py       — event-time windows / sessionization
+    functions/greedy.py       — applyInPandas escape hatch (reference
+                                bucket-greedy order parity; not a query)
 """
 
 from __future__ import annotations

@@ -32,9 +32,12 @@ coloring.py:80-131):
    Each color class is still an independent set (two adjacent winners
    with equal candidates is impossible: the lower-priority one loses).
 3. patch: left join winners onto vertices, ``coalesce(old, new)``, then
-   ``localCheckpoint(eager=True)`` to truncate lineage (the reference
+   ``localCheckpoint(eager=False)`` to truncate lineage (the reference
    never truncates — its ``-Xss4m`` at coloring.py:198 exists to survive
-   deep recursive lineage/pickling).
+   deep recursive lineage/pickling).  The lazy checkpoint and the
+   persisted candidate frame both materialize inside the next round's
+   stats collect, so each round triggers exactly ONE Spark action (the
+   reference runs 4-8 jobs/round).
 
 Progress: the globally max-priority uncolored vertex with a non-NULL
 candidate always wins its round, so each round colors ≥1 vertex and the
@@ -115,10 +118,17 @@ def color_graph_attempt(
     """
     state = vertices.localCheckpoint(eager=True)
     rounds = 0
+    prev_cand: DataFrame | None = None
+
+    def _cleanup() -> None:
+        if prev_cand is not None:
+            prev_cand.unpersist(False)
+
     while True:
         rounds += 1
         if rounds > max_rounds:  # stall guard (reference G4, coloring.py:93-96;
             # unreachable here since every round makes progress, kept as a belt)
+            _cleanup()
             return AttemptResult(False, state, rounds, -1)
 
         colored = state.filter(F.col("color").isNotNull()).select(
@@ -144,17 +154,26 @@ def color_graph_attempt(
                 ).alias("candidate"),
             )
         )
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # ONE action per round: remaining-uncolored + palette-exhausted counts.
+        # ONE action per round: remaining-uncolored + palette-exhausted
+        # counts.  This collect also materializes the lazy checkpoint of
+        # ``state`` from the previous round and caches ``cand`` for the
+        # winner join below — no other job runs this round.
         stats = cand.agg(
             F.count("*").alias("uncolored"),
             F.count(F.when(F.col("candidate").isNull(), 1)).alias("exhausted"),
         ).collect()[0]
+        # the prior round's cand is now unreferenced (state was checkpointed
+        # inside the collect above) — release it
+        _cleanup()
+        prev_cand = cand
         if stats["uncolored"] == 0:
             used_colors = state.agg(F.max("color")).collect()[0][0]
+            _cleanup()
             return AttemptResult(True, state, rounds, (used_colors or 0) + 1)
         if stats["exhausted"] > 0:  # G5 failure detector (coloring.py:104-108)
+            _cleanup()
             return AttemptResult(False, state, rounds, -1)
 
         c_src = cand.select(

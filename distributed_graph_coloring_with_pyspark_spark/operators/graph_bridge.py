@@ -11,9 +11,13 @@ what keeps the co-purchase graph sparse and the fixture meaningful;
 density stays ~1-2 avg degree across scale factors.
 
 Scale: the bipartite projection groups by (part, day) — bounded fan-out
-per group — then pair-joins within groups. At 100 TB the (part, day)
-grouping key is high-cardinality and well-distributed; a hot (part, day)
-cell would be AQE-skew-split. No driver-side state.
+per group — then pair-joins within groups. The pair join is quadratic
+*per cell*, so a hot (part, day) cell is the one real 100× risk; the
+``_CELL_CAP`` filter makes the projection scale-safe by construction
+(a cell hotter than the cap contributes ≥ cap² pairs — drop it, exactly
+like LSH bucket caps in text_dedup). The cap is mirrored in the DuckDB
+oracles, and is far above any cell size the synthetic data produces, so
+results are unchanged at test scale. No driver-side state.
 """
 
 from __future__ import annotations
@@ -23,6 +27,8 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .coloring import minimal_coloring, validate_coloring
+
+_CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 
 
 def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +43,11 @@ def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "o_orderdate").alias("dy"),
         )
         .distinct()
+    )
+    # skew guard: drop pathological (part, day) cells before the pair join
+    cp = cp.join(
+        cp.groupBy("p", "dy").count().filter(F.col("count") <= _CELL_CAP).drop("count"),
+        ["p", "dy"],
     )
     a = cp.select(F.col("c").alias("src"), "p", "dy")
     b = cp.select(F.col("c").alias("dst"), "p", "dy")
@@ -85,21 +96,29 @@ QUERIES = {
 }
 
 ORACLES = {
-    "customer_graph_edges": """
-        WITH cp AS (
+    "customer_graph_edges": f"""
+        WITH cp0 AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p,
                    date_trunc('day', o_orderdate) AS dy
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        cp AS (
+            SELECT c, p, dy FROM cp0
+            QUALIFY count(*) OVER (PARTITION BY p, dy) <= {_CELL_CAP}
         )
         SELECT DISTINCT a.c AS src, b.c AS dst
         FROM cp a JOIN cp b USING (p, dy)
         WHERE a.c <> b.c
     """,
-    "graph_degree_stats": """
-        WITH cp AS (
+    "graph_degree_stats": f"""
+        WITH cp0 AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p,
                    date_trunc('day', o_orderdate) AS dy
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        cp AS (
+            SELECT c, p, dy FROM cp0
+            QUALIFY count(*) OVER (PARTITION BY p, dy) <= {_CELL_CAP}
         ),
         e AS (
             SELECT DISTINCT a.c AS src, b.c AS dst

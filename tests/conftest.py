@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+
+SF0001 = "/root/testdata/sf0.001"
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # small core count: tiny test frames, task-launch overhead dominates
+    s = get_spark(app_name="dgc-tests", cpus=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

@@ -1,0 +1,86 @@
+"""Property-based coloring tests (SURVEY.md §5.2): the validator G6 is
+a perfect oracle — correctness needs no golden output.  Golden e2e:
+the reference's graph.json has true chromatic number 3 (brute-forced;
+BASELINE.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from distributed_graph_coloring_with_pyspark_spark.operators.coloring import (
+    color_graph_attempt,
+    init_vertices,
+    minimal_coloring,
+    validate_coloring,
+)
+from distributed_graph_coloring_with_pyspark_spark.sources.generator import generate_graph
+from distributed_graph_coloring_with_pyspark_spark.sources.graph_json import read_graph_json
+
+
+@pytest.mark.parametrize(
+    "n,max_deg,seed",
+    [(20, 3, 1), (40, 5, 2), (60, 8, 3), (30, 29, 4)],  # last: near-complete
+)
+def test_coloring_properties(spark, n, max_deg, seed):
+    node_ids, edges = generate_graph(spark, n, max_deg, seed=seed)
+    result = minimal_coloring(node_ids, edges)
+
+    valid, n_uncolored, conflicts = validate_coloring(result.vertices, edges)
+    assert valid, f"invalid: uncolored={n_uncolored} conflicts={conflicts}"
+
+    # colors used ≤ Δ+1 (greedy bound) and == minimal_colors reported
+    max_deg_actual = (
+        edges.groupBy("src").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    distinct_colors = result.vertices.select("color").distinct().count()
+    assert distinct_colors == result.minimal_colors
+    assert result.minimal_colors <= max_deg_actual + 1
+
+    # every color class is an independent set == validator properness,
+    # already asserted; check completeness explicitly too
+    assert result.vertices.filter(F.col("color").isNull()).count() == 0
+
+
+def test_coloring_deterministic(spark):
+    node_ids, edges = generate_graph(spark, 50, 6, seed=7)
+    r1 = minimal_coloring(node_ids, edges)
+    r2 = minimal_coloring(node_ids, edges)
+    assert r1.minimal_colors == r2.minimal_colors
+    c1 = sorted((r.id, r.color) for r in r1.vertices.collect())
+    c2 = sorted((r.id, r.color) for r in r2.vertices.collect())
+    assert c1 == c2  # deterministic (degree, id) tie-break, no rand()
+
+
+def test_golden_reference_graph(spark):
+    node_ids, edges = read_graph_json(spark, "/root/reference/graph.json")
+    result = minimal_coloring(node_ids, edges)
+    assert result.minimal_colors == 3  # true chromatic number (BASELINE.md)
+    valid, _, _ = validate_coloring(result.vertices, edges)
+    assert valid
+    # descent trajectory: starts at Δ+1=6, ends failing at 2
+    ks = [k for k, _, _ in result.attempts]
+    assert ks[0] == 6 and ks[-1] == 2
+
+
+def test_isolated_nodes_color_zero(spark):
+    # 5 isolated vertices: all get color 0 in one round (reference G2)
+    node_ids = spark.range(5).select("id")
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = init_vertices(node_ids, edges)
+    res = color_graph_attempt(verts, edges, k=1)
+    assert res.success
+    assert res.colors_used == 1
+    assert res.vertices.filter(F.col("color") == 0).count() == 5
+
+
+def test_palette_exhaustion_fails(spark):
+    # triangle needs 3 colors; k=2 must fail (reference G5)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)], "src long, dst long"
+    )
+    node_ids = spark.range(3).select("id")
+    verts = init_vertices(node_ids, edges)
+    assert not color_graph_attempt(verts, edges, k=2).success
+    assert color_graph_attempt(verts, edges, k=3).success

@@ -1,0 +1,35 @@
+"""Smoke: every registered query runs at sf0.001 and returns a stable
+schema; entry() (the driver's smoke check) completes and is valid.
+The full value-level gate is tools/check_oracle.py at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+_ALL = sorted(entry_mod.queries().items())
+
+
+def test_oracle_coverage():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    # every oracle key has a query; non-oracle queries are the documented
+    # rows-only set (iterative coloring, LSH-recall ANN, simhash)
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"graph_color_customers", "ann_hyperplane_topk", "dedup_simhash"}
+
+
+@pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
+def test_query_runs(spark, name, fn):
+    df = fn(spark, SF)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns == ["id", "color"]
+    assert df.count() > 0

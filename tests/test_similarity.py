@@ -1,0 +1,74 @@
+"""ANN recall on PLANTED clusters: random-hyperplane LSH cannot be
+oracle-checked (recall < 1 by design), so this is its correctness gate.
+Each probe (vec_id < 20) gets a clone at cosine ≈ 0.999; LSH with 4×4
+bands finds a clone with P ≈ 1-(1-(1-θ/π)^4)^4 ≈ 0.999 at θ≈0.02π."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from distributed_graph_coloring_with_pyspark_spark.operators import similarity as S
+
+_EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _write_embeddings(spark, tmp_path):
+    rng = random.Random(123)
+    rows = []
+    base = []
+    for i in range(20):  # probes 0..19
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        base.append(v)
+        rows.append((i, v, 0))
+    for i, v in enumerate(base):  # clones 20..39: tiny perturbation
+        w = [x + rng.gauss(0, 0.02) for x in v]
+        rows.append((20 + i, w, 1))
+    for i in range(40, 100):  # unrelated background
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], 2))
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(rows, _EMB_SCHEMA).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def test_exact_knn_finds_planted_clones(spark, tmp_path):
+    sf = _write_embeddings(spark, tmp_path)
+    top1 = {
+        r.probe_id: r.neighbor_id
+        for r in S.knn_exact_topk(spark, sf).collect()
+        if r.rank == 1
+    }
+    assert all(top1[p] == 20 + p for p in range(20))
+
+
+def test_ann_recall_on_planted_clones(spark, tmp_path):
+    sf = _write_embeddings(spark, tmp_path)
+    ann = S.ann_hyperplane_topk(spark, sf).collect()
+    found = {r.probe_id for r in ann if r.neighbor_id == 20 + r.probe_id}
+    recall = len(found) / 20
+    assert recall >= 0.9, f"planted-clone recall {recall} < 0.9"
+
+
+def test_ann_cosine_values_match_exact(spark, tmp_path):
+    """When ANN returns a neighbor the exact query also returns, the
+    cosine must be identical (same rerank expression)."""
+    sf = _write_embeddings(spark, tmp_path)
+    exact = {
+        (r.probe_id, r.neighbor_id): r.cos_sim
+        for r in S.knn_exact_topk(spark, sf).collect()
+    }
+    for r in S.ann_hyperplane_topk(spark, sf).collect():
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact:
+            assert r.cos_sim == pytest.approx(exact[key], abs=0)
+
+
+def test_neardup_pairs_threshold(spark, tmp_path):
+    sf = _write_embeddings(spark, tmp_path)
+    pairs = {(r.id_a, r.id_b) for r in S.cosine_neardup_pairs(spark, sf).collect()}
+    # every (probe, clone) pair is a near-dup at threshold 0.45
+    assert all((p, 20 + p) in pairs for p in range(20))
