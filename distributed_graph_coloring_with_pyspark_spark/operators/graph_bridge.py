@@ -73,6 +73,24 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/max degree of the fixture graph (reference A1
+    ``average_degree``, coloring.py:9-10 — dead code there, a first-class
+    query here; max degree is the palette seed Δ+1, coloring.py:212)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    return (
+        cu.join(deg, "id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .agg(
+            F.round(F.avg("degree"), 6).alias("avg_degree"),
+            F.max("degree").alias("max_degree"),
+            F.count("*").alias("n_vertices"),
+        )
+    )
+
+
 def color_customer_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: minimal proper coloring of the customer fixture graph.
     Returns (id, color) — validity is asserted (the reference's G6 oracle
@@ -92,6 +110,7 @@ def color_customer_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "customer_graph_edges": customer_graph_edges,
     "graph_degree_stats": graph_degree_stats,
+    "graph_avg_degree": graph_avg_degree,
     "graph_color_customers": color_customer_graph,
 }
 
@@ -130,6 +149,27 @@ ORACLES = {
         FROM customer LEFT JOIN deg ON c_custkey = id
         GROUP BY 1
         ORDER BY degree
+    """,
+    "graph_avg_degree": f"""
+        WITH cp0 AS (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+                   date_trunc('day', o_orderdate) AS dy
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        cp AS (
+            SELECT c, p, dy FROM cp0
+            QUALIFY count(*) OVER (PARTITION BY p, dy) <= {_CELL_CAP}
+        ),
+        e AS (
+            SELECT DISTINCT a.c AS src, b.c AS dst
+            FROM cp a JOIN cp b USING (p, dy)
+            WHERE a.c <> b.c
+        ),
+        deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src)
+        SELECT round(avg(coalesce(degree, 0)), 6) AS avg_degree,
+               max(coalesce(degree, 0)) AS max_degree,
+               count(*) AS n_vertices
+        FROM customer LEFT JOIN deg ON c_custkey = id
     """,
     # graph_color_customers: not SQL-expressible (iterative fixed-point);
     # rows-only check + the G6 validator assertion inside the query itself.

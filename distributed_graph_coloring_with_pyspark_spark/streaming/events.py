@@ -163,6 +163,68 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator — ``applyInPandasWithState``
+    (the extended-surface capability SURVEY.md §2.6 reserves for
+    operators Spark's built-ins can't express): per-user running
+    (event count, value total) state, updated per micro-batch, emitted
+    in ``update`` mode.
+
+    State is a (long, double) tuple per user_id — O(distinct users)
+    across the cluster, partitioned by the grouping key; at 100 TB this
+    is RocksDB-backed state store + watermark-based TTL (here:
+    NoTimeout, finite input).  The file source delivers one batch, so
+    the memory sink holds exactly one row per user; the max-n_events
+    dedup below makes the read robust to multi-batch replans too.
+    Semantics == batch groupBy(user_id).count/sum → exact SQL oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def update_totals(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    counted = raw.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_name = "streaming_user_totals_sink"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink_name)
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
 _HOURLY_ORACLE = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
            event_type,
@@ -180,6 +242,7 @@ QUERIES = {
     "events_json_kv": events_json_kv,
     "user_funnel": user_funnel,
     "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_user_totals_stateful": streaming_user_totals_stateful,
 }
 
 ORACLES = {
@@ -215,6 +278,13 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "streaming_user_totals_stateful": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "user_funnel": """
         SELECT count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
