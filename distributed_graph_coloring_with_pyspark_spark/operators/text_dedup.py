@@ -86,6 +86,10 @@ def _shingles(tok: Column) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: the testdata is one small parquet file → one input split, so
+    # the shingle projection runs on one core here; a real corpus is
+    # many files/row-groups and parallelizes at the scan (measured: an
+    # explicit repartition costs more than it buys at this scale).
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
 
@@ -138,26 +142,29 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _doc_shingles(spark, sf_dir).persist()
 
-    # signature[i] = min over shingles of xxhash64(shingle, seed=i)
-    sig = sh.filter(F.size("shingles") > 0).select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_NUM_HASHES - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
-            ),
-        ).alias("sig"),
+    # signature[i] = min over shingles of xxhash64(shingle, seed=i).
+    # Shape: explode shingles → 32 min-aggregates.  The partial (map-side)
+    # aggregation reduces each partition to 32 longs per doc before the
+    # shuffle — this scales to any corpus size, unlike a nested
+    # transform-over-transform expression that re-walks the shingle array
+    # once per hash function inside a single projection.
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(_NUM_HASHES)]
     )
 
     # one row per (doc, band); bucket key hashes the band's r minhashes
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    b, F.slice(F.col("sig"), b * _MINHASH_ROWS + 1, _MINHASH_ROWS)
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"h{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)],
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
             )
         ).alias("band", "bucket"),
     )
@@ -279,6 +286,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "chunk"),
+    )
+    # same pathological-bucket guard as the MinHash path (module docstring)
+    bands = bands.join(
+        bands.groupBy("band", "chunk").count().filter(F.col("count") <= _BUCKET_CAP)
+        .drop("count"),
+        ["band", "chunk"],
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
