@@ -1,0 +1,62 @@
+"""Plan regression gate: the plans we designed for must survive code
+drift.  Checks static plan properties only (explicit broadcast hints,
+ReadSchema pruning, filter pushdown) — AQE runtime conversions are
+deliberately out of scope (they depend on sizes observed at runtime)."""
+
+from __future__ import annotations
+
+from distributed_graph_coloring_with_pyspark_spark.operators import (
+    multimodal as MM,
+    relational as R,
+    similarity as S,
+    text_dedup as TD,
+)
+from distributed_graph_coloring_with_pyspark_spark.plans.audit import (
+    has_broadcast_hash_join,
+    pushed_filters,
+    scan_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_probe_side_broadcasts(spark):
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = S.knn_exact_topk(spark, SF)
+    # probe×corpus is a non-equi join (vec_id != probe_id) with an explicit
+    # broadcast hint → BroadcastNestedLoopJoin, never a shuffle of the corpus
+    assert "Broadcast" in plan_string(df)
+    # the probe filter must reach the parquet scan as a pushdown
+    assert any("vec_id" in f for f in pushed_filters(df))
+
+
+def test_q5_dimension_broadcast(spark):
+    # q5 hints broadcast for region/nation (relational.py): must be static
+    assert has_broadcast_hash_join(R.q5_local_supplier_volume(spark, SF))
+
+
+def test_text_stats_prunes_doc_id(spark):
+    # text_stats touches text/lang/source/n_chars — doc_id must be pruned
+    schemas = scan_schemas(TD.text_stats(spark, SF))
+    assert schemas and all("doc_id" not in s for s in schemas)
+
+
+def test_blob_stats_prunes_to_two_columns(spark):
+    schemas = scan_schemas(MM.multimodal_blob_stats(spark, SF))
+    assert schemas and all(
+        "doc_id" not in s and "lang" not in s and "n_chars" not in s for s in schemas
+    )
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    # AQE hides codegen ids pre-execution; assert the two static
+    # properties that matter: the date filter reaches the parquet scan,
+    # and aggregation is two-phase (map-side partial_* before the
+    # exchange — the optimization the reference hand-built with
+    # aggregateByKey, SURVEY §4)
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = R.q1_pricing_summary(spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert "partial_sum" in plan_string(df)
