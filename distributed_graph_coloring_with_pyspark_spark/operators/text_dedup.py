@@ -536,6 +536,88 @@ _FINGERPRINT_ORACLE = """
 """
 
 
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation — the pre-tokenization split GPT-style BPE vocabs
+    use), compared against plain whitespace tokens, per lang.  Both
+    Spark (Java regex) and DuckDB (RE2) produce identical matches for
+    this ASCII-class pattern — verified expression-for-expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    return (
+        docs.select(
+            "lang",
+            F.size(bpe).alias("n_bpe"),
+            F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+            F.size(_tokens()).alias("n_ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg("n_bpe_distinct"), 4).alias("avg_distinct_bpe"),
+            F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_BPE_ORACLE = rf"""
+    SELECT lang, count(*) AS n_docs,
+           sum(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')))::BIGINT
+               AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))), 4)
+               AS avg_bpe_tokens,
+           round(avg(len(list_distinct(
+               regexp_extract_all(lower(text), '{_BPE_PATTERN}')))), 4)
+               AS avg_distinct_bpe,
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS total_ws_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+_WINNOW_W = 8  # char-window width
+_WINNOW_K = 4  # sketch size: k smallest window hashes
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window fingerprint sketch (winnowing family): hash every
+    8-char window of the text, keep the 4 smallest hashes — a content-
+    defined sketch robust to insertions/shifts (unlike fixed-offset
+    chunking; same selection rule as MOSS winnowing).  One projection,
+    no shuffle until the final sort; the md5-per-window cost is what a
+    Rabin-Karp rolling hash would amortize on a real engine — the
+    *selection semantics* (min-k of window hashes) are identical and
+    reproducible in SQL, which is what the oracle checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_WINNOW_W - 1)),
+        lambda i: F.md5(F.substring(F.col("text"), i, F.lit(_WINNOW_W))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(windows).alias("n_windows"),
+        F.concat_ws("", F.slice(F.array_sort(windows), 1, _WINNOW_K)).alias("winnow_fp"),
+    ).orderBy("doc_id")
+
+
+_WINNOW_ORACLE = f"""
+    SELECT doc_id,
+           (length(text) - {_WINNOW_W - 1})::INT AS n_windows,
+           array_to_string(
+               list_sort([md5(substr(text, i, {_WINNOW_W}))
+                          for i in range(1, length(text) - {_WINNOW_W - 2})])[1:{_WINNOW_K}],
+               '') AS winnow_fp
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -545,6 +627,8 @@ QUERIES = {
     "lang_id_agreement": lang_id_agreement,
     "text_quality": text_quality,
     "doc_fingerprints": doc_fingerprints,
+    "token_stats_bpe": token_stats_bpe,
+    "winnowing_fingerprints": winnowing_fingerprints,
 }
 
 ORACLES = {
@@ -556,4 +640,6 @@ ORACLES = {
     "lang_id_agreement": _LANG_ID_ORACLE,
     "text_quality": _TEXT_QUALITY_ORACLE,
     "doc_fingerprints": _FINGERPRINT_ORACLE,
+    "token_stats_bpe": _TOKEN_BPE_ORACLE,
+    "winnowing_fingerprints": _WINNOW_ORACLE,
 }
