@@ -163,6 +163,65 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization through a REAL streaming
+    pipeline — Spark's built-in gap-based session merging with state,
+    vs the batch lag+cumsum formulation of ``events_sessionization``
+    (same 30-min gap).  Update mode + watermark bounds state; sessions
+    are numbered per user by start time after the fact so the output
+    matches the batch session_seq convention and shares its oracle
+    semantics.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("ts").cast("double")).alias("t_min"),
+            F.max(F.col("ts").cast("double")).alias("t_max"),
+        )
+    )
+    sink_name = "streaming_sessions_sink"
+    # session-window aggregation supports append (watermark-finalized
+    # windows only — would drop sessions newer than max(ts)−watermark on
+    # a finite source) and complete; complete emits every session, which
+    # is what the finite-input harness needs (same caveat as
+    # streaming_hourly_counts: at scale, append to a real sink)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seq = Window.partitionBy("user_id").orderBy("t_min")
+    return (
+        spark.table(sink_name)
+        .select(
+            "user_id",
+            "n_events",
+            "t_min",
+            F.round(F.col("t_max") - F.col("t_min"), 3).alias("duration_secs"),
+        )
+        .withColumn("session_seq", F.row_number().over(seq) - 1)
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "duration_secs",
+        )
+    )
+
+
 def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming operator — ``applyInPandasWithState``
     (the extended-surface capability SURVEY.md §2.6 reserves for
@@ -242,6 +301,7 @@ QUERIES = {
     "events_json_kv": events_json_kv,
     "user_funnel": user_funnel,
     "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_sessions": streaming_sessions,
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
 }
 
@@ -278,6 +338,30 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "streaming_sessions": f"""
+        WITH brk AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+                         >= {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS brk,
+                   event_id
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM brk
+        )
+        SELECT user_id, session_seq::BIGINT AS session_seq,
+               count(*) AS n_events,
+               round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_secs
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
     """,
     "streaming_user_totals_stateful": """
         SELECT user_id, count(*) AS n_events,

@@ -49,6 +49,48 @@ def test_blob_stats_prunes_to_two_columns(spark):
     )
 
 
+def test_bucketed_join_elides_shuffle(spark):
+    """Bucketing = the co-located-join strategy for repeated large joins
+    at 100 TB: both sides bucketed by the join key with equal bucket
+    counts → SortMergeJoin with NO Exchange on either side."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join strategy is decided by bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan_string(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join still shuffles"
+        # sanity: same result as the unbucketed join
+        n_plain = (
+            load_table(spark, SF, "orders")
+            .join(
+                load_table(spark, SF, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_q1_pushdown_and_partial_agg(spark):
     # AQE hides codegen ids pre-execution; assert the two static
     # properties that matter: the date filter reaches the parquet scan,
