@@ -266,6 +266,34 @@ def simhash_col(tok: Column, bits: int = 64) -> Column:
     return sig
 
 
+def _simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): explode distinct tokens → one xxhash64 per token →
+    64 per-bit ±1 vote sums as hash aggregates (map-side combine, like
+    the MinHash signature path) → assemble the sign bits.  Equivalent to
+    ``simhash_col`` but aggregation-shaped: the shuffle carries 64 longs
+    per doc instead of evaluating a 64-wide nested HOF expression per
+    row, and it parallelizes with the data."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sig.alias("sig"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 3 over 64-bit
     token-set signatures.  Candidate generation is a 4×16-bit band
@@ -273,7 +301,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact hamming filter.  Rows-only correctness check (no DuckDB
     xxhash64); the pytest suite covers semantics on synthetic dups."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", simhash_col(_tokens()).alias("sig")).persist()
+    sigs = _simhash_signatures(docs).persist()
 
     bands = sigs.select(
         "doc_id",
