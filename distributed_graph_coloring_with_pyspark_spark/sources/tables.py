@@ -53,7 +53,17 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (runtime-settable).  Every
+    epoch/date_trunc comparison against the DuckDB oracle (UTC-naive
+    timestamps) depends on it; our session factory sets it, but the
+    verification driver builds its own session — set it defensively at
+    every table load."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Explicit schema (no inference) → readable under any session; then

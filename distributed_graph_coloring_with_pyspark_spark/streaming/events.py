@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import EVENTS_RAW_SCHEMA, load_table
+from ..sources.tables import EVENTS_RAW_SCHEMA, ensure_utc, load_table
 
 SESSION_GAP_MIN = 30
 
@@ -127,6 +127,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantically identical to ``events_hourly`` (same SQL oracle)."""
     # the streaming file source monitors a directory; glob-filter down to
     # the events file so sibling tables in sf_dir aren't picked up
+    ensure_utc(spark)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -172,6 +173,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the batch session_seq convention and shares its oracle
     semantics.
     """
+    ensure_utc(spark)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -240,6 +242,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ensure_utc(spark)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
