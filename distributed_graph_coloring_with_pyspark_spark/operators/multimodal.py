@@ -25,7 +25,6 @@ scanned only by queries that touch it.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd

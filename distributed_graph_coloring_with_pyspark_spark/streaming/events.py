@@ -16,7 +16,6 @@ source is swapped for Kafka with identical downstream plan.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
