@@ -52,9 +52,23 @@ def table_hash(cols, rows):
 
 def main() -> int:
     import __spark_entry__ as entry_mod
-    from distributed_graph_coloring_with_pyspark_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("CHECK_VANILLA"):
+        # simulate the verification driver: a bare session with NONE of
+        # our session.py conf (no nanosAsLong, no UTC, default partitions)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for name in [
         "region", "nation", "customer", "supplier", "part",
