@@ -651,6 +651,50 @@ _WINNOW_ORACLE = f"""
 """
 
 
+_CHUNK_SIZE = 200  # chars per chunk
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the canonical LLM-pipeline
+    fan-out (doc → training/RAG chunks).  posexplode over a sequence of
+    window starts + substring: pure Catalyst, so a 100 TB corpus chunks
+    inside whole-stage codegen with zero Python.  Emits (doc_id,
+    chunk_idx, chunk_len, chunk_md5); the md5 stands in for the chunk
+    text in the oracle hash (keeps the compared values small)."""
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text") - (_CHUNK_SIZE - 1), F.lit(1)), F.lit(_CHUNK_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.substring(F.col("text"), i, F.lit(_CHUNK_SIZE)))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_ORACLE = f"""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {_CHUNK_SIZE - 1}, 1) + 1,
+                            {_CHUNK_STRIDE})) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1)::INT
+               AS chunk_idx,
+           length(substr(text, s::INT, {_CHUNK_SIZE})) AS chunk_len,
+           md5(substr(text, s::INT, {_CHUNK_SIZE})) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -662,6 +706,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "token_stats_bpe": token_stats_bpe,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLES = {
@@ -675,4 +720,5 @@ ORACLES = {
     "doc_fingerprints": _FINGERPRINT_ORACLE,
     "token_stats_bpe": _TOKEN_BPE_ORACLE,
     "winnowing_fingerprints": _WINNOW_ORACLE,
+    "chunk_documents": _CHUNK_ORACLE,
 }
