@@ -120,6 +120,41 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SALTS = 16
+
+
+def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a skewed key: ``event_type``
+    has ~5 hot values, so a naive groupBy lands the whole table on ≤5
+    reducers.  Phase 1 groups by (event_type, salt) — 16× the reducer
+    fan-out — phase 2 re-aggregates the 5×16 partials.  sum/count
+    recombine exactly (avg derived at phase 2), so the result is
+    bit-identical to the plain aggregation the oracle runs.  At 100 TB
+    this is the hand-rolled fallback when AQE skew handling can't help
+    (AQE splits skewed *joins*, not skewed aggregation keys; partial
+    aggregation already mitigates — salting guarantees it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("c"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(F.sum("s"), 2).alias("total_value"),
+            F.round(F.sum("s") / F.sum("c"), 4).alias("avg_value"),
+            F.round(F.min("mn"), 4).alias("min_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: file source → watermark → tumbling
     window aggregation → memory sink, driven to completion synchronously.
@@ -301,6 +336,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionization": events_sessionization,
     "events_json_kv": events_json_kv,
+    "events_type_stats_salted": events_type_stats_salted,
     "user_funnel": user_funnel,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sessions": streaming_sessions,
@@ -371,6 +407,16 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "events_type_stats_salted": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(sum(value) / count(*), 4) AS avg_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "user_funnel": """
         SELECT count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase)
