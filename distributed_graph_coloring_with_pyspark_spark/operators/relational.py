@@ -273,6 +273,20 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketch path for 100 TB cardinality
+    (HyperLogLog++: constant memory per group vs countDistinct's exact
+    shuffle of every distinct value).  Emits approx and exact side by
+    side; HLL output is implementation-defined, so no SQL oracle —
+    tests/test_queries_smoke.py bounds the relative error instead."""
+    ord_ = _t(spark, sf_dir, "orders")
+    return ord_.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count("*").alias("n_orders"),
+    ).orderBy("priority")
+
+
 # --- 16. time bucketing ---
 
 
@@ -353,6 +367,7 @@ QUERIES = {
     "nations_customers_minus_suppliers": nations_customers_minus_suppliers,
     "union_balances_by_nation": union_balances_by_nation,
     "supplier_distinct_parts": supplier_distinct_parts,
+    "approx_distinct_users": approx_distinct_users,
     "orders_per_month": orders_per_month,
     "pivot_status_by_priority": pivot_status_by_priority,
     "asof_purchase_after_click": asof_purchase_after_click,

@@ -19,7 +19,20 @@ def test_oracle_coverage():
     # rows-only set (iterative coloring, LSH-recall ANN, simhash)
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"graph_color_customers", "ann_hyperplane_topk", "dedup_simhash"}
+    assert rows_only == {
+        "graph_color_customers",  # iterative fixed-point, validator-asserted
+        "ann_hyperplane_topk",  # LSH recall < 1 by design, pytest-gated
+        "dedup_simhash",  # xxhash64 signatures not reproducible in SQL
+        "approx_distinct_users",  # HLL sketch implementation-defined
+    }
+
+
+def test_approx_distinct_error_bound(spark):
+    rows = entry_mod.queries()["approx_distinct_users"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_customers - r.exact_customers) / max(r.exact_customers, 1)
+        assert rel_err < 0.05, f"{r.priority}: approx off by {rel_err:.1%}"
 
 
 @pytest.mark.parametrize("name,fn", _ALL, ids=[n for n, _ in _ALL])
