@@ -273,6 +273,32 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REVENUE_SQL = """
+    SELECT r_name AS region,
+           count(DISTINCT o_orderkey) AS n_orders,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region
+"""
+
+
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry path: the engine's second front door.  Registers
+    the tables as temp views and runs SQL text — Catalyst plans it
+    identically to the DataFrame API (same pushdown/broadcast/AQE), and
+    the oracle runs the *same* statement, so this also pins SQL-dialect
+    compatibility for the shared core."""
+    from ..sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_REVENUE_SQL)
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketch path for 100 TB cardinality
     (HyperLogLog++: constant memory per group vs countDistinct's exact
@@ -368,6 +394,7 @@ QUERIES = {
     "union_balances_by_nation": union_balances_by_nation,
     "supplier_distinct_parts": supplier_distinct_parts,
     "approx_distinct_users": approx_distinct_users,
+    "sql_revenue_by_region": sql_revenue_by_region,
     "orders_per_month": orders_per_month,
     "pivot_status_by_priority": pivot_status_by_priority,
     "asof_purchase_after_click": asof_purchase_after_click,
@@ -500,6 +527,7 @@ ORACLES = {
         )
         GROUP BY nationkey, side
     """,
+    "sql_revenue_by_region": _REVENUE_SQL,
     "supplier_distinct_parts": """
         SELECT l_suppkey,
                count(DISTINCT l_partkey) AS n_parts,
