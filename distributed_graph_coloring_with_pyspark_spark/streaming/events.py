@@ -120,6 +120,33 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN with an equi-key prefix — the scale-safe shape: the
+    user_id equi-condition drives the shuffle/partitioning, the time
+    band is a post-join filter within each user's (small) event set, so
+    there is no unbounded theta-join blowup.  Counts click→purchase
+    pairs landing within one hour, per user.  (An unkeyed range join at
+    100 TB needs binning/bucketing by time range instead.)"""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("t_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t_buy")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("u") == F.col("u2"))
+        & (F.col("t_buy") >= F.col("t_click"))
+        & (F.col("t_buy") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pairs.groupBy(F.col("u").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 _N_SALTS = 16
 
 
@@ -337,6 +364,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_json_kv": events_json_kv,
     "events_type_stats_salted": events_type_stats_salted,
+    "click_purchase_within_hour": click_purchase_within_hour,
     "user_funnel": user_funnel,
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sessions": streaming_sessions,
@@ -407,6 +435,16 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "click_purchase_within_hour": """
+        SELECT c.user_id, count(*) AS n_pairs
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts AS t_buy FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.t_buy >= c.ts
+         AND p.t_buy <= c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
+        ORDER BY c.user_id
     """,
     "events_type_stats_salted": """
         SELECT event_type, count(*) AS n,
