@@ -118,7 +118,7 @@ def color_graph_attempt(
     ``vertices`` must be (id, degree, color) with color all-NULL;
     ``edges`` symmetric and ideally persisted by the caller.
     """
-    state = vertices.localCheckpoint(eager=True)
+    state = vertices.localCheckpoint(eager=False)
     rounds = 0
     prev_cand: DataFrame | None = None
 
@@ -203,7 +203,7 @@ def color_graph_attempt(
                 "degree",
                 F.coalesce("color", "new_color").cast("int").alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
 

@@ -75,6 +75,33 @@ def test_isolated_nodes_color_zero(spark):
     assert res.vertices.filter(F.col("color") == 0).count() == 5
 
 
+def test_one_action_per_round(spark, monkeypatch):
+    """Pin the module's core perf contract (coloring.py docstring): each
+    round issues exactly ONE Spark action — the stats collect — plus one
+    final max(color) collect on success.  The reference runs 4-8 jobs per
+    round (collectAsMap + broadcast + 2 counts, coloring.py:80-131).
+    Catches regressions like an eager localCheckpoint (round-2 ADVICE) or
+    a stray .count() sneaking into the loop."""
+    node_ids, edges = generate_graph(spark, 60, 6, seed=11)
+    verts = init_vertices(node_ids, edges)
+    DF = type(verts)  # the concrete (classic) DataFrame class, which
+    # overrides collect/count — patching the pyspark.sql.DataFrame base
+    # would not intercept instance calls
+
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DF.collect, DF.count
+    monkeypatch.setattr(
+        DF, "collect", lambda self: (calls.__setitem__("collect", calls["collect"] + 1), orig_collect(self))[1]
+    )
+    monkeypatch.setattr(
+        DF, "count", lambda self: (calls.__setitem__("count", calls["count"] + 1), orig_count(self))[1]
+    )
+    res = color_graph_attempt(verts, edges, k=7)
+    assert res.success
+    assert calls["collect"] == res.rounds + 1, calls
+    assert calls["count"] == 0, calls
+
+
 def test_palette_exhaustion_fails(spark):
     # triangle needs 3 colors; k=2 must fail (reference G5)
     edges = spark.createDataFrame(
