@@ -22,9 +22,12 @@ def test_oracle_coverage():
     assert rows_only == {
         "graph_color_customers",  # iterative fixed-point, validator-asserted
         "ann_hyperplane_topk",  # LSH recall < 1 by design, pytest-gated
-        "dedup_simhash",  # xxhash64 signatures not reproducible in SQL
         "approx_distinct_users",  # HLL sketch implementation-defined
     }
+    # oracle-checked queries come first so a truncated driver correctness
+    # pass drops rows-only entries, not hash comparisons (round-2 gap)
+    names = list(qs)
+    assert set(names[-len(rows_only):]) == rows_only
 
 
 def test_approx_distinct_error_bound(spark):
