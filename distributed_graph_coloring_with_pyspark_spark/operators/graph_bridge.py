@@ -32,6 +32,11 @@ from .coloring import minimal_coloring, validate_coloring
 
 _CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 
+# (session id, view name) → persisted edge frame, so the cache has an
+# explicit release path (a long-lived session iterating many sf_dirs
+# would otherwise accumulate persisted frames with no handle to them)
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric edges(src, dst): customers sharing a (part, order-day).
@@ -39,14 +44,30 @@ def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge frame is memoized per (session, sf_dir) as a cached temp
     view — four queries share this projection, and the registry lives
     inside the SparkSession so there is no cross-session staleness
-    (the engine-side equivalent of a materialized view)."""
+    (the engine-side equivalent of a materialized view).  Release with
+    ``clear_customer_graph_cache(spark)``."""
     view = "dgc_customer_edges_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     if any(t.name == view for t in spark.catalog.listTables()):
         return spark.table(view)
     edges = _build_customer_graph_edges(spark, sf_dir)
     edges.persist()
     edges.createOrReplaceTempView(view)
+    _EDGE_CACHE[(id(spark), view)] = edges
     return edges
+
+
+def clear_customer_graph_cache(spark: SparkSession) -> int:
+    """Unpersist and drop every memoized edge view of this session;
+    returns the number of entries released."""
+    released = 0
+    for (sid, view), df in list(_EDGE_CACHE.items()):
+        if sid != id(spark):
+            continue
+        df.unpersist(False)
+        spark.catalog.dropTempView(view)
+        del _EDGE_CACHE[(sid, view)]
+        released += 1
+    return released
 
 
 def _build_customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,9 +41,13 @@ def read_graph_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFram
     """
     raw = spark.read.schema(GRAPH_JSON_SCHEMA).option("multiLine", True).json(path)
     node_ids = raw.select("id")
+    # ``pos`` carries each neighbor's position in the source list so the
+    # sink can reproduce the reference's insertion-order serialization
+    # byte-for-byte (node.py:11 keeps list order); algebraic consumers
+    # just ignore the extra column
     edges = raw.select(
         F.col("id").alias("src"),
-        F.explode_outer("neighbors").alias("dst"),
+        F.posexplode_outer("neighbors").alias("pos", "dst"),
     ).filter(F.col("dst").isNotNull())
     return node_ids, edges
 
@@ -70,11 +74,30 @@ def write_coloring_json(vertices: DataFrame, path: str) -> None:
 def write_graph_json(node_ids: DataFrame, edges: DataFrame, path: str,
                      colors: DataFrame | None = None) -> None:
     """S2: write the full graph back as the reference's node format
-    (graph.py:10-12): neighbors collapse to id lists (node.py:11)."""
-    adj = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
-    )
+    (graph.py:10-12): neighbors collapse to id lists (node.py:11).
+
+    Neighbor order: if ``edges`` carries a ``pos`` column (a graph that
+    came through ``read_graph_json``), the source insertion order is
+    reproduced — a read→write round-trip is byte-identical to the
+    reference serializer, which keeps list order (node.py:11).
+    Otherwise (generated graphs) neighbors are sorted ascending — a
+    deterministic canonical order; the reference's in-memory insertion
+    order during random generation is not an on-disk contract."""
+    if "pos" in edges.columns:
+        adj = (
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dst"))),
+                    lambda x: x["dst"],
+                ).alias("neighbors")
+            )
+        )
+    else:
+        adj = (
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
+        )
     g = node_ids.join(adj, "id", "left").select(
         "id", F.coalesce("neighbors", F.array().cast("array<long>")).alias("neighbors")
     )

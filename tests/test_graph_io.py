@@ -46,6 +46,19 @@ def test_graph_json_roundtrip_byte_fidelity(spark, tmp_path):
     assert node_ids2.count() == 12
 
 
+def test_reference_file_roundtrip_byte_identical(spark, tmp_path):
+    """read graph.json → write must reproduce the reference serializer's
+    exact bytes, including the UNSORTED insertion-order neighbor lists
+    (node.py:11 keeps list order; graph.json is json.dumps(..., indent=4)
+    verbatim)."""
+    node_ids, edges = read_graph_json(spark, "/root/reference/graph.json")
+    out = tmp_path / "rt.json"
+    write_graph_json(node_ids, edges, str(out))
+    ref = open("/root/reference/graph.json").read()
+    # the reference file has color -1 on every node (uncolored input)
+    assert out.read_text() == ref
+
+
 def test_reference_graph_scan(spark):
     node_ids, edges = read_graph_json(spark, "/root/reference/graph.json")
     assert node_ids.count() == 10

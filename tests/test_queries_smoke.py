@@ -45,6 +45,21 @@ def test_query_runs(spark, name, fn):
     assert df.count() >= 0
 
 
+def test_graph_edge_cache_release(spark):
+    from distributed_graph_coloring_with_pyspark_spark.operators import graph_bridge as GB
+
+    GB.customer_graph_edges(spark, SF)
+    views = [t.name for t in spark.catalog.listTables() if t.name.startswith("dgc_customer_edges_")]
+    assert views
+    assert GB.clear_customer_graph_cache(spark) >= 1
+    assert not any(
+        t.name.startswith("dgc_customer_edges_") for t in spark.catalog.listTables()
+    )
+    # memoization still works after a release
+    assert GB.customer_graph_edges(spark, SF).count() > 0
+    GB.clear_customer_graph_cache(spark)
+
+
 def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.columns == ["id", "color"]
