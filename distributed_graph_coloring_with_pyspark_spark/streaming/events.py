@@ -154,9 +154,12 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation over a skewed key: ``event_type``
     has ~5 hot values, so a naive groupBy lands the whole table on ≤5
     reducers.  Phase 1 groups by (event_type, salt) — 16× the reducer
-    fan-out — phase 2 re-aggregates the 5×16 partials.  sum/count
-    recombine exactly (avg derived at phase 2), so the result is
-    bit-identical to the plain aggregation the oracle runs.  At 100 TB
+    fan-out — phase 2 re-aggregates the 5×16 partials.  count/min/max
+    recombine exactly; the double sums reassociate across salt partials,
+    so they agree with the oracle's single-pass sum after the rounding
+    both sides apply (ulp-level drift is possible at the rounding
+    boundary on a much larger corpus — sum a scaled-integer
+    representation if exact equality must hold at any scale).  At 100 TB
     this is the hand-rolled fallback when AQE skew handling can't help
     (AQE splits skewed *joins*, not skewed aggregation keys; partial
     aggregation already mitigates — salting guarantees it).
@@ -229,10 +232,13 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` sessionization through a REAL streaming
     pipeline — Spark's built-in gap-based session merging with state,
     vs the batch lag+cumsum formulation of ``events_sessionization``
-    (same 30-min gap).  Update mode + watermark bounds state; sessions
-    are numbered per user by start time after the fact so the output
-    matches the batch session_seq convention and shares its oracle
-    semantics.
+    (same 30-min gap).  This harness run uses complete output mode so
+    the finite input's memory sink sees every session; at scale the
+    production mode is the watermark + update/append pair (the 1-hour
+    watermark is already in the plan, bounding state either way).
+    Sessions are numbered per user by start time after the fact so the
+    output matches the batch session_seq convention and shares its
+    oracle semantics.
     """
     ensure_utc(spark)
     raw = (
