@@ -101,10 +101,22 @@ def test_generator_invariants(spark):
         _check_invariants(edges.collect(), 30, 5)
 
 
-def test_distributed_generator_invariants(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n,max_deg,seed",
+    [(200, 6, 9), (50, 3, 1), (120, 12, 2), (80, 1, 3), (64, 63, 4)],
+)
+def test_distributed_generator_invariants(spark, n, max_deg, seed):
+    node_ids, edges = generate_graph_distributed(spark, n, max_deg, seed=seed)
+    rows = edges.collect()
+    _check_invariants(rows, n, max_deg)
+    assert node_ids.count() == n
+
+
+def test_distributed_generator_determinism(spark):
     _, edges = generate_graph_distributed(spark, 200, 6, seed=9)
-    _check_invariants(edges.collect(), 200, 6)
-    # determinism: same seed → same edges
     _, edges2 = generate_graph_distributed(spark, 200, 6, seed=9)
     assert sorted((r.src, r.dst) for r in edges.collect()) == sorted(
         (r.src, r.dst) for r in edges2.collect()
