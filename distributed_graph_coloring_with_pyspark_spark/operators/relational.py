@@ -302,15 +302,37 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the sketch path for 100 TB cardinality
     (HyperLogLog++: constant memory per group vs countDistinct's exact
-    shuffle of every distinct value).  Emits approx and exact side by
-    side; HLL output is implementation-defined, so no SQL oracle —
-    tests/test_queries_smoke.py bounds the relative error instead."""
+    shuffle of every distinct value).
+
+    The raw HLL estimate is implementation-defined (Spark's HLL++ and
+    DuckDB's HLL disagree on exact values), so the query emits the
+    *accuracy contract* instead: a flag that the sketch landed within
+    5% (2.5× the requested rsd) of the exact count.  Both engines
+    compute the flag over their own sketches — making the previously
+    rows-only query value-checkable: the oracle verifies the same
+    property on the same data, which is precisely what an approximate
+    aggregate promises.  tests/test_queries_smoke.py additionally
+    bounds the numeric error."""
     ord_ = _t(spark, sf_dir, "orders")
-    return ord_.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.count("*").alias("n_orders"),
-    ).orderBy("priority")
+    return (
+        ord_.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "priority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("approx_ok_5pct"),
+        )
+        .orderBy("priority")
+    )
 
 
 # --- 16. time bucketing ---
@@ -528,6 +550,18 @@ ORACLES = {
         GROUP BY nationkey, side
     """,
     "sql_revenue_by_region": _REVENUE_SQL,
+    # accuracy-contract check (see approx_distinct_users docstring):
+    # DuckDB verifies ITS OWN HLL lands within the same 5% bound
+    "approx_distinct_users": """
+        SELECT o_orderpriority AS priority,
+               count(DISTINCT o_custkey) AS exact_customers,
+               count(*) AS n_orders,
+               abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                   / count(DISTINCT o_custkey) <= 0.05 AS approx_ok_5pct
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
     "supplier_distinct_parts": """
         SELECT l_suppkey,
                count(DISTINCT l_partkey) AS n_parts,
