@@ -335,6 +335,85 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 15b. full outer join: compare two top-k lists ---
+
+
+def full_outer_top_revenue_vs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the surface didn't
+    exercise): top-20 customers by lineitem revenue vs top-20 by order
+    count — membership differs, so both null sides appear.  Both top-k
+    are deterministic ((metric desc, custkey) order); the join keys are
+    20-row frames, so AQE broadcasts both sides of the full join's
+    build."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+    cnt = (
+        od.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(20)
+    )
+    return (
+        rev.withColumnRenamed("custkey", "r_custkey")
+        .join(cnt, F.col("r_custkey") == F.col("custkey"), "full_outer")
+        .select(
+            F.coalesce("r_custkey", "custkey").alias("custkey"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("custkey")
+    )
+
+
+# --- 15c. cross join: dense reporting scaffold ---
+
+
+def cross_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join as the dense-grid reporting scaffold: every
+    (region, order status) cell, zero-filled where no orders exist —
+    the standard fix for sparse groupBy output feeding dashboards.
+    Both scaffold sides are tiny dimensions (5×3), so the cross join is
+    a broadcast nested loop over 15 rows; the fact aggregation happens
+    FIRST (shuffle on the 15-cell key space is trivial) and left-joins
+    onto the scaffold."""
+    re_ = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    statuses = od.select(F.col("o_orderstatus").alias("status")).distinct()
+    grid = re_.crossJoin(statuses)
+    facts = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return (
+        grid.join(facts, ["region", "status"], "left")
+        .select(
+            "region",
+            "status",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("region", "status")
+    )
+
+
 # --- 16. time bucketing ---
 
 
@@ -416,6 +495,8 @@ QUERIES = {
     "union_balances_by_nation": union_balances_by_nation,
     "supplier_distinct_parts": supplier_distinct_parts,
     "approx_distinct_users": approx_distinct_users,
+    "full_outer_top_revenue_vs_orders": full_outer_top_revenue_vs_orders,
+    "cross_region_status_grid": cross_region_status_grid,
     "sql_revenue_by_region": sql_revenue_by_region,
     "orders_per_month": orders_per_month,
     "pivot_status_by_priority": pivot_status_by_priority,
@@ -550,6 +631,46 @@ ORACLES = {
         GROUP BY nationkey, side
     """,
     "sql_revenue_by_region": _REVENUE_SQL,
+    "full_outer_top_revenue_vs_orders": """
+        WITH rev AS (
+            SELECT o_custkey AS custkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey
+            ORDER BY revenue DESC, custkey
+            LIMIT 20
+        ), cnt AS (
+            SELECT o_custkey AS custkey, count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY n_orders DESC, custkey
+            LIMIT 20
+        )
+        SELECT coalesce(rev.custkey, cnt.custkey) AS custkey, revenue, n_orders
+        FROM rev FULL OUTER JOIN cnt ON rev.custkey = cnt.custkey
+        ORDER BY custkey
+    """,
+    "cross_region_status_grid": """
+        WITH grid AS (
+            SELECT r_name AS region, status
+            FROM region
+            CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+        ), facts AS (
+            SELECT r_name AS region, o_orderstatus AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT grid.region, grid.status,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total_price, 0.0) AS total_price
+        FROM grid LEFT JOIN facts
+          ON grid.region = facts.region AND grid.status = facts.status
+        ORDER BY grid.region, grid.status
+    """,
     # accuracy-contract check (see approx_distinct_users docstring):
     # DuckDB verifies ITS OWN HLL lands within the same 5% bound
     "approx_distinct_users": """
