@@ -354,6 +354,61 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUPLICATION — the ingestion-side dedup every
+    training-data pipeline runs before anything else touches the data:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) keeps the
+    first event per key, with state bounded by the 1-hour watermark
+    (the post-3.5 streaming-dedup operator; plain ``dropDuplicates`` on
+    a stream holds state forever).  The deduped APPEND stream lands in
+    the sink; the per-type rollup below is batch-side, so the streaming
+    stage is pure dedup.
+
+    On this finite input the source delivers one batch, so
+    within-watermark dedup equals global dedup and the result matches
+    the batch DISTINCT oracle exactly; on an unbounded stream the
+    operator only suppresses duplicates arriving within the watermark
+    delay — by design (that is the bounded-state contract).
+    """
+    ensure_utc(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink_name = "streaming_dedup_sink"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink_name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 _HOURLY_ORACLE = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
            event_type,
@@ -375,11 +430,13 @@ QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sessions": streaming_sessions,
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
+    "streaming_dedup_events": streaming_dedup_events,
 }
 
 ORACLES = {
     "events_hourly": _HOURLY_ORACLE,
     "streaming_hourly_counts": _HOURLY_ORACLE,
+    "streaming_dedup_events": _STREAM_DEDUP_ORACLE,
     "events_sessionization": f"""
         WITH brk AS (
             SELECT user_id, ts,
