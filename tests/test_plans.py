@@ -91,6 +91,27 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_cross_grid_broadcasts_dimensions(spark):
+    # the fact-side dimension joins carry explicit broadcast hints; the
+    # 15-row scaffold cross join must never shuffle the fact table
+    assert has_broadcast_hash_join(R.cross_region_status_grid(spark, SF))
+
+
+def test_full_outer_is_full_outer(spark):
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    p = plan_string(R.full_outer_top_revenue_vs_orders(spark, SF))
+    assert "FullOuter" in p
+
+
+def test_ivf_probe_side_broadcasts(spark):
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    # the cell equi-join must broadcast the tiny probe side, never
+    # shuffle the corpus
+    assert "Broadcast" in plan_string(S.ann_ivf_topk(spark, SF))
+
+
 def test_q1_pushdown_and_partial_agg(spark):
     # AQE hides codegen ids pre-execution; assert the two static
     # properties that matter: the date filter reaches the parquet scan,
