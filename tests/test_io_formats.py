@@ -35,6 +35,23 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(cust)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert _sorted_rows(back) == _sorted_rows(orders)
+
+
+def test_orc_pushes_filters(spark, tmp_path):
+    # ORC scans must push predicates just like parquet ones
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_orc2")
+    orders.write.mode("overwrite").orc(path)
+    p = plan_string(spark.read.orc(path).filter(F.col("o_custkey") == 7))
+    assert "PushedFilters" in p and "o_custkey" in p.split("PushedFilters", 1)[1][:200]
+
+
 def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     """Hive-style partitioned layout + a partition-key filter must show
     up as PartitionFilters (pruned directories), not a post-scan filter
