@@ -379,40 +379,55 @@ def _centroid_literals(cents: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
 
 
-def _nearest_cell(emb_col: Column, cents: list[list[float]]) -> Column:
-    """Index (0-based) of the max-cosine centroid — an unrolled argmax
-    over K (score, idx) structs; struct max compares fields in order."""
+def _cell_scores(emb_col: Column, cents: list[list[float]]) -> Column:
+    """Array of K (cosine, idx) structs against the centroid literals.
+
+    The row's own norm is computed ONCE and shared across all K scores
+    (cosine() would recompute it per centroid — a 2× saving on the
+    dominant term), and each centroid's norm is folded in as a Python
+    constant."""
     ed = _as_double(emb_col)
-    scored = F.array(
+    row_norm = norm(ed)
+    return F.array(
         *[
             F.struct(
-                cosine(emb_col, F.array(*[F.lit(float(v)) for v in c])).alias("s"),
+                (
+                    dot(ed, F.array(*[F.lit(float(v)) for v in c]))
+                    / (row_norm * math.sqrt(sum(v * v for v in c)))
+                ).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(cents)
         ]
     )
-    del ed
-    return F.array_max(scored)["i"]
+
+
+def _nearest_cell(emb_col: Column, cents: list[list[float]]) -> Column:
+    """Index (0-based) of the max-cosine centroid — an unrolled argmax
+    over K (score, idx) structs; struct max compares fields in order."""
+    return F.array_max(_cell_scores(emb_col, cents))["i"]
 
 
 def _train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
     """Distributed Lloyd's k-means for the IVF coarse quantizer.
 
     Init = Forgy (K actual vectors at deterministic ids); each iteration
-    is one scan: assign every vector to its max-cosine centroid (the
-    centroids are plan literals — the classic broadcast-model pattern),
-    then recompute centroids as per-cell component means via posexplode
-    + groupBy(cell, dim).  Driver state is K×DIM floats regardless of
-    corpus size; at 100 TB this is exactly how IVF quantizers train
-    (sample → iterate → broadcast), with the full-corpus assignment
-    deferred to query/index time."""
+    is one scan over a DETERMINISTIC 1/3 sample (training a coarse
+    quantizer on a sample is the standard IVF recipe — FAISS does the
+    same — and caps training cost independently of corpus size): assign
+    every sampled vector to its max-cosine centroid (the centroids are
+    plan literals — the classic broadcast-model pattern), then recompute
+    centroids as per-cell component means via posexplode +
+    groupBy(cell, dim).  Driver state is K×DIM floats regardless of
+    corpus size; the full-corpus assignment happens once, at
+    query/index time."""
     seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K * 4).collect()
     picks = {r.vec_id for r in seed_ids[:: 4]}  # every 4th id → K spread seeds
     cents = [
         [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id").isin(picks)).orderBy("vec_id").collect()
     ]
+    emb = emb.filter(F.col("vec_id") % 3 == 0)  # training sample
     for _ in range(_IVF_ITERS):
         # two-step select: a generator (posexplode) in the same projection
         # as the argmax strips the struct field aliases it reads
@@ -455,15 +470,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
     )
     # probe side: top-NPROBE cells by centroid cosine, exploded to rows
-    scored_cells = F.array(
-        *[
-            F.struct(
-                cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in c])).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    scored_cells = _cell_scores(F.col("embedding"), cents)
     probes = (
         emb.filter(F.col("vec_id") < _N_PROBES)
         .select(
