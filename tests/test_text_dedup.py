@@ -55,6 +55,21 @@ def test_simhash_identical_token_sets_collide(spark, tmp_path):
     assert not any(2 in p for p in exact)
 
 
+def test_winnowing_handles_sub_window_docs(spark, tmp_path):
+    """Docs shorter than the 8-char window must yield an empty sketch,
+    not an ANSI sequence(stop < start) error (round-2 ADVICE finding);
+    chunking must survive them too."""
+    sf = _write_docs(spark, tmp_path, ["", "ab", "1234567", "12345678", _BASE])
+    rows = {r.doc_id: r for r in TD.winnowing_fingerprints(spark, sf).collect()}
+    assert rows[0].n_windows == 0 and rows[0].winnow_fp == ""
+    assert rows[1].n_windows == 0 and rows[2].n_windows == 0
+    assert rows[3].n_windows == 1  # exactly one window at length 8
+    assert rows[4].n_windows > 0
+    # chunking on the same pathological corpus
+    chunks = TD.chunk_documents(spark, sf).collect()
+    assert {c.doc_id for c in chunks} >= {1, 2, 3, 4}
+
+
 def test_fingerprint_order_insensitive(spark, tmp_path):
     shuffled = " ".join(reversed(_BASE.split()))
     sf = _write_docs(spark, tmp_path, [_BASE, shuffled, _FAR])
