@@ -414,6 +414,29 @@ def cross_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 15d. array-valued aggregation ---
+
+
+def nation_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregate result: per nation, the 5 largest customer
+    account balances as a sorted ARRAY column — the collect_list →
+    sort → slice idiom (and the one result shape, arrays, the rest of
+    the oracle surface didn't exercise).  Values are rounded *before*
+    aggregation so both engines sort identical doubles; the array is
+    value-ordered, hence deterministic regardless of row order."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.round("c_acctbal", 2)), asc=False), 1, 5
+            ).alias("top_balances"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # --- 16. time bucketing ---
 
 
@@ -497,6 +520,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "full_outer_top_revenue_vs_orders": full_outer_top_revenue_vs_orders,
     "cross_region_status_grid": cross_region_status_grid,
+    "nation_top_balances": nation_top_balances,
     "sql_revenue_by_region": sql_revenue_by_region,
     "orders_per_month": orders_per_month,
     "pivot_status_by_priority": pivot_status_by_priority,
@@ -670,6 +694,14 @@ ORACLES = {
         FROM grid LEFT JOIN facts
           ON grid.region = facts.region AND grid.status = facts.status
         ORDER BY grid.region, grid.status
+    """,
+    "nation_top_balances": """
+        SELECT c_nationkey AS nationkey,
+               list_sort(list(round(c_acctbal, 2)), 'DESC')[1:5] AS top_balances,
+               count(*) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY nationkey
     """,
     # accuracy-contract check (see approx_distinct_users docstring):
     # DuckDB verifies ITS OWN HLL lands within the same 5% bound

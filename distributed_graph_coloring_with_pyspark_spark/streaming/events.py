@@ -354,6 +354,38 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per event type — the
+    distribution profile behind latency/score dashboards.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    interpolation definition, so the oracle matches to the rounding.
+    At 100 TB swap ``percentile`` → ``percentile_approx`` (t-digest
+    sketch, constant memory per group vs an exact sort per group) —
+    the same swap text_stats documents."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERCENTILES_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DEDUPLICATION — the ingestion-side dedup every
     training-data pipeline runs before anything else touches the data:
@@ -425,6 +457,7 @@ QUERIES = {
     "events_sessionization": events_sessionization,
     "events_json_kv": events_json_kv,
     "events_type_stats_salted": events_type_stats_salted,
+    "events_value_percentiles": events_value_percentiles,
     "click_purchase_within_hour": click_purchase_within_hour,
     "user_funnel": user_funnel,
     "streaming_hourly_counts": streaming_hourly_counts,
@@ -509,6 +542,7 @@ ORACLES = {
         GROUP BY c.user_id
         ORDER BY c.user_id
     """,
+    "events_value_percentiles": _PERCENTILES_ORACLE,
     "events_type_stats_salted": """
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS total_value,
