@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .coloring import minimal_coloring, validate_coloring
+from .coloring import minimal_coloring, scoped_shuffle_partitions, validate_coloring
 
 _CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 
@@ -136,8 +136,11 @@ def color_customer_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rows-only check for this one)."""
     edges = customer_graph_edges(spark, sf_dir)
     cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
-    result = minimal_coloring(cu, edges)
-    valid, n_uncolored, conflicts = validate_coloring(result.vertices, edges)
+    # the validator's joins work over the same |V|-sized frames as the
+    # loop — run the whole flagship at the loop's shuffle width
+    with scoped_shuffle_partitions(spark, cu.count()):
+        result = minimal_coloring(cu, edges)
+        valid, n_uncolored, conflicts = validate_coloring(result.vertices, edges)
     if not valid:
         raise AssertionError(
             f"invalid coloring: uncolored={n_uncolored} conflicts={conflicts}"
