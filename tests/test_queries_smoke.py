@@ -58,6 +58,14 @@ def test_graph_edge_cache_release(spark):
     GB.clear_customer_graph_cache(spark)
 
 
+def test_ivf_centroid_cache_release(spark):
+    from distributed_graph_coloring_with_pyspark_spark.operators import similarity as S
+
+    S.ann_ivf_topk(spark, SF).count()
+    assert S.clear_ivf_cache(spark) >= 1
+    assert S.clear_ivf_cache(spark) == 0
+
+
 def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.columns == ["id", "color"]
