@@ -71,6 +71,21 @@ def write_coloring_json(vertices: DataFrame, path: str) -> None:
         json.dump([{"id": r["id"], "color": int(r["color"])} for r in rows], f, indent=4)
 
 
+def write_coloring_jsonl(vertices: DataFrame, path: str) -> None:
+    """S3 at scale: the distributed coloring sink — one JSON object per
+    line, written by the executors (``df.write.json``), no driver
+    collect.  The reference's single-array pretty-printed format
+    (``write_coloring_json``) is inherently a single-writer artifact;
+    this is the same record schema in the distributed layout a 100 TB
+    result actually ships in.  NULL colors serialize as the -1 sentinel
+    for record-level compatibility with the reference (node.py:5)."""
+    (
+        vertices.select("id", F.coalesce("color", F.lit(-1)).cast("int").alias("color"))
+        .write.mode("overwrite")
+        .json(path)
+    )
+
+
 def write_graph_json(node_ids: DataFrame, edges: DataFrame, path: str,
                      colors: DataFrame | None = None) -> None:
     """S2: write the full graph back as the reference's node format

@@ -14,6 +14,7 @@ from distributed_graph_coloring_with_pyspark_spark.sources.generator import (
 from distributed_graph_coloring_with_pyspark_spark.sources.graph_json import (
     read_graph_json,
     write_coloring_json,
+    write_coloring_jsonl,
     write_graph_json,
 )
 
@@ -81,6 +82,17 @@ def test_write_coloring_json_format(spark, tmp_path):
         {"id": 2, "color": 0},
     ]
     assert out.read_text().startswith("[\n    {")  # indent=4
+
+
+def test_write_coloring_jsonl_distributed_sink(spark, tmp_path):
+    verts = spark.createDataFrame(
+        [(0, 1), (1, None), (2, 0)], "id long, color int"
+    )
+    out = str(tmp_path / "colors_jsonl")
+    write_coloring_jsonl(verts, out)
+    back = spark.read.schema("id long, color int").json(out)
+    rows = {(r.id, r.color) for r in back.collect()}
+    assert rows == {(0, 1), (1, -1), (2, 0)}  # NULL → -1 sentinel
 
 
 def _check_invariants(edges_rows, n, max_deg):
