@@ -70,6 +70,31 @@ def test_winnowing_handles_sub_window_docs(spark, tmp_path):
     assert {c.doc_id for c in chunks} >= {1, 2, 3, 4}
 
 
+def test_chunking_is_codepoint_based_on_unicode(spark, tmp_path):
+    """substring/length must count CODE POINTS, not bytes or UTF-16
+    units, or multi-byte text (CJK, emoji beyond the BMP) chunks at the
+    wrong offsets.  Oracle: a pure-Python reimplementation of the same
+    chunk rule (Python strings are code-point sequences)."""
+    texts = [
+        "日本語のテキスト" * 60,          # 3-byte CJK, 480 cp
+        "naïve café ĝi " * 40,            # 2-byte accents
+        ("🚀x" * 150),                    # surrogate-pair emoji, 300 cp
+        "plain ascii " * 30,
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_len
+        for r in TD.chunk_documents(spark, sf).collect()
+    }
+    size, stride = 200, 150
+    expected = {}
+    for doc_id, t in enumerate(texts):
+        starts = range(0, max(len(t) - (size - 1), 1), stride)
+        for idx, s in enumerate(starts):
+            expected[(doc_id, idx)] = len(t[s : s + size])
+    assert got == expected
+
+
 def test_fingerprint_order_insensitive(spark, tmp_path):
     shuffled = " ".join(reversed(_BASE.split()))
     sf = _write_docs(spark, tmp_path, [_BASE, shuffled, _FAR])
