@@ -77,7 +77,9 @@ def scoped_shuffle_partitions(spark: SparkSession, n_rows: int):
     one driver loop at a time per session (the same assumption any
     session-conf tuning makes)."""
     sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    target = max(8, min(sess, -(-n_rows // 20_000)))
+    # floor-then-min: never raise the width above the session value
+    # (a session configured below 8 keeps its own setting)
+    target = min(sess, max(8, -(-n_rows // 20_000)))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
         yield

@@ -23,6 +23,7 @@ results are unchanged at test scale. No driver-side state.
 from __future__ import annotations
 
 import hashlib
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,10 +33,15 @@ from .coloring import minimal_coloring, scoped_shuffle_partitions, validate_colo
 
 _CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 
-# (session id, view name) → persisted edge frame, so the cache has an
+# session → {view name: persisted edge frame}, so the cache has an
 # explicit release path (a long-lived session iterating many sf_dirs
-# would otherwise accumulate persisted frames with no handle to them)
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# would otherwise accumulate persisted frames with no handle to them).
+# Weakly keyed on the session object itself: entries vanish with the
+# session (no leak), and a recycled id() can never alias a new session
+# onto a stopped one's frames.
+_EDGE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +58,7 @@ def customer_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _build_customer_graph_edges(spark, sf_dir)
     edges.persist()
     edges.createOrReplaceTempView(view)
-    _EDGE_CACHE[(id(spark), view)] = edges
+    _EDGE_CACHE.setdefault(spark, {})[view] = edges
     return edges
 
 
@@ -60,12 +66,9 @@ def clear_customer_graph_cache(spark: SparkSession) -> int:
     """Unpersist and drop every memoized edge view of this session;
     returns the number of entries released."""
     released = 0
-    for (sid, view), df in list(_EDGE_CACHE.items()):
-        if sid != id(spark):
-            continue
+    for view, df in _EDGE_CACHE.pop(spark, {}).items():
         df.unpersist(False)
         spark.catalog.dropTempView(view)
-        del _EDGE_CACHE[(sid, view)]
         released += 1
     return released
 
@@ -135,11 +138,15 @@ def color_customer_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the correctness check; not SQL-expressible, so the driver records
     a rows-only check for this one)."""
     edges = customer_graph_edges(spark, sf_dir)
+    # Materialize the (persisted) edge frame BEFORE any narrowed scope:
+    # the edge build's shuffles (lineitem⋈orders, the (p,dy) self-join)
+    # scale with |lineitem|, not |V|, and must run at the session's
+    # shuffle width.  The count also sizes the validator's clamp below.
+    n_edge_rows = edges.count()
     cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
-    # the validator's joins work over the same |V|-sized frames as the
-    # loop — run the whole flagship at the loop's shuffle width
-    with scoped_shuffle_partitions(spark, cu.count()):
-        result = minimal_coloring(cu, edges)
+    result = minimal_coloring(cu, edges)  # sizes its own loop scope by |V|
+    # the validator joins edges×vertices — clamp by the larger side
+    with scoped_shuffle_partitions(spark, n_edge_rows):
         valid, n_uncolored, conflicts = validate_coloring(result.vertices, edges)
     if not valid:
         raise AssertionError(

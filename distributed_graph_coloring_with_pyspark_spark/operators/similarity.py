@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import random
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -452,16 +453,17 @@ def _train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
 # trained coarse quantizers, memoized per (session, sf_dir) — an IVF
 # index is a persisted artifact in any real deployment (train once,
 # serve many queries); this is the in-session equivalent, with an
-# explicit release like the graph-edge cache
-_IVF_CENTROID_CACHE: dict[tuple[int, str], list[list[float]]] = {}
+# explicit release like the graph-edge cache.  Weakly keyed on the
+# session object: entries die with the session, and no id() recycling
+# can alias a new session onto old centroids.
+_IVF_CENTROID_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[list[float]]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def clear_ivf_cache(spark: SparkSession) -> int:
     """Drop this session's trained quantizers; returns entries removed."""
-    keys = [k for k in _IVF_CENTROID_CACHE if k[0] == id(spark)]
-    for k in keys:
-        del _IVF_CENTROID_CACHE[k]
-    return len(keys)
+    return len(_IVF_CENTROID_CACHE.pop(spark, {}))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,11 +481,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusterable; hyperplane LSH needs no training.  Rows-only check;
     recall vs the exact query is pytest-gated on the graded fixture."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cache_key = (id(spark), sf_dir)
-    cents = _IVF_CENTROID_CACHE.get(cache_key)
+    per_session = _IVF_CENTROID_CACHE.setdefault(spark, {})
+    cents = per_session.get(sf_dir)
     if cents is None:
         cents = _train_ivf_centroids(emb)
-        _IVF_CENTROID_CACHE[cache_key] = cents
+        per_session[sf_dir] = cents
 
     corpus = emb.select(
         "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
@@ -507,12 +509,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "probe_emb", F.col("probe_cell")["i"].alias("cell"))
     )
+    # no distinct needed (unlike the multi-band LSH path): each corpus
+    # vector lives in exactly one cell and a probe emits each probed
+    # cell once, so (probe_id, vec_id) pairs are already unique
     cand = (
         F.broadcast(probes)
         .join(corpus, "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "probe_emb", "vec_id", "embedding")
-        .distinct()
     )
     scored = cand.select(
         "probe_id",

@@ -675,11 +675,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores as there are input splits — one, for the single-file test
     fixture (measured: 4.8 s → 0.7 s at sf0.1).  On a many-file 100 TB
     corpus the scan already yields ≥ core-count splits and AQE-planned
-    parallelism, so the extra exchange is wasted there — drop it when
-    input splits ≥ cores."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    parallelism, so the repartition is applied only when the scan has
+    fewer splits than cores."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # short-text guard: sequence(1, stop, +step) throws when stop < 1
     # (ANSI), i.e. any doc shorter than the window; emit an empty sketch
     # instead, matching the oracle's empty range()
