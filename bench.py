@@ -1,22 +1,27 @@
-"""Benchmark harness: time every __spark_entry__.queries() entry at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON
-line on stdout:
+"""Benchmark harness: time every __spark_entry__.queries() entry — plus
+the pytest-gated streaming/ANN pipelines that round 4 moved out of the
+registry (so the benched surface stays comparable to BENCH_r03's 57
+queries) — at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+print ONE JSON line on stdout:
 
     {"metric": "sum_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "cold": {name: sec, ...}, "sf": 0.1}
 
 Everything else (progress, errors) goes to stderr so stdout stays
 machine-parseable.  Each query is materialized with a noop-format write
 — full computation of every output column on the executors, no driver
 collect, no disk — the standard way to bench a Spark plan.
 
-Reproducibility: each query reports the MEDIAN of 3 runs, so the number
-is a steady-state measurement insensitive to JIT/codegen warmup and
-run-order cache effects (round-2 showed a 6× swing on knn_exact_topk
-between two single-run benches).  Queries whose first run exceeds
-_REPEAT_CUTOFF_SEC run once — they are iterative/streaming workloads
-dominated by fixed per-round overhead, not cache state, and tripling
-them would triple total bench wall-clock for no signal.
+Reproducibility: each query reports the MEDIAN of 3 runs (steady-state,
+insensitive to JIT/codegen warmup and run-order cache effects; round-2
+showed a 6× swing on knn_exact_topk between two single-run benches) AND
+the COLD first run, because a 100 TB user pays first-run planning/IO
+cost once per query — a regression hiding in analysis/codegen time
+(e.g. a plan-literal blowup) is visible only in the cold column.
+Queries whose first run exceeds _REPEAT_CUTOFF_SEC run once — they are
+iterative/streaming workloads dominated by fixed per-round overhead,
+not cache state, and tripling them would triple total bench wall-clock
+for no signal.
 """
 
 from __future__ import annotations
@@ -40,7 +45,11 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import ANN_QUERIES
     from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        STREAMING_QUERIES,
+    )
 
     spark = get_spark(app_name="dgc-bench", cpus=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,8 +57,13 @@ def main() -> int:
     # JVM + parquet-footer warmup so query 1 isn't charged startup cost
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    bench_set = dict(entry_mod.queries())
+    bench_set.update(STREAMING_QUERIES)
+    bench_set.update(ANN_QUERIES)
+
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
+    cold: dict[str, float] = {}
+    for name, fn in bench_set.items():
         runs: list[float] = []
         try:
             while len(runs) < _REPEATS:
@@ -60,6 +74,7 @@ def main() -> int:
                 if runs[0] > _REPEAT_CUTOFF_SEC:
                     break
             timings[name] = round(statistics.median(runs), 3)
+            cold[name] = round(runs[0], 3)
             detail = "/".join(f"{r:.2f}" for r in runs)
             print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
         except Exception as exc:  # keep benching; a broken query scores inf
@@ -72,6 +87,7 @@ def main() -> int:
         "value": round(sum(finite), 3),
         "unit": "sec",
         "queries": {k: (v if v != float("inf") else None) for k, v in timings.items()},
+        "cold": cold,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -17,7 +17,12 @@ import time
 from .operators.coloring import minimal_coloring, validate_coloring
 from .session import get_spark
 from .sources.generator import generate_graph
-from .sources.graph_json import read_graph_json, write_coloring_json, write_graph_json
+from .sources.graph_json import (
+    read_graph_json,
+    write_coloring_json,
+    write_coloring_jsonl,
+    write_graph_json,
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -27,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-degree", type=int, default=5)
     p.add_argument("--output-graph", help="where to save the (generated) graph JSON")
     p.add_argument("--output-coloring", required=True)
+    p.add_argument(
+        "--output-format",
+        choices=["json", "jsonl"],
+        default="json",
+        help="json = the reference's single pretty-printed array (driver-side"
+        " write); jsonl = distributed executor-side JSON-lines directory, the"
+        " layout a cluster-scale result actually ships in",
+    )
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -45,7 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Validation result: {valid} (uncolored={n_uncolored}, conflict_rows={conflicts})")
     print(f"Attempts (k, success, rounds): {result.attempts}")
     print(f"Total time: {time.time() - t0:.2f} s")
-    write_coloring_json(result.vertices, args.output_coloring)
+    if args.output_format == "jsonl":
+        write_coloring_jsonl(result.vertices, args.output_coloring)
+    else:
+        write_coloring_json(result.vertices, args.output_coloring)
     spark.stop()
     return 0 if valid else 1
 

@@ -76,7 +76,14 @@ def scoped_shuffle_partitions(spark: SparkSession, n_rows: int):
     still coalesces at runtime.  Assumes the engine's standard usage —
     one driver loop at a time per session (the same assumption any
     session-conf tuning makes)."""
-    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sess = int(raw)
+    except ValueError:
+        # some deployments set a non-numeric value (e.g. "auto" under
+        # third-party AQE layers) — fall back to the cluster's default
+        # parallelism rather than crash, and restore the original string
+        sess = spark.sparkContext.defaultParallelism
     # floor-then-min: never raise the width above the session value
     # (a session configured below 8 keeps its own setting)
     target = min(sess, max(8, -(-n_rows // 20_000)))
@@ -84,7 +91,7 @@ def scoped_shuffle_partitions(spark: SparkSession, n_rows: int):
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(sess))
+        spark.conf.set("spark.sql.shuffle.partitions", raw)
 
 
 def degrees(edges: DataFrame) -> DataFrame:
