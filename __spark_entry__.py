@@ -60,7 +60,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for k, v in out.items():  # rows-only tail (flagship coloring)
         if k not in ordered:
             ordered[k] = v
-    assert len(ordered) <= 50, f"driver caps correctness rows at 50, got {len(ordered)}"
+    if len(ordered) > 50:  # not an assert: must survive python -O
+        raise ValueError(
+            f"registry has {len(ordered)} entries but the driver records at"
+            " most 50 correctness rows — consolidate or pytest-gate the rest"
+        )
     return ordered
 
 

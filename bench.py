@@ -1,8 +1,12 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN pipelines that round 4 moved out of the
-registry (so the benched surface stays comparable to BENCH_r03's 57
-queries) — at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
-print ONE JSON line on stdout:
+registry — at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+print ONE JSON line on stdout.  56 queries total vs BENCH_r03's 57:
+per-query timings are directly comparable, but the SUM is not quite
+like-for-like (round 4 merged the two nations set-op queries into one
+`nations_setops` entry, ~0.6 s combined in r03).
+
+Output:
 
     {"metric": "sum_query_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "cold": {name: sec, ...}, "sf": 0.1}
@@ -80,6 +84,9 @@ def main() -> int:
         except Exception as exc:  # keep benching; a broken query scores inf
             print(f"{name}: FAILED {exc}", file=sys.stderr)
             timings[name] = float("inf")
+            # keep the cold map key-symmetric with queries (a failure
+            # after run 1 still has a valid cold measurement)
+            cold[name] = round(runs[0], 3) if runs else None
 
     finite = [v for v in timings.values() if v != float("inf")]
     out = {

@@ -25,19 +25,21 @@ from ..sources.tables import EVENTS_RAW_SCHEMA, ensure_utc, load_table
 
 SESSION_GAP_MIN = 30
 
-# Gap-BOUNDARY semantics: the two sessionizations deliberately differ at
-# an idle gap of exactly 30 min, and each oracle must match its engine:
-#  * batch lag+cumsum (events_sessionization): a new session starts only
-#    when the gap is STRICTLY greater — gap == 30 min stays in-session.
-#    Pinned by tests/test_events_properties.py (exact-1800 s cases).
-#  * native session_window (streaming_sessions): Spark's session is the
-#    half-open interval [start, last_ts + gap), so an event at exactly
-#    last_ts + gap falls OUTSIDE and starts a new session (>=).
-#    Pinned by tests/test_streaming_batch_equivalence.py.
-# Both DuckDB oracles interpolate these constants so the one-character
-# divergence is explicit, named, and cannot drift silently.
-BATCH_GAP_CMP = ">"  # events_sessionization + its oracle
-SESSION_WINDOW_GAP_CMP = ">="  # streaming_sessions + its oracle
+# Gap-BOUNDARY semantics: BOTH sessionizations split only when the idle
+# gap is STRICTLY greater than the gap duration — an event exactly
+# gap-seconds after the previous one stays in-session.  For the batch
+# lag+cumsum formulation that is the explicit `>`; for native
+# ``session_window`` it is empirical Spark behavior: although each
+# event's window is the half-open [ts, ts + gap), Spark MERGES sessions
+# that touch, so an event landing exactly at a session's end extends it
+# (measured on Spark 4; round 3 wrongly assumed `>=` here, which never
+# fired because no synthetic-corpus gap lands on exactly 1800 s).
+# Pinned with planted exact-boundary gaps on both engines by
+# tests/test_streaming_batch_equivalence.py::test_session_gap_boundary
+# and tests/test_events_properties.py (exact-1800 s cases).  Both
+# DuckDB oracles interpolate this ONE constant so the boundary cannot
+# drift between them.
+GAP_CMP = ">"  # shared by events_sessionization and streaming_sessions oracles
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,9 +60,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization: a new session starts when a user
-    is idle STRICTLY more than 30 minutes (``BATCH_GAP_CMP`` — native
-    session_window uses >=; see the boundary note at the constants). lag
-    + conditional cumsum — one shuffle on user_id, no self-join."""
+    is idle STRICTLY more than 30 minutes (``GAP_CMP`` — the same
+    boundary native session_window resolves to; see the constants
+    note). lag + conditional cumsum — one shuffle on user_id, no
+    self-join."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -71,7 +74,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            # strict '>' == BATCH_GAP_CMP (gap of exactly 30 min stays
+            # strict '>' == GAP_CMP (gap of exactly 30 min stays
             # in-session; tests/test_events_properties.py pins this)
             F.col("ts").cast("double")
             - F.lag(F.col("ts").cast("double")).over(w)
@@ -249,8 +252,9 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` sessionization through a REAL streaming
     pipeline — Spark's built-in gap-based session merging with state,
     vs the batch lag+cumsum formulation of ``events_sessionization``
-    (same 30-min gap, but a ``>=`` boundary — ``SESSION_WINDOW_GAP_CMP``,
-    see the constants note).  This harness run uses complete output mode
+    (same 30-min gap AND the same strict-``>`` boundary: session_window
+    merges touching sessions — ``GAP_CMP``, see the constants note and
+    the planted-boundary test).  This harness run uses complete output mode
     so the finite input's memory sink sees every session — acceptable
     solely BECAUSE the input is finite: in complete mode Spark retains
     all aggregation state and the watermark evicts nothing.  State is
@@ -504,7 +508,7 @@ ORACLES = {
             SELECT user_id, ts,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id))
-                         {BATCH_GAP_CMP} {SESSION_GAP_MIN * 60}
+                         {GAP_CMP} {SESSION_GAP_MIN * 60}
                         THEN 1 ELSE 0 END AS brk,
                    event_id
             FROM events
@@ -578,7 +582,7 @@ STREAMING_ORACLES = {
             SELECT user_id, ts,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id))
-                         {SESSION_WINDOW_GAP_CMP} {SESSION_GAP_MIN * 60}
+                         {GAP_CMP} {SESSION_GAP_MIN * 60}
                         THEN 1 ELSE 0 END AS brk,
                    event_id
             FROM events

@@ -5,48 +5,42 @@ the driver records at most 50 correctness rows and each streaming query
 shares its oracle SQL with an already-registered batch twin, so their
 driver rows were redundant by construction (all four were driver-green
 when registered in round 2).  This test applies the SAME contract the
-driver does — run the pipeline on Spark, run the DuckDB oracle on the
-identical parquet, compare column names, row count, and
-order-insensitive canonicalized values — so moving them out of the
-registry loses no checking strength.
+driver did, at the SAME scale factor (sf0.01) — run the pipeline on
+Spark, run the DuckDB oracle on the identical parquet, compare column
+names, row count, and order-insensitive canonicalized values — using
+the very ``canon`` function tools/check_oracle.py uses, so the two
+canonicalizations cannot drift apart.
+
+Plus the gap-boundary pin: Spark's native ``session_window`` MERGES
+sessions that touch, so an event exactly gap-seconds after the previous
+one stays in-session — the same strict-``>`` boundary as the batch
+lag+cumsum formulation (round 3 wrongly assumed ``>=`` for the native
+path).  No synthetic-corpus gap lands on exactly 1800 s, so the oracle
+sweep alone cannot catch a wrong boundary — ``test_session_gap_boundary``
+plants exact-boundary gaps to pin both engines' behavior directly.
 """
 
 from __future__ import annotations
 
-import datetime
-import math
-
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
     STREAMING_ORACLES,
     STREAMING_QUERIES,
+    events_sessionization,
+    streaming_sessions,
 )
+from tools.check_oracle import canon
 
-SF = "/root/testdata/sf0.001"
-
-
-def _canon(v):
-    # same canonicalization as tools/check_oracle.py
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return str(v)
+SF = "/root/testdata/sf0.01"
 
 
 def _canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 @pytest.fixture(scope="module")
@@ -68,3 +62,53 @@ def test_streaming_matches_batch_oracle(spark, duck, name):
     drows = ddf.fetchall()
     assert len(srows) == len(drows), name
     assert _canon_rows(scols, srows) == _canon_rows(ddf.columns, drows), name
+
+
+def test_session_gap_boundary(spark, tmp_path):
+    """Exact-1800 s gaps: user 1 sits ON the boundary, users 2/3 bracket
+    it.  BOTH sessionizations must keep the on-boundary pair in ONE
+    session (strict >, GAP_CMP): session_window because Spark merges
+    touching windows (measured — [t, t+gap) then an event at t+gap
+    extends the session), lag+cumsum by its explicit `>`.  This is the
+    test the constants note in streaming/events.py points at — the only
+    place the boundary is exercised with data on both engines."""
+    base_ns = 1_700_000_000 * 1_000_000_000  # epoch seconds -> nanos
+    gaps = {1: 1800, 2: 1799, 3: 1801}
+    rows = []
+    eid = 0
+    for user, gap in gaps.items():
+        for t_off in (0, gap):
+            rows.append((eid, base_ns + t_off * 1_000_000_000, user))
+            eid += 1
+    # single FILE named events.parquet: the streaming source's
+    # pathGlobFilter matches file names, not directories
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    # max session_seq per user: 0 = one session, 1 = split into two
+    native_max = {}
+    batch_max = {}
+    for r in streaming_sessions(spark, str(tmp_path)).collect():
+        native_max[r.user_id] = max(native_max.get(r.user_id, 0), r.session_seq)
+    for r in events_sessionization(spark, str(tmp_path)).collect():
+        batch_max[r.user_id] = max(batch_max.get(r.user_id, 0), r.session_seq)
+
+    # below the boundary: one session everywhere
+    assert native_max[2] == 0 and batch_max[2] == 0
+    # above the boundary: two sessions everywhere
+    assert native_max[3] == 1 and batch_max[3] == 1
+    # ON the boundary: one session on BOTH engines (strict >) —
+    # session_window merges touching windows; lag+cumsum uses `>`
+    assert native_max[1] == 0, "session_window must merge at gap == 30 min"
+    assert batch_max[1] == 0, "batch sessionization must not split at gap == 30 min"
