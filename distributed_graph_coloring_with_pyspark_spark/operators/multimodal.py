@@ -25,6 +25,7 @@ scanned only by queries that touch it.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -38,6 +39,7 @@ _MAGICS = ["IMG!", "AUD!", "VID!"]
 _FRAME_BYTES = 64
 _FRAME_STRIDE = 4
 _FEAT_PREFIX_BYTES = 16
+_THUMB_BOX = 64  # resize target: longest side of the thumbnail box
 
 
 def _media_type_col() -> Column:
@@ -182,6 +184,76 @@ _DECODE_FEATURES_ORACLE = f"""
 """
 
 
+def _fake_resize(payload: bytes) -> tuple[int, int, int, int, str]:
+    """Deterministic stand-in for an image resize: dimensions from the
+    fake decoder, aspect-preserving fit into a _THUMB_BOX² box computed
+    in PURE INTEGER arithmetic (so the DuckDB oracle reproduces it with
+    no float-truncation ambiguity), thumbnail bytes = the rw·rh-byte
+    body prefix (the crop stand-in a codec-less container allows)."""
+    body = payload[4:]
+    n = len(body)
+    w = 16 + (n * 7) % 240
+    h = 16 + (n * 13) % 240
+    m = max(w, h)
+    rw = max(1, (w * _THUMB_BOX) // m)
+    rh = max(1, (h * _THUMB_BOX) // m)
+    thumb = body[: rw * rh]
+    return w, h, rw, rh, hashlib.md5(thumb).hexdigest()
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch resize over BinaryType payloads — the third leg of the
+    decode / resize / frame-sample trio, same Arrow-batched
+    ``mapInPandas`` shape as ``multimodal_decode_features`` (constant
+    memory per task; swap ``_fake_resize`` for PIL's ``thumbnail`` when
+    codecs exist — the Spark-side plumbing is identical).  Pytest-gated
+    against its DuckDB oracle (tests/test_multimodal_extra.py); not in
+    the driver registry, which is capped at 50 entries."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents")).select("doc_id", "blob")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_fake_resize(payload) for payload in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "thumb_width": [o[2] for o in out],
+                    "thumb_height": [o[3] for o in out],
+                    "thumb_md5": [o[4] for o in out],
+                }
+            )
+
+    return blobs.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, width int, height int, thumb_width int, "
+            "thumb_height int, thumb_md5 string"
+        ),
+    ).orderBy("doc_id")
+
+
+_RESIZE_ORACLE = f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               16 + (length(text) * 7) % 240 AS w,
+               16 + (length(text) * 13) % 240 AS h
+        FROM documents
+    ), thumbs AS (
+        SELECT doc_id, text, w, h,
+               greatest(1, (w * {_THUMB_BOX}) // greatest(w, h)) AS rw,
+               greatest(1, (h * {_THUMB_BOX}) // greatest(w, h)) AS rh
+        FROM dims
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           rw::INT AS thumb_width, rh::INT AS thumb_height,
+           md5(substr(text, 1, rw * rh)) AS thumb_md5
+    FROM thumbs
+    ORDER BY doc_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling without Python: treat the payload as 64-byte
     frames, take every 4th, hash the sampled bytes — binary substring/
@@ -243,3 +315,8 @@ ORACLES = {
     "multimodal_decode_features": _DECODE_FEATURES_ORACLE,
     "multimodal_frame_sample": _FRAME_SAMPLE_ORACLE,
 }
+
+# pytest-gated (driver registry is capped at 50 entries): same
+# value-hash contract, enforced by tests/test_multimodal_extra.py
+PYTEST_QUERIES = {"multimodal_resize": multimodal_resize}
+PYTEST_ORACLES = {"multimodal_resize": _RESIZE_ORACLE}

@@ -483,33 +483,23 @@ def clear_ivf_cache(spark: SparkSession) -> int:
     return len(_IVF_CENTROID_CACHE.pop(spark, {}))
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 for the same probes as ``knn_exact_topk`` — the
-    partition-pruned scale path: k-means cells as an inverted file, each
-    probe scans only its ``_IVF_NPROBE`` nearest cells, exact-cosine
-    rerank on the candidates.
-
-    Scale: the corpus-side work is ONE assignment scan (centroids are
-    broadcast literals) + an equi-join on the cell id — candidates are
-    ~NPROBE/K of the corpus, never all-pairs, and the cell id is the
-    natural partitioning/clustering key for a stored index (partition
-    pruning then skips unprobed cells entirely at the parquet level).
-    Complements ``ann_hyperplane_topk``: IVF wins when the corpus is
-    clusterable; hyperplane LSH needs no training.  Rows-only check;
-    recall vs the exact query is pytest-gated on the graded fixture."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _get_ivf_centroids(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> list[list[float]]:
+    """Trained quantizer for (session, sf_dir), training on first use."""
     per_session = _IVF_CENTROID_CACHE.setdefault(spark, {})
     cents = per_session.get(sf_dir)
     if cents is None:
         cents = _train_ivf_centroids(emb)
         per_session[sf_dir] = cents
+    return cents
 
-    corpus = emb.select(
-        "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
-    )
-    # probe side: top-NPROBE cells by centroid cosine, exploded to rows
+
+def _ivf_probes(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Probe side: (probe_id, probe_emb, cell) — each probe's top-NPROBE
+    cells by centroid cosine, exploded to one row per probed cell."""
     scored_cells = _cell_scores(F.col("embedding"), cents)
-    probes = (
+    return (
         emb.filter(F.col("vec_id") < _N_PROBES)
         .select(
             F.col("vec_id").alias("probe_id"),
@@ -526,9 +516,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "probe_emb", F.col("probe_cell")["i"].alias("cell"))
     )
-    # no distinct needed (unlike the multi-band LSH path): each corpus
-    # vector lives in exactly one cell and a probe emits each probed
-    # cell once, so (probe_id, vec_id) pairs are already unique
+
+
+def _ivf_rerank(probes: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Equi-join probed cells against the assigned corpus, exact-cosine
+    rerank, top-k.  No distinct needed (unlike the multi-band LSH path):
+    each corpus vector lives in exactly one cell and a probe emits each
+    probed cell once, so (probe_id, vec_id) pairs are already unique."""
     cand = (
         F.broadcast(probes)
         .join(corpus, "cell")
@@ -547,6 +541,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
         .orderBy("probe_id", "rank")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the same probes as ``knn_exact_topk`` — the
+    partition-pruned scale path: k-means cells as an inverted file, each
+    probe scans only its ``_IVF_NPROBE`` nearest cells, exact-cosine
+    rerank on the candidates.
+
+    Scale: the corpus-side work is ONE assignment scan (centroids are
+    broadcast literals) + an equi-join on the cell id — candidates are
+    ~NPROBE/K of the corpus, never all-pairs, and the cell id is the
+    natural partitioning/clustering key for a stored index
+    (``build_ivf_index`` + ``ann_ivf_topk_indexed`` materialize exactly
+    that, with parquet partition pruning skipping unprobed cells).
+    Complements ``ann_hyperplane_topk``: IVF wins when the corpus is
+    clusterable; hyperplane LSH needs no training.  Rows-only check;
+    recall vs the exact query is pytest-gated on the graded fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    corpus = emb.select(
+        "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
+    )
+    return _ivf_rerank(_ivf_probes(emb, cents), corpus)
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+    """Materialize the IVF inverted file as a PERSISTED index: assign
+    every corpus vector to its cell and write cell-partitioned parquet
+    (``index_path/cell=N/``).  This is the train-once/serve-many layout
+    a production 100 TB deployment stores: the cell id becomes a
+    physical partition key, so queries prune unprobed cells at the
+    parquet source instead of scanning-then-filtering.  One corpus scan,
+    one shuffle-free write (partitionBy on the computed column); driver
+    state stays K×DIM centroid floats.  Returns the number of cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    corpus = emb.select(
+        "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
+    )
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    return len(cents)
+
+
+def ann_ivf_topk_indexed(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Query a ``build_ivf_index`` artifact with STATIC partition
+    pruning: the probed cell ids are computed first (bounded driver
+    state — at most K distinct ids, the same order of magnitude as the
+    centroid literals themselves) and pushed as an IN filter on the
+    partition column, so the parquet scan reads ONLY the probed
+    ``cell=N`` directories — ~NPROBE/K of the stored corpus never
+    leaves disk.  Same probes, rerank, and results as ``ann_ivf_topk``
+    (pinned by tests/test_ivf_index.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    probes = _ivf_probes(emb, cents)
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(probed_cells))
+    return _ivf_rerank(probes, corpus)
 
 
 # The two ANN paths are NOT in QUERIES: their recall is < 1 by design,

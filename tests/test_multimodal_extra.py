@@ -1,0 +1,37 @@
+"""Oracle gate for pytest-gated multimodal operators (driver registry
+is capped at 50 entries) — same contract as tools/check_oracle.py at
+the same scale factor (sf0.01), using its own canon function."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
+    PYTEST_ORACLES,
+    PYTEST_QUERIES,
+)
+from tools.check_oracle import canon
+
+SF = "/root/testdata/sf0.01"
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(PYTEST_QUERIES))
+def test_multimodal_extra_matches_oracle(spark, name):
+    assert set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+    sdf = PYTEST_QUERIES[name](spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ddf = con.sql(PYTEST_ORACLES[name])
+    assert sorted(scols) == sorted(ddf.columns), name
+    drows = ddf.fetchall()
+    con.close()
+    assert len(srows) == len(drows), name
+    assert _canon_rows(scols, srows) == _canon_rows(ddf.columns, drows), name
