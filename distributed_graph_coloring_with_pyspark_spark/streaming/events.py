@@ -501,31 +501,37 @@ STREAMING_QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
 }
 
+# ONE sessionization oracle for both formulations: since the boundary
+# unification (GAP_CMP — see the constants note) the batch lag+cumsum
+# query and native session_window produce identical sessions, so their
+# oracles are the same statement.
+_SESSIONIZE_ORACLE = f"""
+    WITH brk AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                     {GAP_CMP} {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS brk,
+               event_id
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM brk
+    )
+    SELECT user_id, session_seq::BIGINT AS session_seq,
+           count(*) AS n_events,
+           round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_secs
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
 ORACLES = {
     "events_hourly": _HOURLY_ORACLE,
-    "events_sessionization": f"""
-        WITH brk AS (
-            SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id))
-                         {GAP_CMP} {SESSION_GAP_MIN * 60}
-                        THEN 1 ELSE 0 END AS brk,
-                   event_id
-            FROM events
-        ),
-        sess AS (
-            SELECT user_id, ts,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_seq
-            FROM brk
-        )
-        SELECT user_id, session_seq::BIGINT AS session_seq,
-               count(*) AS n_events,
-               round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_secs
-        FROM sess
-        GROUP BY user_id, session_seq
-    """,
+    "events_sessionization": _SESSIONIZE_ORACLE,
     "events_json_kv": """
         SELECT event_type, count(*) AS n,
                round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
@@ -577,30 +583,7 @@ ORACLES = {
 STREAMING_ORACLES = {
     "streaming_hourly_counts": _HOURLY_ORACLE,
     "streaming_dedup_events": _STREAM_DEDUP_ORACLE,
-    "streaming_sessions": f"""
-        WITH brk AS (
-            SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id))
-                         {GAP_CMP} {SESSION_GAP_MIN * 60}
-                        THEN 1 ELSE 0 END AS brk,
-                   event_id
-            FROM events
-        ),
-        sess AS (
-            SELECT user_id, ts,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_seq
-            FROM brk
-        )
-        SELECT user_id, session_seq::BIGINT AS session_seq,
-               count(*) AS n_events,
-               round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_secs
-        FROM sess
-        GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq
-    """,
+    "streaming_sessions": _SESSIONIZE_ORACLE,
     "streaming_user_totals_stateful": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value

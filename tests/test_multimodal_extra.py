@@ -6,19 +6,14 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from oracle_util import canon_rows
 
 from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
     PYTEST_ORACLES,
     PYTEST_QUERIES,
 )
-from tools.check_oracle import canon
 
 SF = "/root/testdata/sf0.01"
-
-
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(PYTEST_QUERIES))
@@ -34,4 +29,4 @@ def test_multimodal_extra_matches_oracle(spark, name):
     drows = ddf.fetchall()
     con.close()
     assert len(srows) == len(drows), name
-    assert _canon_rows(scols, srows) == _canon_rows(ddf.columns, drows), name
+    assert canon_rows(scols, srows) == canon_rows(ddf.columns, drows), name

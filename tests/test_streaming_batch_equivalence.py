@@ -27,20 +27,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from oracle_util import canon_rows
+
 from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
     STREAMING_ORACLES,
     STREAMING_QUERIES,
     events_sessionization,
     streaming_sessions,
 )
-from tools.check_oracle import canon
 
 SF = "/root/testdata/sf0.01"
-
-
-def _canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
 @pytest.fixture(scope="module")
@@ -61,7 +57,7 @@ def test_streaming_matches_batch_oracle(spark, duck, name):
     assert sorted(scols) == sorted(ddf.columns), name
     drows = ddf.fetchall()
     assert len(srows) == len(drows), name
-    assert _canon_rows(scols, srows) == _canon_rows(ddf.columns, drows), name
+    assert canon_rows(scols, srows) == canon_rows(ddf.columns, drows), name
 
 
 def test_session_gap_boundary(spark, tmp_path):
