@@ -28,6 +28,51 @@ def test_oracle_coverage():
     assert list(qs)[-1] == "graph_color_customers"
 
 
+def test_driver_hashable_output_schemas(spark):
+    """The verification driver canonicalizes results with pandas
+    (sort_values -> factorize), which raises ``TypeError: unhashable
+    type`` on any list/dict cell — r3's nation_top_balances err.  Pin
+    structurally that no registered query emits an array/map/struct
+    output column; complex intermediates must be serialized (array_join
+    / explode) before they reach the result schema."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        fields = fn(spark, SF).schema.fields
+        offending = [
+            f.name
+            for f in fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"non-hashable driver output columns: {bad}"
+
+
+def test_oracle_column_names_match(spark):
+    """The driver sorts columns BY NAME before hashing values, so a
+    Spark/oracle column-name mismatch is an automatic red row even with
+    identical values.  Compare every oracle's (lazy) DuckDB schema
+    against the Spark schema without executing either side."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    qs = entry_mod.queries()
+    mismatches = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        scols = sorted(qs[name](spark, SF).columns)
+        dcols = sorted(con.sql(sql).columns)
+        if scols != dcols:
+            mismatches[name] = {"spark": scols, "duckdb": dcols}
+    assert not mismatches, f"column-name mismatches: {mismatches}"
+
+
 def test_approx_distinct_error_bound(spark):
     rows = entry_mod.queries()["approx_distinct_users"](spark, SF).collect()
     assert rows
