@@ -1,11 +1,11 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
-the pytest-gated streaming/ANN pipelines that round 4 moved out of the
-registry — at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
-print ONE JSON line on stdout.  57 queries total vs BENCH_r03's 57:
-per-query timings are directly comparable, but the SUM is not quite
-like-for-like (round 4 merged the two nations set-op queries into one
+the pytest-gated streaming/ANN/dedup pipelines outside the registry —
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
+JSON line on stdout.  58 queries total vs BENCH_r03's 57: per-query
+timings are directly comparable, but the SUM is not quite like-for-like
+(round 4 merged the two nations set-op queries into one
 `nations_setops` entry, ~0.6 s combined in r03, and added the
-pytest-gated `multimodal_resize`).
+pytest-gated `multimodal_resize` and `dedup_ngram_jaccard`).
 
 Output:
 
@@ -53,6 +53,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
         PYTEST_QUERIES as MM_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import ANN_QUERIES
     from distributed_graph_coloring_with_pyspark_spark.session import get_spark
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
@@ -69,6 +72,7 @@ def main() -> int:
     bench_set.update(STREAMING_QUERIES)
     bench_set.update(ANN_QUERIES)
     bench_set.update(MM_PYTEST_QUERIES)
+    bench_set.update(DEDUP_PYTEST_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

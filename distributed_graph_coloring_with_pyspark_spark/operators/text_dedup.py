@@ -760,60 +760,49 @@ _CHUNK_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
-# near-dup: exact character-n-gram Jaccard via prefix-filtered join
+# near-dup: EXACT n-gram Jaccard via prefix-filtered set-similarity join
 # ---------------------------------------------------------------------------
-
-_NGRAM_N = 5  # character n-gram width
-_NGRAM_JACCARD_T = 0.8  # exact-Jaccard threshold
-
-
-def _char_grams(col: str = "text") -> Column:
-    """Distinct lowercase character ``_NGRAM_N``-grams of the trimmed
-    text; shorter texts yield an empty set (same short-input guard as
-    the winnowing windows)."""
-    txt = F.lower(F.trim(F.col(col)))
-    make = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - (_NGRAM_N - 1)),
-        lambda i: F.substring(txt, i, F.lit(_NGRAM_N)),
-    )
-    return F.array_distinct(
-        F.when(F.length(txt) >= _NGRAM_N, make).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-duplicate pairs at character-5-gram Jaccard ≥ 0.8 —
-    the third named dedup family (n-gram Jaccard), complementing the two
-    probabilistic sketches: unlike MinHash/SimHash this path misses
-    NOTHING, yet still never goes all-pairs.
+    """EXACT near-duplicate pairs at token-3-gram Jaccard ≥ 0.5 — the
+    third dedup family (n-gram Jaccard), deliberately computing the SAME
+    predicate as ``dedup_near_minhash`` by a lossless algorithm: MinHash
+    banding has miss probability (1 − s²)¹⁶ > 0, the prefix filter has
+    exactly zero, so the two queries cross-validate each other (and the
+    all-pairs DuckDB oracle arbitrates both).
 
     Candidate generation is the prefix filter of the set-similarity-join
     literature (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 /
-    PPJoin): order every doc's grams by a global rare-first key
+    PPJoin): order every doc's n-grams by a global rare-first key
     (document frequency, gram), index only each doc's first
-    ``n - floor(t·n) + 1`` grams, and join on those.  Any pair with
-    Jaccard ≥ t must share ≥ ⌈t·n⌉ grams, hence at least one PREFIX
-    gram — so the filter is lossless (``floor`` rather than ``ceil``
-    costs a 1-gram-longer prefix and keeps the bound safe against FP
-    rounding).  Only candidates pay the exact verify.
+    ``n - floor(t·n) + 1`` grams, and equi-join on those.  A pair with
+    Jaccard ≥ t shares ≥ ⌈t·n⌉ grams, hence at least one PREFIX gram —
+    lossless (``floor`` rather than ``ceil`` costs a 1-gram-longer
+    prefix and keeps the bound safe against FP rounding).  A length
+    filter (t·max(|a|,|b|) ≤ min(|a|,|b|), also implied by J ≥ t)
+    prunes candidates before the dedup shuffle; only survivors pay the
+    exact verify.
+
+    Feature choice matters at scale: token 3-grams, NOT character
+    grams — measured on this corpus at sf0.1, char-5-grams have ~1.5 k
+    distinct values across 5 000 docs (avg df ≈ 675), which degenerates
+    the prefix index to all-pairs, while token 3-grams give 27 k
+    distinct values, max df 25, max prefix bucket 10.
 
     100 TB design: the inverted index holds each doc's RAREST grams, so
-    bucket sizes are small by construction (a gram appearing in k docs
-    produces ≤ k·(k−1)/2 candidate pairs only if it lands in all k
-    prefixes — common grams never do); shuffles are the gram-df groupBy,
-    the per-doc window sort, and the doc_id-keyed verify joins, all
-    equi-key.  The oracle recomputes the same predicate all-pairs, so a
-    lost candidate would surface as a row diff, pinning losslessness
-    empirically as well."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", _char_grams().alias("g"))
-        .filter(F.size("g") > 0)
-        .persist()
+    bucket sizes track the low tail of the df distribution (a common
+    gram enters a prefix only for a doc consisting almost entirely of
+    common grams); every shuffle is equi-key (gram-df groupBy, per-doc
+    window sort, doc_id-keyed verify joins).  Versus MinHash at the same
+    threshold: no signature cost and zero misses, in exchange for a
+    corpus-dependent candidate volume — the standard trade, which is why
+    both paths ship."""
+    sh = _doc_shingles(spark, sf_dir)
+    grams = sh.filter(F.size("shingles") > 0).persist()
+    ex = grams.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("gram")
     )
-    ex = grams.select("doc_id", F.size("g").alias("n"), F.explode("g").alias("gram"))
     gram_df = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     prefix = (
@@ -821,27 +810,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(
             F.col("rk")
-            <= F.col("n") - F.floor(F.lit(_NGRAM_JACCARD_T) * F.col("n")) + 1
+            <= F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
         )
-        .select("doc_id", "gram")
+        .select("doc_id", "n", "gram")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest("a.n", "b.n") * _JACCARD_THRESHOLD
+                <= F.least("a.n", "b.n")
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     return (
         cand.join(
-            grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
+            grams.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ga")),
             "doc_a",
         )
         .join(
-            grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")),
+            grams.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("gb")),
             "doc_b",
         )
         .select(
@@ -852,29 +845,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.size(F.array_union("ga", "gb"))
             ).alias("j"),
         )
-        .filter(F.col("j") >= _NGRAM_JACCARD_T)
+        .filter(F.col("j") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-_NGRAM_JACCARD_ORACLE = f"""
-    WITH g AS (
-        SELECT doc_id,
-               list_distinct([substring(lower(trim(text)), i, {_NGRAM_N})
-                              for i in range(1, length(lower(trim(text)))
-                                                - {_NGRAM_N - 2})]) AS gs
-        FROM documents
-        WHERE length(lower(trim(text))) >= {_NGRAM_N}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.gs, b.gs))::DOUBLE
-                 / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-          / len(list_distinct(list_concat(a.gs, b.gs))) >= {_NGRAM_JACCARD_T}
-    ORDER BY doc_a, doc_b
-"""
+# Same all-pairs predicate as the MinHash oracle: the two Spark paths
+# (probabilistic banding vs lossless prefix filter) must both equal it.
+_NGRAM_JACCARD_ORACLE = _NEAR_DUP_ORACLE
 
 
 QUERIES = {

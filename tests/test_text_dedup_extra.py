@@ -35,3 +35,20 @@ def test_dedup_extra_matches_oracle(spark, name):
     assert len(srows) == len(drows), name
     assert srows, f"{name}: empty result — threshold excludes every pair"
     assert canon_rows(scols, srows) == canon_rows(ddf.columns, drows), name
+
+
+def test_ngram_jaccard_cross_validates_minhash(spark):
+    """Two independent Spark algorithms, one predicate: the lossless
+    prefix-filter join and the probabilistic MinHash-LSH path must
+    return identical pairs at the shared threshold (any diff would be a
+    banding miss or a prefix bug)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        dedup_near_minhash,
+        dedup_ngram_jaccard,
+    )
+
+    exact = dedup_ngram_jaccard(spark, SF)
+    mh = dedup_near_minhash(spark, SF)
+    assert canon_rows(exact.columns, [tuple(r) for r in exact.collect()]) == canon_rows(
+        mh.columns, [tuple(r) for r in mh.collect()]
+    )
