@@ -91,18 +91,23 @@ def _shingles(tok: Column) -> Column:
     return F.array_distinct(F.when(F.size(tok) >= 3, make).otherwise(F.array()))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The testdata is one small parquet file → one input split, so the
-    # shingle projection would run on one core; spread it when the scan
-    # has fewer splits than cores (same guard as winnowing — a no-op on
-    # a many-file real corpus, where the scan already parallelizes).
-    # Measured cold at sf0.1: grams materialization 9.6 s → ~1 s; the
-    # r2 "repartition costs more than it buys" note predated persist()
-    # consumers that pay the whole projection on first touch.
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    # The testdata is one small parquet file → one input split.
+    # ``parallel=True`` spreads the shingle projection when the scan has
+    # fewer splits than cores (same guard as winnowing; a no-op on a
+    # many-file real corpus).  Callers whose FIRST materialization is a
+    # persist of the full shingle frame (the prefix-join paths) want it
+    # — measured cold at sf0.1: 9.6 s → 6.2 s.  MinHash does NOT: its
+    # signature's map-side combine already overlaps the scan, and the
+    # extra full-text shuffle measurably costs more than it buys there
+    # (r2 measurement, re-confirmed r4: warm 1.6 s → 3.3 s).
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    if parallel:
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     return docs.select("doc_id", _shingles(_tokens()).alias("shingles"))
 
 
@@ -804,8 +809,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold: no signature cost and zero misses, in exchange for a
     corpus-dependent candidate volume — the standard trade, which is why
     both paths ship."""
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir, parallel=True)
     grams = sh.filter(F.size("shingles") > 0).persist()
+    return (
+        _prefix_jaccard_pairs(grams)
+        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
+    """Exact (doc_a, doc_b, j) pairs with Jaccard ``j`` ≥
+    ``_JACCARD_THRESHOLD`` over a (doc_id, shingles) frame, via the
+    lossless prefix-filter + length-filter candidate join documented in
+    ``dedup_ngram_jaccard``.  Callers persist ``grams`` (it is scanned
+    for the index AND the verify)."""
     ex = grams.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("gram")
     )
@@ -852,14 +870,128 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("j"),
         )
         .filter(F.col("j") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
 # Same all-pairs predicate as the MinHash oracle: the two Spark paths
 # (probabilistic banding vs lossless prefix filter) must both equal it.
 _NGRAM_JACCARD_ORACLE = _NEAR_DUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation pipeline (composition demo)
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_CHARS = 200  # quality gate: drop short docs
+_CURATE_MIN_TOKENS = 10  # quality gate: drop token-sparse docs
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-training-data pipeline, composed end to end
+    from this module's operators in ONE lazy plan (no driver collect):
+
+        quality gate → exact dedup (keep-first) → near-dedup drop
+        (exact n-gram Jaccard pairs, drop the larger doc_id of each
+        pair) → chunk + token accounting
+
+    Output is the one-row curation funnel — the numbers a data team
+    reports for every corpus build: docs in, docs surviving each stage,
+    and the chunk/token yield of the kept set.
+
+    100 TB design: each stage is the already-scale-audited operator it
+    reuses (hash-window dedup on the 32-byte digest, prefix-filtered
+    set-similarity join among *survivors* — candidate volume shrinks at
+    every stage), and the funnel aggregates are single-pass map-side
+    combines crossJoined as 1-row frames (broadcast, no shuffle).  The
+    greedy smaller-id-wins near-dup rule is deterministic and
+    SQL-expressible; it is the per-pair rule (not transitive-closure
+    clustering — at 100 TB that would be the iterative connected-
+    components loop, the documented scale path being this same pair
+    list fed to graph_color-style iteration)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    quality = (
+        docs.filter(
+            (F.col("n_chars") >= _CURATE_MIN_CHARS) & (n_tok >= _CURATE_MIN_TOKENS)
+        )
+        .select("doc_id", "text")
+    )
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        "doc_id"
+    )
+    exact = (
+        quality.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .persist()
+    )
+    grams = exact.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    ).persist()
+    dropped = (
+        _prefix_jaccard_pairs(grams)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(dropped, "doc_id", "left_anti")
+    ln = F.length("text")
+    n_chunks = F.when(
+        ln >= _CHUNK_SIZE,
+        F.floor((ln - _CHUNK_SIZE) / _CHUNK_STRIDE) + 1,
+    ).otherwise(F.lit(1))
+    kept_agg = kept.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(n_chunks).cast("long").alias("n_chunks"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    funnel = (
+        docs.agg(F.count("*").cast("long").alias("n_input"))
+        .crossJoin(quality.agg(F.count("*").cast("long").alias("n_quality")))
+        .crossJoin(exact.agg(F.count("*").cast("long").alias("n_exact_unique")))
+        .crossJoin(kept_agg)
+    )
+    return funnel.select(
+        "n_input", "n_quality", "n_exact_unique", "n_kept", "n_chunks", "n_tokens"
+    )
+
+
+_CURATE_ORACLE = f"""
+    WITH quality AS (
+        SELECT doc_id, text FROM documents
+        WHERE n_chars >= {_CURATE_MIN_CHARS}
+          AND len(string_split(trim(text), ' ')) >= {_CURATE_MIN_TOKENS}
+    ), exact AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                      ORDER BY doc_id) AS rk
+            FROM quality)
+        WHERE rk = 1
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END) AS sg
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM exact)
+    ), pairs AS (
+        SELECT b.doc_id AS dropped FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+              / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
+    ), kept AS (
+        SELECT doc_id, text FROM exact
+        WHERE doc_id NOT IN (SELECT dropped FROM pairs)
+    )
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+           (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact_unique,
+           (SELECT count(*) FROM kept)::BIGINT AS n_kept,
+           (SELECT sum(CASE WHEN length(text) >= {_CHUNK_SIZE}
+                            THEN (length(text) - {_CHUNK_SIZE}) // {_CHUNK_STRIDE} + 1
+                            ELSE 1 END) FROM kept)::BIGINT AS n_chunks,
+           (SELECT sum(len(string_split(trim(text), ' ')))
+            FROM kept)::BIGINT AS n_tokens
+"""
 
 
 QUERIES = {
@@ -892,5 +1024,11 @@ ORACLES = {
 
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.
-PYTEST_QUERIES = {"dedup_ngram_jaccard": dedup_ngram_jaccard}
-PYTEST_ORACLES = {"dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE}
+PYTEST_QUERIES = {
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "curate_corpus": curate_corpus,
+}
+PYTEST_ORACLES = {
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+    "curate_corpus": _CURATE_ORACLE,
+}
