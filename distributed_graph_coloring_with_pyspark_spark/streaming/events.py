@@ -16,6 +16,8 @@ source is swapped for Kafka with identical downstream plan.
 
 from __future__ import annotations
 
+import os
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -465,6 +467,64 @@ _STREAM_DEDUP_ORACLE = """
 """
 
 
+def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sink path for the watermarked hourly rollup:
+    ``foreachBatch`` → partitioned-parquet overwrite, instead of the
+    harness-only memory sink the other pipelines use for assertable
+    output.  ``foreachBatch`` is the standard pattern for any sink
+    Structured Streaming lacks natively (warehouse upsert, lakehouse
+    MERGE): every micro-batch arrives as a plain batch DataFrame plus
+    an epoch id for exactly-once bookkeeping.  With this complete-mode
+    aggregate the per-epoch full overwrite is idempotent by
+    construction (replaying an epoch rewrites identical files); an
+    update-mode rollup at real scale would MERGE into a transactional
+    table format keyed on (window, event_type) instead of overwriting.
+    Returns the READ-BACK parquet, so the oracle checks the full
+    write→read round trip including the partitioned layout."""
+    ensure_utc(spark)
+    out = os.environ.get(
+        "SPARK_GRAFT_STREAM_SINK_DIR", "/tmp/dgc_streaming_hourly_parquet"
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+                "event_type",
+                "n",
+                "total_value",
+                "avg_value",
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(_write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "hour_epoch", "event_type", "n", "total_value", "avg_value"
+    )
+
+
 _HOURLY_ORACLE = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
            event_type,
@@ -499,6 +559,7 @@ STREAMING_QUERIES = {
     "streaming_sessions": streaming_sessions,
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_hourly_to_parquet": streaming_hourly_to_parquet,
 }
 
 # ONE sessionization oracle for both formulations: since the boundary
@@ -582,6 +643,7 @@ ORACLES = {
 # row-capped driver.
 STREAMING_ORACLES = {
     "streaming_hourly_counts": _HOURLY_ORACLE,
+    "streaming_hourly_to_parquet": _HOURLY_ORACLE,
     "streaming_dedup_events": _STREAM_DEDUP_ORACLE,
     "streaming_sessions": _SESSIONIZE_ORACLE,
     "streaming_user_totals_stateful": """
