@@ -1,12 +1,13 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  61 queries total vs BENCH_r03's 57: per-query
+JSON line on stdout.  62 queries total vs BENCH_r03's 57: per-query
 timings are directly comparable, but the SUM is not quite like-for-like
 (round 4 merged the two nations set-op queries into one
-`nations_setops` entry, ~0.6 s combined in r03, and added five
+`nations_setops` entry, ~0.6 s combined in r03, and added six
 pytest-gated queries: `multimodal_resize`, `dedup_ngram_jaccard`,
-`curate_corpus`, `dedup_components`, `streaming_hourly_to_parquet`).
+`curate_corpus`, `dedup_components`, `streaming_hourly_to_parquet`,
+`stratified_sample_split`).
 
 Output:
 

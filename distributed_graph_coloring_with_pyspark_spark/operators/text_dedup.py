@@ -879,6 +879,101 @@ _NGRAM_JACCARD_ORACLE = _NEAR_DUP_ORACLE
 
 
 # ---------------------------------------------------------------------------
+# deterministic stratified sampling + train/val/test split
+# ---------------------------------------------------------------------------
+
+# per-language keep rates: downsample the over-represented language to
+# balance the corpus (the canonical pre-training rebalancing move)
+_STRAT_RATES = {"en": 0.3}
+_STRAT_DEFAULT_RATE = 1.0
+# 80/10/10 split on a second, independently-salted hash
+_SPLIT_TRAIN_CUT = int(0.8 * 2**32)
+_SPLIT_VAL_CUT = int(0.9 * 2**32)
+
+
+def _hash32_sql(expr: str) -> str:
+    """DuckDB: first 8 md5 hex digits of ``expr`` as a BIGINT in
+    [0, 2^32) — positional digit parse, same idiom as the SimHash
+    oracle (strpos is 1-based; digit value × place value)."""
+    digit = f"(strpos('0123456789abcdef', md5({expr})[{{j}}:{{j}}]) - 1)"
+    return (
+        "("
+        + " + ".join(digit.format(j=j) + f" * {1 << (4 * (8 - j))}" for j in range(1, 9))
+        + ")::BIGINT"
+    )
+
+
+def _hash32_col(col: Column) -> Column:
+    """Spark twin of ``_hash32_sql``: same md5-derived 32-bit value."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/val/test split — the
+    two bookkeeping ops every training-data build runs last: downsample
+    over-represented strata (here: language, ``_STRAT_RATES``), then
+    assign surviving docs to 80/10/10 splits.
+
+    Determinism is the whole point: membership is a pure function of
+    (salt, lang, doc_id) via an md5-derived 32-bit hash compared against
+    INTEGER thresholds — no ``rand()``, no float arithmetic, so the
+    assignment is reproducible run-to-run, engine-to-engine (the DuckDB
+    oracle recomputes it hash-for-hash), and stable under corpus
+    re-partitioning — properties ``df.sample``/``sampleBy`` do NOT give
+    (their Bernoulli draw depends on partition layout and seed plumbing).
+    Independent salts ('strat', 'split') keep the two decisions
+    uncorrelated.  At 100 TB this is a stateless projection + one
+    aggregation — embarrassingly parallel, no shuffle before the final
+    tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate_cut = F.lit(None).cast("long")
+    for lg, rate in sorted(_STRAT_RATES.items()):
+        rate_cut = F.when(F.col("lang") == lg, F.lit(int(rate * 2**32))).otherwise(
+            rate_cut
+        )
+    rate_cut = F.coalesce(rate_cut, F.lit(int(_STRAT_DEFAULT_RATE * 2**32)))
+    h_strat = _hash32_col(F.concat_ws(":", F.lit("strat"), "lang", "doc_id"))
+    h_split = _hash32_col(F.concat_ws(":", F.lit("split"), "lang", "doc_id"))
+    kept = docs.filter(h_strat < rate_cut).select(
+        "lang",
+        F.when(h_split < _SPLIT_TRAIN_CUT, "train")
+        .when(h_split < _SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        kept.groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def _stratified_oracle() -> str:
+    strat_h = _hash32_sql("'strat:' || lang || ':' || doc_id::VARCHAR")
+    split_h = _hash32_sql("'split:' || lang || ':' || doc_id::VARCHAR")
+    rate_cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {int(rate * 2**32)}"
+        for lg, rate in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+    WITH kept AS (
+        SELECT lang,
+               CASE WHEN {split_h} < {_SPLIT_TRAIN_CUT} THEN 'train'
+                    WHEN {split_h} < {_SPLIT_VAL_CUT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        WHERE {strat_h} < (CASE {rate_cases}
+                           ELSE {int(_STRAT_DEFAULT_RATE * 2**32)} END)
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM kept GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+_STRATIFIED_ORACLE = _stratified_oracle()
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components of the pair graph
 # ---------------------------------------------------------------------------
 
@@ -1141,9 +1236,11 @@ PYTEST_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "curate_corpus": curate_corpus,
     "dedup_components": dedup_components,
+    "stratified_sample_split": stratified_sample_split,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "curate_corpus": _CURATE_ORACLE,
     "dedup_components": _COMPONENTS_ORACLE,
+    "stratified_sample_split": _STRATIFIED_ORACLE,
 }
