@@ -1,13 +1,13 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  62 queries total vs BENCH_r03's 57: per-query
+JSON line on stdout.  63 queries total vs BENCH_r03's 57: per-query
 timings are directly comparable, but the SUM is not quite like-for-like
 (round 4 merged the two nations set-op queries into one
-`nations_setops` entry, ~0.6 s combined in r03, and added six
+`nations_setops` entry, ~0.6 s combined in r03, and added seven
 pytest-gated queries: `multimodal_resize`, `dedup_ngram_jaccard`,
 `curate_corpus`, `dedup_components`, `streaming_hourly_to_parquet`,
-`stratified_sample_split`).
+`stratified_sample_split`, `quantize_embeddings_int8`).
 
 Output:
 
@@ -58,7 +58,10 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
         PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
     )
-    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import ANN_QUERIES
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        ANN_QUERIES,
+        PYTEST_QUERIES as SIM_PYTEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.session import get_spark
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
         STREAMING_QUERIES,
@@ -75,6 +78,7 @@ def main() -> int:
     bench_set.update(ANN_QUERIES)
     bench_set.update(MM_PYTEST_QUERIES)
     bench_set.update(DEDUP_PYTEST_QUERIES)
+    bench_set.update(SIM_PYTEST_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -605,6 +605,71 @@ def ann_ivf_topk_indexed(
     return _ivf_rerank(probes, corpus)
 
 
+# --- int8 scalar quantization (vector compression) ----------------------
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    vector-store compression (FAISS SQ8 / product-store int8): per
+    vector, scale = max|x_i|, q_i = round(x_i/scale·127) ∈ [−127, 127],
+    reconstruction x̂_i = q_i·scale/127.  Emits the quality report a
+    pipeline gates deployment on: per-vector scale, max absolute
+    reconstruction error, and original-vs-reconstructed cosine.
+
+    Rounding is written as floor(v + 0.5) in BOTH engines instead of
+    round(): Spark rounds half-up, DuckDB half-away-from-zero — they
+    differ on negative exact halves, floor(+0.5) is identical
+    everywhere.  All math in double with sequential left-to-right
+    sums, mirroring the oracle expression-for-expression (same contract
+    as the cosine/norm queries).  100 TB: stateless per-row projection,
+    no shuffle at all until the final orderBy (which a real pipeline
+    drops — it writes the quantized column back to parquet)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(x, F.abs))
+    xhat = F.transform(
+        x, lambda v: F.floor(v / scale * 127 + F.lit(0.5)) * scale / 127
+    )
+    err = F.array_max(F.zip_with(x, xhat, lambda a, b: F.abs(a - b)))
+    cos = dot(x, xhat) / (norm(x) * norm(xhat))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(scale, 6).alias("scale"),
+            F.round(err, 6).alias("max_abs_err"),
+            F.round(cos, 6).alias("cos_recon"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANTIZE_ORACLE = """
+    WITH q AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS x,
+               list_max(list_transform(embedding::DOUBLE[], v -> abs(v)))
+                   AS scale
+        FROM embeddings
+    ), r AS (
+        SELECT vec_id, x, scale,
+               list_transform(x, v -> floor(v / scale * 127 + 0.5) * scale / 127)
+                   AS xhat
+        FROM q
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_max(list_transform(list_zip(x, xhat),
+                                         p -> abs(p[1] - p[2]))), 6)
+               AS max_abs_err,
+           round(list_sum(list_transform(list_zip(x, xhat), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(x, v -> v * v)))
+                    * sqrt(list_sum(list_transform(xhat, v -> v * v)))), 6)
+               AS cos_recon
+    FROM r
+    ORDER BY vec_id
+"""
+
+
 # The two ANN paths are NOT in QUERIES: their recall is < 1 by design,
 # so a driver row could only ever be the weak rows-only check, and the
 # driver caps correctness rows at 50 — the slots go to hash-checked
@@ -627,3 +692,8 @@ ORACLES = {
     "cosine_neardup_pairs": _NEARDUP_ORACLE,
     "embedding_norm_stats": _NORM_STATS_ORACLE,
 }
+
+# Oracle-checked via pytest (tests/test_similarity_extra.py) rather
+# than the 50-entry-capped driver registry.
+PYTEST_QUERIES = {"quantize_embeddings_int8": quantize_embeddings_int8}
+PYTEST_ORACLES = {"quantize_embeddings_int8": _QUANTIZE_ORACLE}
