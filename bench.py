@@ -55,6 +55,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
         PYTEST_QUERIES as MM_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        PYTEST_QUERIES as GRAPH_PYTEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
         PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
     )
@@ -79,6 +82,7 @@ def main() -> int:
     bench_set.update(MM_PYTEST_QUERIES)
     bench_set.update(DEDUP_PYTEST_QUERIES)
     bench_set.update(SIM_PYTEST_QUERIES)
+    bench_set.update(GRAPH_PYTEST_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

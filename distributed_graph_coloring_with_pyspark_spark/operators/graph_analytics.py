@@ -1,0 +1,228 @@
+"""Graph analytics over the customer fixture graph: triangle counting
+and PageRank — the two classic "would your graph layer generalize?"
+probes beyond coloring.  The reference repo's only graph algorithm is
+coloring (reference coloring.py:73-132); these reuse its loop and edge
+machinery to show the engine is a graph *platform*, not a single
+algorithm.
+
+Both run on the memoized ``customer_graph_edges`` fixture (symmetric,
+distinct, skew-capped — graph_bridge.py), so the scan/shuffle work of
+building the graph is shared with the four registered graph queries.
+
+Scale design
+------------
+* **Triangles**: the naive symmetric-edge 3-way self-join counts every
+  triangle 6× and, worse, generates wedges at hubs quadratically.  The
+  standard scalable fix (degree-ordered orientation) is used here:
+  orient each undirected edge from the (degree, id)-smaller endpoint to
+  the larger.  Every vertex's *oriented* out-degree is O(sqrt(|E|)) for
+  graphs with arboricity-bounded structure, wedges are generated only
+  at the lowest-ranked corner, and each triangle appears exactly once
+  as a path a→b→c closed by a→c.  Three equi-joins, no driver state —
+  this is the plan you'd run at 100 TB.
+* **PageRank**: same driver-loop discipline as the coloring core
+  (operators/coloring.py:144-239): per-iteration state is truncated
+  with a LAZY ``localCheckpoint`` (logical plan becomes a leaf
+  immediately, RDD materializes on the terminal action), and the loop
+  body issues ZERO actions — the dangling-node mass is folded in as a
+  one-row aggregate cross-joined (broadcast) into the rank update
+  instead of being collected to the driver.  Shuffle width is scoped to
+  |V| via scoped_shuffle_partitions.  Fixed iteration count keeps the
+  result deterministic and both-engine-reproducible (no float
+  convergence test).
+
+Correctness
+-----------
+* ``triangle_count`` is value-checked against a DuckDB oracle that uses
+  the *id*-ordered orientation (src < dst) — a different orientation of
+  the same edge set.  Triangle/wedge counts are orientation-invariant,
+  so any disagreement is a real bug, and the agreement also pins that
+  the degree-ordered rewrite lost nothing.
+* ``pagerank_customers`` is iterative float fixpoint work — not
+  SQL-expressible under the driver's hash contract — so it is gated by
+  a pure-Python power-iteration oracle over the collected edge list
+  (tests/test_graph_analytics.py) with 1e-9 relative tolerance (Spark's
+  float-sum order differs from Python's; damping < 1 contracts the
+  difference each round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .coloring import degrees, scoped_shuffle_partitions
+from .graph_bridge import EDGES_CTE, customer_graph_edges
+
+PAGERANK_ITERATIONS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_triangles, n_wedges, n_edges, global_clustering).
+
+    n_edges counts undirected edges (= oriented edges); n_wedges is
+    Σ_v C(deg(v), 2) (unordered 2-paths); global clustering coefficient
+    is the usual 3·triangles / wedges (0.0 when the graph has no wedge).
+    """
+    edges = customer_graph_edges(spark, sf_dir)
+    deg = degrees(edges)
+    du = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    # degree-ordered orientation: (degree, id)-smaller endpoint → larger;
+    # a strict total order, so each undirected edge survives exactly once
+    oriented = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .filter(
+            (F.col("d_src") < F.col("d_dst"))
+            | ((F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    # triangles = oriented path a→b→c closed by oriented edge a→c; the
+    # orientation is a total order so each triangle matches exactly once
+    ab = oriented
+    bc = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = oriented.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    wedges_edges = deg.agg(
+        (F.sum(F.col("degree") * (F.col("degree") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+    )
+    return (
+        tri.crossJoin(wedges_edges)  # two 1-row frames
+        .select(
+            "n_triangles",
+            "n_wedges",
+            "n_edges",
+            F.when(F.col("n_wedges") > 0, F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH {EDGES_CTE},
+    o AS (SELECT src, dst FROM e WHERE src < dst),
+    deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+    t AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM o x JOIN o y ON y.src = x.dst
+                 JOIN o z ON z.src = x.src AND z.dst = y.dst
+    ),
+    w AS (
+        SELECT (sum(degree * (degree - 1)) / 2)::BIGINT AS n_wedges,
+               (sum(degree) / 2)::BIGINT AS n_edges
+        FROM deg
+    )
+    SELECT n_triangles, n_wedges, n_edges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS global_clustering
+    FROM t CROSS JOIN w
+"""
+
+
+def pagerank_customers(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PageRank over ALL customers (isolated ones included as dangling
+    nodes) → (id, pagerank), ranks summing to 1.
+
+    Update rule per iteration (the standard dangling-mass formulation):
+
+        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/out_deg(u) + D/N)
+
+    where D = Σ rank(u) over dangling (degree-0) u.  D enters the plan
+    as a broadcast one-row aggregate, NOT a driver collect — the loop
+    body is action-free and each iteration's state is a lazily
+    checkpointed leaf, exactly the coloring core's regime.
+    """
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    verts = (
+        cu.join(degrees(edges), "id", "left")
+        .select("id", F.coalesce("degree", F.lit(0)).alias("out_deg"))
+    )
+    n = verts.count()
+    with scoped_shuffle_partitions(spark, n):
+        ranks = verts.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
+        for _ in range(iterations):
+            dangling = ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+            )
+            shares = ranks.filter(F.col("out_deg") > 0).select(
+                F.col("id").alias("src"), (F.col("rank") / F.col("out_deg")).alias("share")
+            )
+            contribs = (
+                edges.join(shares, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("share").alias("contrib"))
+            )
+            ranks = (
+                verts.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    "out_deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + damping
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.col("dangling_mass") / n
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def pagerank_reference(
+    edge_list: list[tuple[int, int]],
+    vertex_ids: list[int],
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> dict[int, float]:
+    """Driver-side power iteration over plain dicts — the non-Spark
+    oracle for ``pagerank_customers`` (same update rule, same fixed
+    iteration count).  Test-sized inputs only."""
+    out_deg: dict[int, int] = {v: 0 for v in vertex_ids}
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    n = len(vertex_ids)
+    rank = {v: 1.0 / n for v in vertex_ids}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in rank.items() if out_deg[v] == 0)
+        contrib: dict[int, float] = {v: 0.0 for v in vertex_ids}
+        for s, d in edge_list:
+            contrib[d] += rank[s] / out_deg[s]
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dangling / n)
+            for v in vertex_ids
+        }
+    return rank
+
+
+# pytest-gated (the driver registry is capped at 50 entries):
+# triangle_count under its DuckDB oracle, pagerank under the pure-Python
+# power-iteration oracle (float fixpoint — not hash-comparable).
+PYTEST_QUERIES = {
+    "triangle_count": triangle_count,
+    "pagerank_customers": pagerank_customers,
+}
+
+PYTEST_ORACLES = {
+    "triangle_count": _TRIANGLE_ORACLE,
+}

@@ -162,23 +162,12 @@ QUERIES = {
     "graph_color_customers": color_customer_graph,
 }
 
-ORACLES = {
-    "customer_graph_edges": f"""
-        WITH cp0 AS (
-            SELECT DISTINCT o_custkey AS c, l_partkey AS p,
-                   date_trunc('day', o_orderdate) AS dy
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ),
-        cp AS (
-            SELECT c, p, dy FROM cp0
-            QUALIFY count(*) OVER (PARTITION BY p, dy) <= {_CELL_CAP}
-        )
-        SELECT DISTINCT a.c AS src, b.c AS dst
-        FROM cp a JOIN cp b USING (p, dy)
-        WHERE a.c <> b.c
-    """,
-    "graph_degree_stats": f"""
-        WITH cp0 AS (
+# The shared DuckDB definition of the fixture graph's symmetric edge set
+# (`e(src, dst)`), mirroring _build_customer_graph_edges including the
+# _CELL_CAP skew guard.  Splice as  f"WITH {EDGES_CTE}, ..."  — every
+# oracle over the fixture graph (here and in graph_analytics.py) reuses
+# this one definition so the two engines can never drift per-query.
+EDGES_CTE = f"""cp0 AS (
             SELECT DISTINCT o_custkey AS c, l_partkey AS p,
                    date_trunc('day', o_orderdate) AS dy
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -191,7 +180,15 @@ ORACLES = {
             SELECT DISTINCT a.c AS src, b.c AS dst
             FROM cp a JOIN cp b USING (p, dy)
             WHERE a.c <> b.c
-        ),
+        )"""
+
+ORACLES = {
+    "customer_graph_edges": f"""
+        WITH {EDGES_CTE}
+        SELECT src, dst FROM e
+    """,
+    "graph_degree_stats": f"""
+        WITH {EDGES_CTE},
         deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src)
         SELECT coalesce(degree, 0) AS degree, count(*) AS n_customers
         FROM customer LEFT JOIN deg ON c_custkey = id
@@ -199,20 +196,7 @@ ORACLES = {
         ORDER BY degree
     """,
     "graph_avg_degree": f"""
-        WITH cp0 AS (
-            SELECT DISTINCT o_custkey AS c, l_partkey AS p,
-                   date_trunc('day', o_orderdate) AS dy
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        ),
-        cp AS (
-            SELECT c, p, dy FROM cp0
-            QUALIFY count(*) OVER (PARTITION BY p, dy) <= {_CELL_CAP}
-        ),
-        e AS (
-            SELECT DISTINCT a.c AS src, b.c AS dst
-            FROM cp a JOIN cp b USING (p, dy)
-            WHERE a.c <> b.c
-        ),
+        WITH {EDGES_CTE},
         deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src)
         SELECT round(avg(coalesce(degree, 0)), 6) AS avg_degree,
                max(coalesce(degree, 0)) AS max_degree,
