@@ -61,6 +61,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
         PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_rank import (
+        PYTEST_QUERIES as RANK_PYTEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
@@ -83,6 +86,7 @@ def main() -> int:
     bench_set.update(DEDUP_PYTEST_QUERIES)
     bench_set.update(SIM_PYTEST_QUERIES)
     bench_set.update(GRAPH_PYTEST_QUERIES)
+    bench_set.update(RANK_PYTEST_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -1,0 +1,215 @@
+"""Lexical relevance ranking over the ``documents`` table: TF-IDF term
+extraction and Okapi BM25 retrieval — the search-side counterpart of the
+dedup/quality operators in text_dedup.py, sharing its whitespace
+tokenizer (`_tokens`, which matches DuckDB's ``string_split``) so every
+text operator in the engine agrees on what a token is.
+
+The reference repo has no text surface (it is a graph-coloring engine,
+reference coloring.py:73-132); these belong to the driver-mandated
+LLM-training-data-pipeline extension, alongside dedup and quality
+scoring: TF-IDF surfaces the characteristic terms a curation run keys
+on, BM25 is the standard first-stage retrieval for building
+eval/finetune sets from a corpus.
+
+Scale design
+------------
+* TF-IDF is two hash aggregations — (doc_id, term) term frequencies,
+  then per-term document frequencies — and one term-keyed join back,
+  all map-side-combinable; the final top-k-per-doc window is
+  partitioned by doc_id (per-partition heap, no global sort).  At
+  100 TB the join is shuffle-on-term with AQE handling vocabulary skew
+  (stopword-like hot terms); nothing is collected to the driver.
+* BM25 filters the exploded token stream to the query's terms FIRST
+  (an IN-list predicate that pushes into the scan projection), so the
+  expensive stats run on |query-term postings|, not the corpus.  The
+  corpus-level scalars (N, avgdl) enter the plan as broadcast one-row
+  aggregates, not driver collects.  The final global top-k is
+  ``orderBy().limit(k)`` — Spark's TakeOrdered, a per-partition heap +
+  driver merge of k rows, which is the 100 TB-safe form of "rank the
+  whole corpus".
+
+Cross-engine determinism: ranking windows order by the ROUNDED (6 dp)
+score before the deterministic (term / doc_id) tie-break, so a last-ulp
+difference between the JVM's and DuckDB's ``ln`` cannot reorder rows —
+equal real-valued scores (e.g. tf=2,df=50 vs tf=1,df=5 at N=500: both
+ln(100)) are forced onto the explicit tie-break in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .text_dedup import _tokens
+
+TFIDF_TOP_K = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+# default retrieval query for the registered surface: three terms that
+# are frequent-but-not-universal in the synthetic corpus, so scores
+# spread and the top-k is meaningfully selective
+BM25_QUERY_TERMS = ("query", "scan", "hash")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF →
+    (doc_id, rank, term, tf, df, tfidf).
+
+    tfidf = tf · ln(N / df) with raw counts (no length normalization —
+    that's BM25's job below); ties broken by term ascending.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tf, df, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+def bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 retrieval of the top-``k`` documents for
+    ``query_terms`` → (rank, doc_id, n_hit_terms, score).
+
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  — the standard
+    non-negative Robertson-Spärck-Jones form.  dl is the document's
+    whitespace token count; df counts documents containing the term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")  # |query_terms| rows — broadcast
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_terms"),
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_hit_terms", "score"
+    )
+
+
+def _bm25_oracle(query_terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
+    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ({in_list}) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+               avgdl
+        FROM df CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT tf.doc_id, count(*)::BIGINT AS n_hit_terms,
+               round(sum(idf * (tf * ({BM25_K1} + 1.0))
+                         / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                              + {BM25_B} * dl.dl / avgdl))), 6)
+                   AS score
+        FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        GROUP BY tf.doc_id
+    )
+    SELECT rank, doc_id, n_hit_terms, score
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= {BM25_TOP_K}
+"""
+
+
+# pytest-gated (driver registry is shaped to the 50-row cap):
+# tests/test_text_rank.py runs both against their DuckDB oracles.
+PYTEST_QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "bm25_rank": bm25_rank,
+}
+PYTEST_ORACLES = {
+    "tfidf_top_terms": _TFIDF_ORACLE,
+    "bm25_rank": _bm25_oracle(),
+}
