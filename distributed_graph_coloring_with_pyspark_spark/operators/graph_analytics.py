@@ -59,6 +59,92 @@ PAGERANK_ITERATIONS = 10
 PAGERANK_DAMPING = 0.85
 
 
+def min_label_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components of a symmetric ``edges(src, dst)`` frame by
+    iterative min-label propagation → (id, label) for every vertex that
+    touches an edge, label = min vertex id in its component.
+
+    THE shared component engine: ``graph_components`` below and
+    ``text_dedup.dedup_components`` (near-dup clustering) both call it,
+    each gated by its own recursive-CTE DuckDB oracle.  Loop discipline
+    is the coloring core's (operators/coloring.py:153-238): ONE action
+    per round — the label SUM, which strictly decreases until fixpoint
+    because labels are monotone non-increasing, so no changed-row
+    self-join is needed — and a lazy ``localCheckpoint`` per round to
+    stop lineage growth.
+
+    100 TB: rounds = component diameter (dedup graphs: small dense
+    clusters, 2 rounds measured; social-ish graphs: low tens).  For
+    adversarially chain-shaped graphs the escalation is large-star/
+    small-star contraction (Kiveris et al. 2014), O(log n) rounds.
+    """
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # the ONE action
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer fixture graph, isolated
+    customers included as singletons → (id, component_id,
+    component_size) for EVERY customer, component_id = min customer id
+    in the component."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        labels = min_label_components(edges)
+        full = cu.join(labels, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("component_id")
+        )
+        sizes = full.groupBy("component_id").agg(
+            F.count("*").cast("long").alias("component_size")
+        )
+        return full.join(sizes, "component_id").select(
+            "id", "component_id", "component_size"
+        ).orderBy("id")
+
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE {EDGES_CTE},
+    reach(id, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+    sizes AS (
+        SELECT component_id, count(*)::BIGINT AS component_size
+        FROM comp GROUP BY 1
+    )
+    SELECT id, component_id, component_size
+    FROM comp JOIN sizes USING (component_id)
+    ORDER BY id
+"""
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_triangles, n_wedges, n_edges, global_clustering).
 
@@ -221,8 +307,10 @@ def pagerank_reference(
 PYTEST_QUERIES = {
     "triangle_count": triangle_count,
     "pagerank_customers": pagerank_customers,
+    "graph_components": graph_components,
 }
 
 PYTEST_ORACLES = {
     "triangle_count": _TRIANGLE_ORACLE,
+    "graph_components": _COMPONENTS_ORACLE,
 }

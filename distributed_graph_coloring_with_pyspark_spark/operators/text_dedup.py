@@ -989,65 +989,36 @@ def dedup_components(
     component_size) for every doc touching ≥ 1 near-dup pair, where
     component_id = min doc_id in the component.
 
-    Iterative min-label propagation: every doc starts labeled with its
-    own id; each round every doc takes the min of its own and its
-    neighbors' labels; fixpoint in ≤ diameter rounds.  Same loop
-    discipline as the coloring core (operators/coloring.py:153-238,
-    mirroring reference coloring.py:73-132's round structure): ONE
-    action per round — the label SUM, which strictly decreases until
-    convergence because labels are monotone non-increasing, so no
-    changed-row self-join is needed — and a lazy ``localCheckpoint``
-    per round to stop lineage growth across iterations.
+    Runs on the SHARED component engine
+    (graph_analytics.min_label_components): iterative min-label
+    propagation with one action per round and lazy localCheckpoint —
+    see that docstring for the loop discipline and the
+    star-contraction escalation path at scale.
 
     Unusually for an iterative graph algorithm, this is fully
     value-checked: the DuckDB oracle computes the same components via a
     recursive-CTE transitive closure, so the driver-style gate covers
     the loop end to end (the coloring flagship only gets a rows-only
-    check because colorings are not unique — components ARE).
+    check because colorings are not unique — components ARE)."""
+    from .graph_analytics import min_label_components
 
-    100 TB: rounds = component diameter; near-dup graphs are unions of
-    small dense clusters (measured here: all components converge in 2
-    rounds).  For adversarially chain-shaped graphs the scale fix is
-    star contraction (large-star/small-star, Kiveris et al. 2014),
-    which bounds rounds at O(log n) — noted as the escalation path, not
-    needed for dedup-shaped inputs."""
     sh = _doc_shingles(spark, sf_dir, parallel=True)
     grams = sh.filter(F.size("shingles") > 0).persist()
     pairs = _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("u", "v")
+        .toDF("src", "dst")
         .persist()
     )
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("nmin", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # the ONE action
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = min_label_components(edges, max_rounds)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("component_size"))
     out = (
         labels.join(sizes, "label")
-        .select("doc_id", F.col("label").alias("component_id"), "component_size")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
         .orderBy("doc_id")
     )
     edges.unpersist(False)

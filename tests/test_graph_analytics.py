@@ -23,6 +23,7 @@ from oracle_util import canon_rows
 
 from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
     PYTEST_ORACLES,
+    PYTEST_QUERIES,
     pagerank_customers,
     pagerank_reference,
     triangle_count,
@@ -41,18 +42,36 @@ def _oracle_con():
     return con
 
 
-def test_triangle_count_matches_oracle(spark):
-    sdf = triangle_count(spark, SF)
+@pytest.mark.parametrize("name", sorted(PYTEST_ORACLES))
+def test_graph_analytics_matches_oracle(spark, name):
+    sdf = PYTEST_QUERIES[name](spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
     con = _oracle_con()
-    ddf = con.sql(PYTEST_ORACLES["triangle_count"])
+    ddf = con.sql(PYTEST_ORACLES[name])
     dcols, drows = ddf.columns, ddf.fetchall()
     con.close()
-    assert sorted(sdf.columns) == sorted(dcols)
-    assert len(srows) == len(drows) == 1
+    assert sorted(sdf.columns) == sorted(dcols), name
+    assert len(srows) == len(drows), name
+    assert srows, name
+    assert canon_rows(sdf.columns, srows) == canon_rows(dcols, drows), name
+
+
+def test_triangle_count_nonzero(spark):
     # the fixture graph must actually exercise the operator
-    assert srows[0][sdf.columns.index("n_triangles")] > 0
-    assert canon_rows(sdf.columns, srows) == canon_rows(dcols, drows)
+    row = triangle_count(spark, SF).collect()[0]
+    assert row.n_triangles > 0 and row.n_wedges >= 3 * row.n_triangles
+
+
+def test_graph_components_shape(spark):
+    rows = PYTEST_QUERIES["graph_components"](spark, SF).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for cid, members in by_comp.items():
+        assert len(members) == members[0].component_size
+        assert cid == min(m.id for m in members)  # label = min id
+    # isolated customers appear as singletons: every customer has a row
+    assert len(rows) == len({r.id for r in rows})
 
 
 def test_pagerank_matches_power_iteration(spark):
