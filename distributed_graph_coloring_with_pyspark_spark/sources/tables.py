@@ -19,13 +19,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-# events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 rejects
-# under schema inference unless spark.sql.legacy.parquet.nanosAsLong is
-# set.  An explicit LongType schema sidesteps inference entirely, so the
-# read works under ANY SparkSession (the verification driver builds its
-# own, without our session.py conf).  ts is then long epoch-nanos.
+# The driver's generator has emitted events.ts as INT64 TIMESTAMP(NANOS)
+# in some rounds and as standard TIMESTAMP(MICROS) in others, so the
+# loader adapts per file: a one-footer pyarrow sniff picks the matching
+# explicit schema (explicit = no inference, so the read works under ANY
+# SparkSession — the verification driver builds its own, without our
+# session.py conf, and Spark 4 rejects nanos under inference unless
+# spark.sql.legacy.parquet.nanosAsLong is set).  At 100 TB this is one
+# footer read per table registration, not per query.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -36,6 +40,41 @@ EVENTS_RAW_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+EVENTS_TS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.ts is physically INT64 nanos (or already long).
+    Micro/milli/second timestamps read natively; nanos take the
+    long-schema + exact ``div 1000`` path.  Handles both a single file
+    and a Spark-written directory of part files (footer of the first
+    part — one layout per table).  Unreadable/remote paths default to
+    the standard micros read, the layout every modern writer emits."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        path = parts[0]
+    try:
+        t = pq.read_schema(path).field("ts").type
+    except Exception:
+        return False
+    return getattr(t, "unit", "ns") == "ns"
 
 TABLE_NAMES = [
     "region",
@@ -66,15 +105,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Explicit schema (no inference) → readable under any session; then
-        # convert long nanos → timestamp.  `ts div 1000` is exact integer
-        # division — (ts/1000).cast("long") would round-trip through double,
-        # whose 2^53 mantissa cannot represent ~1.7e18 nanos exactly and
-        # silently shifts ~1.5% of values by 1µs.  The generator emits only
-        # microsecond timestamps, so truncation to micros is lossless.
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if events_ts_is_nanos(sf_dir):
+            # Explicit schema (no inference) → readable under any session;
+            # then convert long nanos → timestamp.  `ts div 1000` is exact
+            # integer division — (ts/1000).cast("long") would round-trip
+            # through double, whose 2^53 mantissa cannot represent ~1.7e18
+            # nanos exactly and silently shifts ~1.5% of values by 1µs.
+            df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # micros generation: TimestampType schema (not inference — Spark 4
+        # would infer TIMESTAMP_NTZ for pandas-written tz-naive micros,
+        # which diverges from the UTC-pinned session the oracle assumes)
+        return spark.read.schema(EVENTS_TS_SCHEMA).parquet(path)
     return spark.read.parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file-source over events.parquet with the same adaptive
+    ts handling as the batch loader (glob-filtered so sibling tables in
+    sf_dir aren't picked up)."""
+    ensure_utc(spark)
+    if events_ts_is_nanos(sf_dir):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # exact integer division nanos→micros (see load_table note)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import EVENTS_RAW_SCHEMA, ensure_utc, load_table
+from ..sources.tables import ensure_utc, events_stream, load_table
 
 SESSION_GAP_MIN = 30
 
@@ -214,13 +214,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming file source monitors a directory; glob-filter down to
     # the events file so sibling tables in sf_dir aren't picked up
     ensure_utc(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # exact integer division nanos→micros (see sources/tables.py note)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -267,12 +261,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle semantics.
     """
     ensure_utc(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
@@ -336,11 +325,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ensure_utc(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = events_stream(spark, sf_dir)
 
     def update_totals(key, pdfs, state):
         n, tot = state.get if state.exists else (0, 0.0)
@@ -412,6 +397,59 @@ _PERCENTILES_ORACLE = """
 """
 
 
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN — two independent event-time streams (clicks,
+    purchases) inner-joined on user_id plus a 1-hour time band, both
+    sides watermarked.  The time-range predicate on both event-time
+    columns is what lets Spark EVICT join state: a buffered click can
+    be dropped once the purchase-side watermark passes t_click + 1 h,
+    so state is bounded by (watermark delay + band width) × arrival
+    rate — the production contract for unbounded joins.  Without it a
+    stream-stream join buffers both streams forever.
+
+    The joined pair stream lands append-mode in the sink; the per-user
+    rollup below is batch-side so the streaming stage is pure join.
+    Shares ``click_purchase_within_hour``'s oracle (same semantics on
+    the finite input; the batch twin is the same range join with the
+    user_id equi-prefix driving the shuffle)."""
+    ensure_utc(spark)
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("u"), F.col("ts").alias("t_click"))
+        .withWatermark("t_click", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("u2"), F.col("ts").alias("t_buy"))
+        .withWatermark("t_buy", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("u") == F.col("u2"))
+        & (F.col("t_buy") >= F.col("t_click"))
+        & (F.col("t_buy") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
+    )
+    sink_name = "streaming_click_purchase_sink"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink_name)
+        .groupBy(F.col("u").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DEDUPLICATION — the ingestion-side dedup every
     training-data pipeline runs before anything else touches the data:
@@ -429,12 +467,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay — by design (that is the bounded-state contract).
     """
     ensure_utc(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -485,12 +518,7 @@ def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.environ.get(
         "SPARK_GRAFT_STREAM_SINK_DIR", "/tmp/dgc_streaming_hourly_parquet"
     )
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -560,6 +588,7 @@ STREAMING_QUERIES = {
     "streaming_user_totals_stateful": streaming_user_totals_stateful,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_hourly_to_parquet": streaming_hourly_to_parquet,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
 }
 
 # ONE sessionization oracle for both formulations: since the boundary
@@ -642,6 +671,7 @@ ORACLES = {
 # enforced by tests/test_streaming_batch_equivalence.py instead of the
 # row-capped driver.
 STREAMING_ORACLES = {
+    "streaming_click_purchase_join": ORACLES["click_purchase_within_hour"],
     "streaming_hourly_counts": _HOURLY_ORACLE,
     "streaming_hourly_to_parquet": _HOURLY_ORACLE,
     "streaming_dedup_events": _STREAM_DEDUP_ORACLE,
