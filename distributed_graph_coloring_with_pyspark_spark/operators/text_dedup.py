@@ -1173,6 +1173,125 @@ _CURATE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition / boilerplate quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher data
+    quality filters (Rae et al. 2021, table A1): fraction of tokens
+    covered by the single most frequent 2-gram / 3-gram, plus the
+    distinct-token ratio.  The corpus has no newlines, so the line-level
+    duplicate filters are replaced by their token-n-gram analogues
+    (documented divergence; same intent — catch boilerplate/spam).
+
+    100 TB design: two aggregations keyed by (doc_id, gram) with
+    map-side combine (gram counts collapse before the shuffle), then a
+    per-doc max and one doc_id-keyed join back to the single-pass token
+    stats.  No all-pairs structure, no Python, state per task bounded by
+    the doc's own gram set.  Fraction uses least(1, .) because
+    overlapping occurrences of a self-similar gram ("a a a a") can
+    cover more than n_tok tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+    def _grams(n: int) -> Column:
+        make = F.transform(
+            F.sequence(F.lit(0), F.col("n_tok") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+            ),
+        )
+        # guard: sequence(0, negative) counts DOWN in Spark
+        return F.when(F.col("n_tok") >= n, make).otherwise(F.array().cast("array<string>"))
+
+    def _top_gram(n: int, out: str) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(_grams(n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(out))
+        )
+
+    stats = base.select("doc_id", "n_tok", "n_distinct")
+    out = (
+        stats.join(_top_gram(2, "max_bi"), "doc_id", "left")
+        .join(_top_gram(3, "max_tri"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tok"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(2.0) * F.coalesce(F.col("max_bi"), F.lit(0)) / F.col("n_tok"),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(3.0) * F.coalesce(F.col("max_tri"), F.lit(0)) / F.col("n_tok"),
+                ),
+                6,
+            ).alias("top_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+_REPETITION_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents
+    ), stats AS (
+        SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct
+        FROM base
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM base WHERE len(t) >= 2
+    ), bimax AS (
+        SELECT doc_id, max(c) AS max_bi FROM (
+            SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ), tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM base WHERE len(t) >= 3
+    ), trimax AS (
+        SELECT doc_id, max(c) AS max_tri FROM (
+            SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_tok,
+           round(s.n_distinct::DOUBLE / s.n_tok, 6) AS distinct_ratio,
+           round(least(1.0, 2.0 * coalesce(b.max_bi, 0) / s.n_tok), 6)
+               AS top_bigram_frac,
+           round(least(1.0, 3.0 * coalesce(tr.max_tri, 0) / s.n_tok), 6)
+               AS top_trigram_frac
+    FROM stats s
+    LEFT JOIN bimax b USING (doc_id)
+    LEFT JOIN trimax tr USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1208,10 +1327,12 @@ PYTEST_QUERIES = {
     "curate_corpus": curate_corpus,
     "dedup_components": dedup_components,
     "stratified_sample_split": stratified_sample_split,
+    "repetition_stats": repetition_stats,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "curate_corpus": _CURATE_ORACLE,
     "dedup_components": _COMPONENTS_ORACLE,
     "stratified_sample_split": _STRATIFIED_ORACLE,
+    "repetition_stats": _REPETITION_ORACLE,
 }
