@@ -145,6 +145,75 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
+BFS_MAX_DEPTH = 40
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame, max_depth: int = BFS_MAX_DEPTH) -> DataFrame:
+    """Unweighted single/multi-source BFS over a symmetric
+    ``edges(src, dst)`` frame → (id, dist) for every reachable vertex.
+
+    Frontier-expansion form: each round joins the previous frontier to
+    the edge list, anti-joins already-settled vertices, and settles the
+    rest at dist = round.  Loop discipline is the coloring core's
+    (operators/coloring.py:153-238): ONE action per round (the frontier
+    count, which doubles as the termination test) and a lazy
+    ``localCheckpoint`` per round so lineage stays flat.
+
+    100 TB: per-round work is |frontier ⋈ edges| — the same shuffle a
+    Pregel superstep does; rounds = source eccentricity.  The settled
+    set only grows, and the anti-join keys on it, so the natural next
+    step at extreme scale is bucketing both sides on id.  Weighted
+    graphs escalate to iterated min-dist relaxation (same loop, min
+    aggregate instead of anti-join)."""
+    dist = sources.select(F.col("id"), F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    frontier = dist.select("id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:  # the ONE action per round
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("id")
+    return dist
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the minimum customer id to every customer
+    it can reach in the fixture graph → (id, dist), deterministic and
+    integer-exact (hash-comparable to the recursive-CTE oracle, rare
+    for an iterative graph op)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    source = cu.agg(F.min("c_custkey").alias("id")).select("id")
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        return bfs_distances(edges, source).orderBy("id")
+
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE {EDGES_CTE},
+    walk(id, d) AS (
+        SELECT min(c_custkey), 0 FROM customer
+        UNION
+        SELECT e.dst, walk.d + 1
+        FROM walk JOIN e ON e.src = walk.id
+        WHERE walk.d < {BFS_MAX_DEPTH}
+    )
+    SELECT id, min(d)::INT AS dist
+    FROM walk
+    GROUP BY id
+    ORDER BY id
+"""
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (n_triangles, n_wedges, n_edges, global_clustering).
 
@@ -308,9 +377,11 @@ PYTEST_QUERIES = {
     "triangle_count": triangle_count,
     "pagerank_customers": pagerank_customers,
     "graph_components": graph_components,
+    "graph_bfs_distances": graph_bfs_distances,
 }
 
 PYTEST_ORACLES = {
     "triangle_count": _TRIANGLE_ORACLE,
     "graph_components": _COMPONENTS_ORACLE,
+    "graph_bfs_distances": _BFS_ORACLE,
 }
