@@ -48,7 +48,7 @@ Correctness
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -143,6 +143,77 @@ _COMPONENTS_ORACLE = f"""
     FROM comp JOIN sizes USING (component_id)
     ORDER BY id
 """
+
+
+KCORE_MAX_ROUNDS = 100
+
+
+def kcore_numbers(edges: DataFrame, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """Core number (max k such that the vertex survives k-core peeling)
+    for every vertex of a symmetric ``edges(src, dst)`` frame, by the
+    distributed H-index fixpoint (Lü et al. 2016, "Vital nodes
+    identification in complex networks"; also Montresor et al. 2013):
+
+        c_0(v)   = degree(v)
+        c_t+1(v) = H({c_t(u) : u ~ v})   (H = h-index of the multiset)
+
+    c_t is monotone non-increasing and converges to the exact coreness
+    — no sequential peeling order needed, which is what makes k-core
+    distributable.  Each round is one edges⋈labels shuffle plus a
+    per-src window (sort neighbors' values desc, h = max(min(value,
+    rank))) — state per task is one vertex's neighbor list, the same
+    bound every other per-key window in this repo carries.  Convergence
+    test reuses the coloring-loop discipline: the label sum strictly
+    decreases until fixpoint, so ONE action per round and a lazy
+    ``localCheckpoint`` to keep lineage flat.
+
+    100 TB: rounds observed/published are small (≈ O(log n) in
+    practice); per-round cost equals one degree computation.  Skewed
+    hubs concentrate their neighbor list on one task — the mitigation
+    is the same _CELL_CAP-style degree cap the fixture graph already
+    applies at build time."""
+    c = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("int").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = c.agg(F.sum("c")).collect()[0][0]
+    for _ in range(max_rounds):
+        w = Window.partitionBy("src").orderBy(F.desc("nc"), "dst")
+        h = (
+            edges.join(c, edges.dst == c.id)
+            .select("src", "dst", F.col("c").alias("nc"))
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("src")
+            .agg(F.max(F.least(F.col("nc"), F.col("rn"))).alias("h"))
+        )
+        c = (
+            c.join(h, c.id == h.src)
+            .select(F.col("id"), F.least(F.col("c"), F.col("h")).alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = c.agg(F.sum("c")).collect()[0][0]  # the ONE action
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return c.select("id", F.col("c").alias("core"))
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number for every customer in the fixture graph (isolated
+    customers = core 0) → (id, core), ordered by id.  Gated by a
+    pure-Python peeling oracle (tests/test_graph_analytics.py) — the
+    H-index fixpoint and sequential peeling must agree exactly."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        cores = kcore_numbers(edges)
+        return (
+            cu.join(cores, "id", "left")
+            .select("id", F.coalesce("core", F.lit(0)).alias("core"))
+            .orderBy("id")
+        )
 
 
 BFS_MAX_DEPTH = 40
@@ -378,6 +449,7 @@ PYTEST_QUERIES = {
     "pagerank_customers": pagerank_customers,
     "graph_components": graph_components,
     "graph_bfs_distances": graph_bfs_distances,
+    "graph_kcore": graph_kcore,
 }
 
 PYTEST_ORACLES = {

@@ -98,3 +98,34 @@ def test_pagerank_uniform_on_edgeless_graph(spark):
     ids = list(range(7))
     want = pagerank_reference([], ids)
     assert all(math.isclose(w, 1.0 / 7, rel_tol=1e-12) for w in want.values())
+
+
+def _peel_core_numbers(edges):
+    """Sequential peeling reference: repeatedly remove the minimum-degree
+    vertex; its core number is the running maximum of those minimums."""
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict = {}
+    k = 0
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        for u in adj[v]:
+            if u in deg and u != v:
+                deg[u] -= 1
+        del deg[v]
+    return core
+
+
+def test_kcore_matches_python_peeling(spark):
+    edges = [(r.src, r.dst) for r in customer_graph_edges(spark, SF).collect()]
+    got = {r.id: r.core for r in PYTEST_QUERIES["graph_kcore"](spark, SF).collect()}
+    want = _peel_core_numbers(edges)
+    for v, c in want.items():
+        assert got[v] == c, f"vertex {v}: H-index fixpoint {got[v]} != peeling {c}"
+    # customers outside the edge set are core 0 singletons
+    assert all(c == 0 for v, c in got.items() if v not in want)
+    assert max(got.values()) >= 2, "fixture graph should have a non-trivial core"
