@@ -1,13 +1,12 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  63 queries total vs BENCH_r03's 57: per-query
-timings are directly comparable, but the SUM is not quite like-for-like
+JSON line on stdout.  74 queries total vs BENCH_r03's 57: per-query
+timings are directly comparable, but the SUM is not like-for-like
 (round 4 merged the two nations set-op queries into one
-`nations_setops` entry, ~0.6 s combined in r03, and added seven
-pytest-gated queries: `multimodal_resize`, `dedup_ngram_jaccard`,
-`curate_corpus`, `dedup_components`, `streaming_hourly_to_parquet`,
-`stratified_sample_split`, `quantize_embeddings_int8`).
+`nations_setops` entry and added 18 pytest-gated queries — dedup,
+streaming, graph-analytics, text-ranking, sampling and quantization
+surfaces; see SURVEY.md §8 for the full ledger).
 
 Output:
 
@@ -70,6 +69,7 @@ def main() -> int:
     )
     from distributed_graph_coloring_with_pyspark_spark.session import get_spark
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        EXTRA_QUERIES as EVENTS_EXTRA_QUERIES,
         STREAMING_QUERIES,
     )
 
@@ -87,6 +87,7 @@ def main() -> int:
     bench_set.update(SIM_PYTEST_QUERIES)
     bench_set.update(GRAPH_PYTEST_QUERIES)
     bench_set.update(RANK_PYTEST_QUERIES)
+    bench_set.update(EVENTS_EXTRA_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -397,6 +397,122 @@ _PERCENTILES_ORACLE = """
 """
 
 
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB percentile path — the sketch swap
+    ``events_value_percentiles`` names, run for real: per-type
+    ``percentile_approx`` (constant memory per group) next to the exact
+    percentile, emitting the ACCURACY CONTRACT instead of the raw
+    sketch value (which is implementation-defined and differs between
+    Spark's variant and DuckDB's t-digest).  Same idiom as
+    approx_distinct_users: both engines verify, over their own sketch,
+    that the approximation lands within 2.5% (relative) of the exact
+    value — which is precisely what an approximate aggregate promises
+    (observed worst case at sf0.01: 1.4% on a p99 tail; central
+    quantiles land within ~0.1%).  The exact quantiles double as the
+    hash-checked payload."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_exact"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(value, 0.99, 10000)").alias("_a99"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "p50_exact",
+        "p99_exact",
+        (F.abs(F.col("_a50") - F.col("p50_exact")) <= 0.025 * F.col("p50_exact")).alias(
+            "p50_ok"
+        ),
+        (F.abs(F.col("_a99") - F.col("p99_exact")) <= 0.025 * F.col("p99_exact")).alias(
+            "p99_ok"
+        ),
+    ).orderBy("event_type")
+
+
+_QUANTILES_APPROX_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50_exact,
+           round(quantile_cont(value, 0.99), 4) AS p99_exact,
+           abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+               <= 0.025 * quantile_cont(value, 0.5) AS p50_ok,
+           abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+               <= 0.025 * quantile_cont(value, 0.99) AS p99_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) WINDOW aggregation — 1-hour windows every 30
+    minutes, so each event lands in exactly 2 overlapping windows.  The
+    remaining Structured Streaming windowing mode after tumbling
+    (streaming_hourly_counts) and session (streaming_sessions); state
+    per key is (size/slide)× the tumbling equivalent and still
+    watermark-bounded in update/append — complete mode here is the
+    finite-input memory-sink harness convention (see
+    streaming_sessions' note).
+
+    The DuckDB oracle materializes the same overlap by unnesting each
+    event into its two containing window starts — the definitional
+    expansion of a hopping window."""
+    ensure_utc(spark)
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    sink_name = "streaming_hopping_counts_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink_name)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_epoch", "event_type")
+    )
+
+
+_HOPPING_ORACLE = """
+    WITH expanded AS (
+        SELECT unnest([
+                   epoch(date_trunc('hour', ts))
+                       + CASE WHEN extract(minute FROM ts) >= 30 THEN 1800 ELSE 0 END,
+                   epoch(date_trunc('hour', ts))
+                       + CASE WHEN extract(minute FROM ts) >= 30 THEN 1800 ELSE 0 END
+                       - 1800
+               ]) AS window_epoch,
+               event_type, value
+        FROM events
+    )
+    SELECT window_epoch::BIGINT AS window_epoch, event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY window_epoch, event_type
+    ORDER BY window_epoch, event_type
+"""
+
+
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM JOIN — two independent event-time streams (clicks,
     purchases) inner-joined on user_id plus a 1-hour time band, both
@@ -582,6 +698,15 @@ QUERIES = {
     "user_funnel": user_funnel,
 }
 
+# Batch queries outside the 50-entry driver registry, oracle-gated by
+# tests/test_streaming_batch_equivalence.py alongside the streaming set.
+EXTRA_QUERIES = {
+    "events_value_quantiles_approx": events_value_quantiles_approx,
+}
+EXTRA_ORACLES = {
+    "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
+}
+
 STREAMING_QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_sessions": streaming_sessions,
@@ -589,6 +714,7 @@ STREAMING_QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_hourly_to_parquet": streaming_hourly_to_parquet,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_hopping_counts": streaming_hopping_counts,
 }
 
 # ONE sessionization oracle for both formulations: since the boundary
@@ -672,6 +798,7 @@ ORACLES = {
 # row-capped driver.
 STREAMING_ORACLES = {
     "streaming_click_purchase_join": ORACLES["click_purchase_within_hour"],
+    "streaming_hopping_counts": _HOPPING_ORACLE,
     "streaming_hourly_counts": _HOURLY_ORACLE,
     "streaming_hourly_to_parquet": _HOURLY_ORACLE,
     "streaming_dedup_events": _STREAM_DEDUP_ORACLE,

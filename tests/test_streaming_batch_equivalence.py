@@ -30,6 +30,8 @@ import pytest
 from oracle_util import canon_rows
 
 from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
     STREAMING_ORACLES,
     STREAMING_QUERIES,
     events_sessionization,
@@ -47,13 +49,17 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(STREAMING_QUERIES))
+_ALL_QUERIES = {**STREAMING_QUERIES, **EXTRA_QUERIES}
+_ALL_ORACLES = {**STREAMING_ORACLES, **EXTRA_ORACLES}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_QUERIES))
 def test_streaming_matches_batch_oracle(spark, duck, name):
-    assert set(STREAMING_QUERIES) == set(STREAMING_ORACLES)
-    sdf = STREAMING_QUERIES[name](spark, SF)
+    assert set(_ALL_QUERIES) == set(_ALL_ORACLES)
+    sdf = _ALL_QUERIES[name](spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    ddf = duck.sql(STREAMING_ORACLES[name])
+    ddf = duck.sql(_ALL_ORACLES[name])
     assert sorted(scols) == sorted(ddf.columns), name
     drows = ddf.fetchall()
     assert len(srows) == len(drows), name
