@@ -399,25 +399,25 @@ def _centroid_literals(cents: list[list[float]]) -> Column:
 
 
 def _cell_scores(emb_col: Column, cents: list[list[float]]) -> Column:
-    """Array of K (cosine, idx) structs against the centroid literals.
+    """Array of K (cosine, idx) structs against the centroid matrix.
 
-    The row's own norm is computed ONCE and shared across all K scores
-    (cosine() would recompute it per centroid — a 2× saving on the
-    dominant term), and each centroid's norm is folded in as a Python
-    constant."""
+    The K×DIM matrix enters the plan as ONE nested-array literal (not
+    K×DIM Literal nodes — the earlier unrolled form made every
+    analysis/codegen pass walk ~1000 nodes, measured at ~4.6 s of pure
+    per-run planning overhead at K=16, DIM=64) and the scores come from
+    a single indexed ``transform``.  Each centroid is pre-normalized in
+    Python, so the per-element work is one zip_with dot over the row
+    divided by the row's own norm — the same math as cosine up to ulp
+    ordering (ANN rank order is recall-gated, not hash-gated, so ulp
+    drift is within contract)."""
     ed = _as_double(emb_col)
     row_norm = norm(ed)
-    return F.array(
-        *[
-            F.struct(
-                (
-                    dot(ed, F.array(*[F.lit(float(v)) for v in c]))
-                    / (row_norm * math.sqrt(sum(v * v for v in c)))
-                ).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    normed = [
+        [float(v) / math.sqrt(sum(x * x for x in c)) for v in c] for c in cents
+    ]
+    return F.transform(
+        F.lit(normed),
+        lambda c, i: F.struct((dot(ed, c) / row_norm).alias("s"), i.alias("i")),
     )
 
 
