@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.coloring import scoped_shuffle_partitions
 from ..sources.tables import ensure_utc, events_stream, load_table
 
 SESSION_GAP_MIN = 30
@@ -207,6 +208,36 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _drain_to_memory(
+    spark: SparkSession, stream_df: DataFrame, sink_name: str, mode: str, sf_dir: str
+) -> DataFrame:
+    """Run a finite streaming plan to completion into a memory sink and
+    return the sink table.  The run is wrapped in
+    ``scoped_shuffle_partitions`` sized to the events row count
+    (parquet-footer metadata, no scan): the state-store partition count
+    is fixed by spark.sql.shuffle.partitions at query start, and
+    core-count-wide state stores on a small keyed working set are pure
+    per-partition overhead (measured on the stream-stream join at
+    sf0.1: 6.3 s → 2.8 s steady-state at 8 vs 32 state partitions).
+    A 100 TB deployment sizes this the opposite way — state partitions
+    ≈ cluster cores — which is exactly what the session default gives
+    on big inputs: the clamp never raises the width."""
+    n_rows = load_table(spark, sf_dir, "events").count()
+    with scoped_shuffle_partitions(spark, n_rows):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(sink_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(sink_name)
+
+
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: file source → watermark → tumbling
     window aggregation → memory sink, driven to completion synchronously.
@@ -225,16 +256,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_hourly_counts_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
     return spark.table(sink_name).select(
         F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
         "event_type",
@@ -277,16 +299,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a finite source) and complete; complete emits every session, which
     # is what the finite-input harness needs (same caveat as
     # streaming_hourly_counts: at scale, append to a real sink)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
     seq = Window.partitionBy("user_id").orderBy("t_min")
     return (
         spark.table(sink_name)
@@ -345,16 +358,7 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_name = "streaming_user_totals_sink"
-    q = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, counted, sink_name, "update", sf_dir)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(sink_name)
@@ -470,16 +474,7 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_hopping_counts_sink"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
     return (
         spark.table(sink_name)
         .select(
@@ -548,16 +543,7 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("t_buy") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
     )
     sink_name = "streaming_click_purchase_sink"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, pairs, sink_name, "append", sf_dir)
     return (
         spark.table(sink_name)
         .groupBy(F.col("u").alias("user_id"))
@@ -590,16 +576,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     sink_name = "streaming_dedup_sink"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_to_memory(spark, deduped, sink_name, "append", sf_dir)
     return (
         spark.table(sink_name)
         .groupBy("event_type")
@@ -659,11 +636,13 @@ def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(_write_epoch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    n_rows = load_table(spark, sf_dir, "events").count()
+    with scoped_shuffle_partitions(spark, n_rows):
+        q = agg.writeStream.outputMode("complete").foreachBatch(_write_epoch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(out).select(
         "hour_epoch", "event_type", "n", "total_value", "avg_value"
     )
