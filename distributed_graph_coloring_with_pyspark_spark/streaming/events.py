@@ -401,6 +401,51 @@ _PERCENTILES_ORACLE = """
 """
 
 
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert COMPACTION — the "latest version per key" pass every
+    incremental pipeline runs to turn an append-only event log into a
+    current-state snapshot: keep each user's most recent event
+    (event-time, event_id as the deterministic uniquifier).  One
+    window shuffle on the key, no self-join — the same plan compacts a
+    changelog at 100 TB, where the key would be the primary key and
+    the sink a transactional table format's MERGE.  Summarized
+    per event type so the result is a compact, hash-checkable profile
+    of the snapshot (the full snapshot is the pre-aggregation frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LATEST_SNAPSHOT_ORACLE = """
+    WITH latest AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM latest
+    WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE 100 TB percentile path — the sketch swap
     ``events_value_percentiles`` names, run for real: per-type
@@ -681,9 +726,11 @@ QUERIES = {
 # tests/test_streaming_batch_equivalence.py alongside the streaming set.
 EXTRA_QUERIES = {
     "events_value_quantiles_approx": events_value_quantiles_approx,
+    "events_latest_snapshot": events_latest_snapshot,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
+    "events_latest_snapshot": _LATEST_SNAPSHOT_ORACLE,
 }
 
 STREAMING_QUERIES = {

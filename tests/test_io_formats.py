@@ -65,3 +65,46 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters", 1)[1][:200]
     # count matches the unpartitioned filter
     assert filtered.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_events_ts_unit_sniff(spark, tmp_path):
+    """The events loader adapts to the file's physical ts unit: micros
+    (current generator) reads natively; int64/nanos (earlier
+    generations, and what Spark writes for a LongType ts) takes the
+    exact div-1000 path.  Both must yield identical timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import (
+        events_ts_is_nanos,
+        load_table,
+    )
+
+    # real testdata is micros
+    assert events_ts_is_nanos(SF) is False
+
+    base = load_table(spark, SF, "events").limit(50).collect()
+    micros = [
+        int(r.ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+        for r in base
+    ]
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r.event_id for r in base],
+                "ts": pa.array([m * 1000 for m in micros], pa.int64()),
+                "user_id": [r.user_id for r in base],
+                "event_type": [r.event_type for r in base],
+                "value": [r.value for r in base],
+                "props": [r.props for r in base],
+            }
+        ),
+        str(nanos_dir / "events.parquet"),
+    )
+    assert events_ts_is_nanos(str(nanos_dir)) is True
+    got = load_table(spark, str(nanos_dir), "events").collect()
+    assert sorted((r.event_id, r.ts) for r in got) == sorted(
+        (r.event_id, r.ts) for r in base
+    )

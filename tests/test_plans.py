@@ -123,3 +123,22 @@ def test_q1_pushdown_and_partial_agg(spark):
     df = R.q1_pricing_summary(spark, SF)
     assert any("l_shipdate" in f for f in pushed_filters(df))
     assert "partial_sum" in plan_string(df)
+
+
+def test_repetition_stats_prunes_metadata(spark):
+    # repetition_stats touches doc_id/text only — lang/source/n_chars
+    # must never reach the scan
+    schemas = scan_schemas(TD.repetition_stats(spark, SF))
+    assert schemas and all(
+        "lang" not in s and "source" not in s and "n_chars" not in s
+        for s in schemas
+    )
+
+
+def test_latest_snapshot_prunes_props(spark):
+    # CDC compaction reads user_id/ts/event_id/event_type/value — the
+    # wide props JSON column must be pruned from the scan
+    from distributed_graph_coloring_with_pyspark_spark.streaming import events as E
+
+    schemas = scan_schemas(E.events_latest_snapshot(spark, SF))
+    assert schemas and all("props" not in s for s in schemas)
