@@ -304,6 +304,58 @@ _FRAME_SAMPLE_ORACLE = f"""
 """
 
 
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column — the multimodal twin
+    of ``dedup_exact``: group on md5(blob) (32-byte shuffle key
+    regardless of payload size, the property that makes this the 100 TB
+    plan — the blobs themselves never shuffle), then the per-type
+    storage-reclaim report a media pipeline acts on.  All JVM-side
+    binary expressions, no Python.  Rows sharing a hash share a payload,
+    so ``first(n_bytes)`` within a hash group is deterministic."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents"))
+    per_hash = (
+        blobs.select(
+            "media_type",
+            F.md5("blob").alias("payload_md5"),
+            F.octet_length("blob").alias("n_bytes"),
+        )
+        .groupBy("media_type", "payload_md5")
+        .agg(F.count("*").alias("c"), F.first("n_bytes").alias("n_bytes"))
+    )
+    return (
+        per_hash.groupBy("media_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_blobs"),
+            F.count("*").cast("long").alias("n_distinct_payloads"),
+            (F.sum("c") - F.count("*")).cast("long").alias("n_redundant"),
+            F.sum((F.col("c") - 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias("bytes_reclaimed"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_DEDUP_EXACT_BLOB_ORACLE = f"""
+    WITH blobs AS (
+        SELECT {_MAGIC_CASE} AS media_type,
+               md5({_MAGIC_CASE} || text) AS payload_md5,
+               octet_length(encode({_MAGIC_CASE} || text)) AS n_bytes
+        FROM documents
+    ), per_hash AS (
+        SELECT media_type, payload_md5, count(*) AS c, min(n_bytes) AS n_bytes
+        FROM blobs GROUP BY media_type, payload_md5
+    )
+    SELECT media_type, sum(c)::BIGINT AS n_blobs,
+           count(*)::BIGINT AS n_distinct_payloads,
+           (sum(c) - count(*))::BIGINT AS n_redundant,
+           sum((c - 1) * n_bytes)::BIGINT AS bytes_reclaimed
+    FROM per_hash
+    GROUP BY media_type
+    ORDER BY media_type
+"""
+
+
 QUERIES = {
     "multimodal_blob_stats": multimodal_blob_stats,
     "multimodal_decode_features": multimodal_decode_features,
@@ -318,5 +370,11 @@ ORACLES = {
 
 # pytest-gated (driver registry is capped at 50 entries): same
 # value-hash contract, enforced by tests/test_multimodal_extra.py
-PYTEST_QUERIES = {"multimodal_resize": multimodal_resize}
-PYTEST_ORACLES = {"multimodal_resize": _RESIZE_ORACLE}
+PYTEST_QUERIES = {
+    "multimodal_resize": multimodal_resize,
+    "multimodal_dedup_exact": multimodal_dedup_exact,
+}
+PYTEST_ORACLES = {
+    "multimodal_resize": _RESIZE_ORACLE,
+    "multimodal_dedup_exact": _DEDUP_EXACT_BLOB_ORACLE,
+}

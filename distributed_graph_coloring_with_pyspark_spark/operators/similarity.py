@@ -727,5 +727,73 @@ ORACLES = {
 
 # Oracle-checked via pytest (tests/test_similarity_extra.py) rather
 # than the 50-entry-capped driver registry.
-PYTEST_QUERIES = {"quantize_embeddings_int8": quantize_embeddings_int8}
-PYTEST_ORACLES = {"quantize_embeddings_int8": _QUANTIZE_ORACLE}
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cluster cohesion — the SemDeDup-style
+    diagnostic a pipeline runs before trusting label/cluster structure:
+    per-dimension mean centroid (posexplode → (label, dim) agg with
+    map-side combine → reassembled via sorted collect_list, K×DIM rows
+    total), broadcast back to the corpus for one cosine-to-centroid
+    pass.  Two shuffles (dim agg, label agg), centroid frame is
+    K×DIM ≈ bounded model state exactly like the IVF quantizer, corpus
+    never shuffles.  Mirrors the DuckDB oracle expression-for-
+    expression (sequential double sums, round at 6dp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = _as_double(F.col("embedding"))
+    ex = emb.select("label", F.posexplode(ed).alias("d", "v"))
+    cent = ex.groupBy("label", "d").agg(F.avg("v").alias("m"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    joined = emb.join(F.broadcast(carr), "label")
+    cos = dot(ed, F.col("centroid")) / (norm(ed) * norm(F.col("centroid")))
+    return (
+        joined.select("label", cos.alias("cos"), norm(F.col("centroid")).alias("cn"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.first("cn"), 6).alias("centroid_norm"),
+            F.round(F.avg("cos"), 6).alias("avg_cos_to_centroid"),
+            F.round(F.min("cos"), 6).alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+_CENTROID_STATS_ORACLE = """
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, d, avg(v) AS m FROM ex GROUP BY label, d
+    ), carr AS (
+        SELECT label, list(m ORDER BY d) AS centroid FROM cent GROUP BY label
+    ), scored AS (
+        SELECT e.label,
+               list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c.centroid),
+                        x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+                  * sqrt(list_sum(list_transform(c.centroid, v -> v * v)))) AS cos,
+               sqrt(list_sum(list_transform(c.centroid, v -> v * v))) AS cn
+        FROM embeddings e JOIN carr c USING (label)
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(min(cn), 6) AS centroid_norm,
+           round(avg(cos), 6) AS avg_cos_to_centroid,
+           round(min(cos), 6) AS min_cos_to_centroid
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+PYTEST_QUERIES = {
+    "quantize_embeddings_int8": quantize_embeddings_int8,
+    "embedding_centroid_stats": embedding_centroid_stats,
+}
+PYTEST_ORACLES = {
+    "quantize_embeddings_int8": _QUANTIZE_ORACLE,
+    "embedding_centroid_stats": _CENTROID_STATS_ORACLE,
+}
