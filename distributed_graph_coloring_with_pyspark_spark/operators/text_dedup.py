@@ -42,6 +42,8 @@ end (see _simhash_signatures).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -116,6 +118,40 @@ def _doc_shingles(
 # ---------------------------------------------------------------------------
 
 
+# The (doc_id, shingles) projection is the shared input of THREE dedup
+# families (MinHash, exact n-gram Jaccard, near-dup components) and the
+# single most expensive pre-shuffle step of each (~5 s of HOF work per
+# scan at sf0.1).  Memoize ONE persisted copy per (session, sf_dir) —
+# the same shared-scan materialization the customer-graph edge cache
+# does (graph_bridge.py), with the same weak keying and explicit
+# release.  At 100 TB this is the "materialize the shingle table once
+# per corpus build" step every multi-pass dedup pipeline schedules.
+_SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, shingles) for this session+corpus (built with
+    the parallel projection; consumers reading the cache no longer care
+    about the scan-split question the parallel flag answers)."""
+    per_session = _SHINGLE_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = _doc_shingles(spark, sf_dir, parallel=True).persist()
+        per_session[sf_dir] = df
+    return df
+
+
+def clear_shingle_cache(spark: SparkSession) -> int:
+    """Unpersist and drop this session's shingle frames; returns the
+    number of entries released."""
+    dropped = _SHINGLE_CACHE.pop(spark, {})
+    for df in dropped.values():
+        df.unpersist(False)
+    return len(dropped)
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate detection on sha256 of normalized text (lower +
     trim).  One row out: corpus size, distinct-normalized-text count,
@@ -157,6 +193,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     False positives from band-key collisions are removed by the exact
     verify, so the 64-bit bucket key needs no collision handling.
     """
+    # NOT the shared shingle cache: the signature's map-side combine
+    # overlaps the parquet scan, which measurably beats re-reading the
+    # persisted (array-heavy) cached frame here — the one consumer for
+    # whom recompute-from-scan wins (see _doc_shingles' parallel note).
     sh = _doc_shingles(spark, sf_dir).persist()
 
     # signature[i] = min over shingles of xxhash64(shingle, seed=i).
@@ -809,8 +849,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold: no signature cost and zero misses, in exchange for a
     corpus-dependent candidate volume — the standard trade, which is why
     both paths ship."""
-    sh = _doc_shingles(spark, sf_dir, parallel=True)
-    grams = sh.filter(F.size("shingles") > 0).persist()
+    grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
     return (
         _prefix_jaccard_pairs(grams)
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
@@ -822,11 +861,19 @@ def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
     """Exact (doc_a, doc_b, j) pairs with Jaccard ``j`` ≥
     ``_JACCARD_THRESHOLD`` over a (doc_id, shingles) frame, via the
     lossless prefix-filter + length-filter candidate join documented in
-    ``dedup_ngram_jaccard``.  Callers persist ``grams`` (it is scanned
-    for the index AND the verify)."""
+    ``dedup_ngram_jaccard``.  ``grams`` is scanned for the index AND
+    the verify — callers hand in either the session shingle cache
+    (already persisted) or their own persisted frame (curate_corpus's
+    survivor set)."""
+    # grams travel as xxhash64 ints, not strings: the df count, per-doc
+    # window sort and candidate equi-join all shuffle 8-byte keys
+    # instead of ~20-byte token strings.  A hash collision can only ADD
+    # a candidate pair (gram equality relaxed to hash equality), and
+    # every candidate is exact-verified on the true shingle arrays
+    # below — lossless end to end.
     ex = grams.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("gram")
-    )
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
+    ).select("doc_id", "n", F.xxhash64("g").alias("gram"))
     gram_df = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     prefix = (
@@ -1002,8 +1049,7 @@ def dedup_components(
     check because colorings are not unique — components ARE)."""
     from .graph_analytics import min_label_components
 
-    sh = _doc_shingles(spark, sf_dir, parallel=True)
-    grams = sh.filter(F.size("shingles") > 0).persist()
+    grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
     pairs = _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
