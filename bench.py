@@ -1,10 +1,10 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  77 queries total vs BENCH_r03's 57: per-query
+JSON line on stdout.  78 queries total vs BENCH_r03's 57: per-query
 timings are directly comparable, but the SUM is not like-for-like
 (round 4 merged the two nations set-op queries into one
-`nations_setops` entry and added 21 pytest-gated queries — dedup,
+`nations_setops` entry and added 22 pytest-gated queries — dedup,
 streaming, graph-analytics, text-ranking, sampling and quantization
 surfaces; see SURVEY.md §8 for the full ledger).
 
@@ -60,6 +60,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
         PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.relational import (
+        PYTEST_QUERIES as REL_PYTEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.text_rank import (
         PYTEST_QUERIES as RANK_PYTEST_QUERIES,
     )
@@ -88,6 +91,7 @@ def main() -> int:
     bench_set.update(GRAPH_PYTEST_QUERIES)
     bench_set.update(RANK_PYTEST_QUERIES)
     bench_set.update(EVENTS_EXTRA_QUERIES)
+    bench_set.update(REL_PYTEST_QUERIES)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

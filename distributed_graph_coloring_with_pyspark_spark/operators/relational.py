@@ -526,6 +526,49 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third multi-level-aggregation API
+    after rollup (prefix hierarchy) and cube (full lattice): exactly
+    the per-status slice, the per-priority slice, and the grand total,
+    one shuffle, no lattice blowup.  The custom-set form is what a
+    reporting layer uses when the cube is too wide to materialize —
+    at 100 TB you enumerate the slices you serve, not 2^n of them."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY orderstatus, orderpriority
+"""
+
+# pytest-gated (driver registry capped at 50): same oracle contract,
+# enforced by tests/test_relational_extra.py.
+PYTEST_QUERIES = {"grouping_sets_order_stats": grouping_sets_order_stats}
+PYTEST_ORACLES = {"grouping_sets_order_stats": _GROUPING_SETS_ORACLE}
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
