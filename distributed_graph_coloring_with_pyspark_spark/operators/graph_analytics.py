@@ -256,6 +256,71 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_depth: int = BFS_MAX
     return dist
 
 
+def sssp_distances(
+    edges: DataFrame, sources: DataFrame, max_rounds: int = BFS_MAX_DEPTH
+) -> DataFrame:
+    """WEIGHTED single-source shortest paths over ``edges(src, dst,
+    weight)`` — the escalation ``bfs_distances`` names: distributed
+    Bellman-Ford by iterated relaxation.  Each round joins the current
+    tentative distances to the edge list, takes the per-vertex min of
+    (old, via-neighbor) — and, unlike BFS, may REVISIT a settled vertex
+    with a cheaper path, which is exactly what makes it correct on
+    weighted graphs.  Convergence: the distance sum is monotone
+    non-increasing and strictly decreases until fixpoint, so the loop
+    keeps the house discipline — ONE action per round, lazy
+    ``localCheckpoint``.  Rounds ≤ longest shortest path in hops
+    (classic Bellman-Ford bound ≤ |V|−1; small-world graphs converge in
+    tens).  Integer weights keep the fixpoint float-free, so the sum
+    test is exact."""
+    dist = sources.select(F.col("id"), F.lit(0).cast("long").alias("dist"))
+    dist = dist.localCheckpoint(eager=False)
+    prev_sum = None
+    for _ in range(max_rounds):
+        relaxed = (
+            edges.join(dist, edges.src == dist.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed, "id", "full_outer")
+            .select(
+                # least() skips NULLs: a newly-reached vertex takes cand,
+                # an un-relaxed vertex keeps dist
+                "id",
+                F.least("dist", "cand").alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = dist.agg(
+            F.sum("dist").alias("s"), F.count("*").alias("n")
+        ).collect()[0]  # the ONE action per round
+        key = (cur.s, cur.n)
+        if key == prev_sum:
+            break
+        prev_sum = key
+    return dist
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path cost from the minimum customer id over
+    the fixture graph, with a deterministic synthetic weight per edge
+    (1 + (src+dst) mod 7 — both engines/oracles can derive it) →
+    (id, dist) for every reachable vertex.  Gated by a pure-Python
+    Dijkstra oracle (tests/test_graph_analytics.py); integer-exact."""
+    edges = customer_graph_edges(spark, sf_dir).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("weight")
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    source = cu.agg(F.min("c_custkey").alias("id")).select("id")
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        return sssp_distances(edges, source).orderBy("id")
+
+
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distance from the minimum customer id to every customer
     it can reach in the fixture graph → (id, dist), deterministic and
@@ -450,6 +515,7 @@ PYTEST_QUERIES = {
     "graph_components": graph_components,
     "graph_bfs_distances": graph_bfs_distances,
     "graph_kcore": graph_kcore,
+    "graph_sssp_weighted": graph_sssp_weighted,
 }
 
 PYTEST_ORACLES = {

@@ -129,3 +129,33 @@ def test_kcore_matches_python_peeling(spark):
     # customers outside the edge set are core 0 singletons
     assert all(c == 0 for v, c in got.items() if v not in want)
     assert max(got.values()) >= 2, "fixture graph should have a non-trivial core"
+
+
+def test_sssp_matches_python_dijkstra(spark):
+    import heapq
+
+    edges = [(r.src, r.dst) for r in customer_graph_edges(spark, SF).collect()]
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append((d, (s + d) % 7 + 1))
+    src = min(r.id for r in PYTEST_QUERIES["graph_bfs_distances"](spark, SF).collect())
+    # reference Dijkstra from the same min-id source
+    want = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > want.get(v, float("inf")):
+            continue
+        for u, w in adj.get(v, []):
+            nd = d + w
+            if nd < want.get(u, float("inf")):
+                want[u] = nd
+                heapq.heappush(pq, (nd, u))
+    got = {
+        r.id: r.dist
+        for r in PYTEST_QUERIES["graph_sssp_weighted"](spark, SF).collect()
+    }
+    assert got == want
+    # weighted cost must dominate hop count (weights >= 1)
+    bfs = {r.id: r.dist for r in PYTEST_QUERIES["graph_bfs_distances"](spark, SF).collect()}
+    assert all(got[v] >= bfs[v] for v in got)
