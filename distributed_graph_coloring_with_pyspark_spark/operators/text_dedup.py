@@ -1338,6 +1338,38 @@ _REPETITION_ORACLE = """
 """
 
 
+def stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level cleaning — the preprocessing pass between ingestion
+    and tokenizer training: drop stopwords, keep order, emit the
+    before/after accounting plus an md5 of the cleaned text so the
+    transform itself is value-pinned (not just the counts).  Pure
+    Catalyst HOF filter — stateless per-row projection, no shuffle
+    until the final presentation orderBy (dropped in a real pipeline,
+    which writes the cleaned column back to parquet)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+_STOPWORD_FILTER_ORACLE = f"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_tokens,
+           len(list_filter(string_split(trim(text), ' '),
+               t -> NOT list_contains({_STOPWORDS!r}, t))) AS n_kept,
+           md5(array_to_string(list_filter(string_split(trim(text), ' '),
+               t -> NOT list_contains({_STOPWORDS!r}, t)), ' ')) AS cleaned_md5
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1374,6 +1406,7 @@ PYTEST_QUERIES = {
     "dedup_components": dedup_components,
     "stratified_sample_split": stratified_sample_split,
     "repetition_stats": repetition_stats,
+    "stopword_filter": stopword_filter,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -1381,4 +1414,5 @@ PYTEST_ORACLES = {
     "dedup_components": _COMPONENTS_ORACLE,
     "stratified_sample_split": _STRATIFIED_ORACLE,
     "repetition_stats": _REPETITION_ORACLE,
+    "stopword_filter": _STOPWORD_FILTER_ORACLE,
 }
