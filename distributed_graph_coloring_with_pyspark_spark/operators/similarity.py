@@ -394,10 +394,6 @@ _IVF_NPROBE = 10  # cells probed per query
 _IVF_ITERS = 2  # Lloyd refinement iterations
 
 
-def _centroid_literals(cents: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
-
-
 def _cell_scores(emb_col: Column, cents: list[list[float]]) -> Column:
     """Array of K (cosine, idx) structs against the centroid matrix.
 
