@@ -1150,9 +1150,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .persist()
     )
-    grams = exact.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
-        F.size("shingles") > 0
-    ).persist()
+    # survivor shingles come from the session shingle cache (shingling
+    # is text-only, so the subset's shingles are the cached rows for the
+    # surviving doc_ids) — a doc_id semi-join against the persisted
+    # frame instead of re-running the ~5 s HOF projection per build
+    grams = (
+        shingle_frame(spark, sf_dir)
+        .join(exact.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
     dropped = (
         _prefix_jaccard_pairs(grams)
         .select(F.col("doc_b").alias("doc_id"))
