@@ -145,6 +145,39 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the fixture graph — Pearson correlation
+    of (degree(src), degree(dst)) over the symmetric edge list (Newman
+    2002), the one-scalar answer to "do hubs attach to hubs?".  Two
+    broadcast-sized joins of the degree table onto the edges and one
+    corr aggregate — a single pass at any scale (corr is a streaming
+    moment computation, no sort).  Value-checked against DuckDB's corr
+    over the identical edge CTE."""
+    edges = customer_graph_edges(spark, sf_dir)
+    deg = degrees(edges)
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    return (
+        edges.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"),
+        )
+    )
+
+
+_ASSORTATIVITY_ORACLE = f"""
+    WITH {EDGES_CTE},
+    deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src)
+    SELECT count(*)::BIGINT AS n_edges,
+           round(corr(a.degree, b.degree), 6) AS assortativity
+    FROM e
+    JOIN deg a ON e.src = a.id
+    JOIN deg b ON e.dst = b.id
+"""
+
+
 KCORE_MAX_ROUNDS = 100
 
 
@@ -516,10 +549,12 @@ PYTEST_QUERIES = {
     "graph_bfs_distances": graph_bfs_distances,
     "graph_kcore": graph_kcore,
     "graph_sssp_weighted": graph_sssp_weighted,
+    "graph_assortativity": graph_assortativity,
 }
 
 PYTEST_ORACLES = {
     "triangle_count": _TRIANGLE_ORACLE,
     "graph_components": _COMPONENTS_ORACLE,
     "graph_bfs_distances": _BFS_ORACLE,
+    "graph_assortativity": _ASSORTATIVITY_ORACLE,
 }
