@@ -159,3 +159,65 @@ def test_sssp_matches_python_dijkstra(spark):
     # weighted cost must dominate hop count (weights >= 1)
     bfs = {r.id: r.dist for r in PYTEST_QUERIES["graph_bfs_distances"](spark, SF).collect()}
     assert all(got[v] >= bfs[v] for v in got)
+
+
+def test_iterative_loops_one_action_per_round(spark, monkeypatch):
+    """Extend the coloring core's one-action-per-round pin
+    (tests/test_coloring.py) to every other iterative engine in this
+    module: each loop round must issue exactly ONE driver action —
+    BFS its frontier count, the label/relax loops their sum collect —
+    and nothing else (a stray count()/collect() per round is the
+    classic iterative-Spark perf regression)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        bfs_distances,
+        kcore_numbers,
+        min_label_components,
+        sssp_distances,
+    )
+
+    # symmetric path 0-1-2-3 plus isolated-ish triangle 4-5-6
+    und = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    wedges = edges.selectExpr("src", "dst", "(src + dst) % 7 + 1 as weight")
+    src = spark.createDataFrame([(0,)], "id long")
+    DF = type(edges)
+
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DF.collect, DF.count
+    monkeypatch.setattr(
+        DF,
+        "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1), orig_collect(self))[1],
+    )
+    monkeypatch.setattr(
+        DF,
+        "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1), orig_count(self))[1],
+    )
+
+    # BFS from 0 on the path: frontiers at depth 1,2,3 then empty → 4
+    # counts exactly, zero collects
+    calls.update(collect=0, count=0)
+    got = {(r.id, r.dist) for r in orig_collect(bfs_distances(edges, src))}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    assert calls["count"] == 4 and calls["collect"] == 0, calls
+
+    # label propagation: one sum collect per round (+ init), no counts
+    calls.update(collect=0, count=0)
+    labels = {(r.id, r.label) for r in orig_collect(min_label_components(edges))}
+    assert labels == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4)}
+    assert calls["count"] == 0 and 2 <= calls["collect"] <= 6, calls
+
+    # k-core: same discipline
+    calls.update(collect=0, count=0)
+    cores = {(r.id, r.core) for r in orig_collect(kcore_numbers(edges))}
+    assert cores == {(0, 1), (1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)}
+    assert calls["count"] == 0 and 2 <= calls["collect"] <= 6, calls
+
+    # weighted SSSP: sum collect per round only
+    calls.update(collect=0, count=0)
+    dist = {(r.id, r.dist) for r in orig_collect(sssp_distances(wedges, src))}
+    assert dist == {(0, 0), (1, 2), (2, 6), (3, 12)}
+    assert calls["count"] == 0 and 2 <= calls["collect"] <= 7, calls
