@@ -71,10 +71,20 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
             return False
         path = parts[0]
     try:
-        t = pq.read_schema(path).field("ts").type
+        sch = pq.ParquetFile(path).schema
+        col = sch.column(sch.names.index("ts"))
     except Exception:
         return False
-    return getattr(t, "unit", "ns") == "ns"
+    # Decide on the PARQUET physical type, not the arrow mapping:
+    # pyarrow surfaces both INT96 (Spark's own legacy timestamp, which
+    # Spark reads natively) and INT64 TIMESTAMP(NANOS) as
+    # timestamp[ns], but only the latter needs the long-schema path.
+    if col.physical_type != "INT64":
+        return False
+    lt = col.logical_type
+    if lt.type == "TIMESTAMP":
+        return "nano" in str(lt).lower()
+    return True  # plain INT64 → long epoch-nanos (test fixtures)
 
 TABLE_NAMES = [
     "region",

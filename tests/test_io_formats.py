@@ -108,3 +108,39 @@ def test_events_ts_unit_sniff(spark, tmp_path):
     assert sorted((r.event_id, r.ts) for r in got) == sorted(
         (r.event_id, r.ts) for r in base
     )
+
+
+def test_multifile_corpus_layout(spark, tmp_path):
+    """Operators must give identical answers when a table is a
+    directory of part files (the real-corpus layout every 100 TB claim
+    assumes) instead of one file.  Repartition documents+events into
+    4-part directories and compare three representative operators
+    against their single-file results."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        clear_shingle_cache,
+        dedup_near_minhash,
+        repetition_stats,
+        text_stats,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        events_sessionization,
+    )
+
+    sf = SF
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    for name in ("documents", "events"):
+        load_table(spark, sf, name).repartition(4).write.parquet(
+            str(multi / f"{name}.parquet")
+        )
+    clear_shingle_cache(spark)
+    try:
+        for fn in (text_stats, repetition_stats, dedup_near_minhash):
+            a = _sorted_rows(fn(spark, sf))
+            b = _sorted_rows(fn(spark, str(multi)))
+            assert a == b, fn.__name__
+        a = _sorted_rows(events_sessionization(spark, sf))
+        b = _sorted_rows(events_sessionization(spark, str(multi)))
+        assert a == b
+    finally:
+        clear_shingle_cache(spark)
