@@ -1,10 +1,10 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  81 queries total vs BENCH_r03's 57: per-query
+JSON line on stdout.  82 queries total vs BENCH_r03's 57: per-query
 timings are directly comparable, but the SUM is not like-for-like
 (round 4 merged the two nations set-op queries into one
-`nations_setops` entry and added 25 pytest-gated queries — dedup,
+`nations_setops` entry and added 26 pytest-gated queries — dedup,
 streaming, graph-analytics, text-ranking, sampling and quantization
 surfaces; see SURVEY.md §8 for the full ledger).
 

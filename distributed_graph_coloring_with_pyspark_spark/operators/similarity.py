@@ -785,9 +785,74 @@ _CENTROID_STATS_ORACLE = """
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str):
+    """Distributed DIM×DIM covariance of the embedding corpus: one
+    posexplode pass to per-dimension means, one self-join on vec_id of
+    the exploded (dim, centered value) rows to the upper-triangle
+    outer products, aggregated with map-side combine.  Driver state is
+    DIM² floats (the classic bounded-model reduction — same contract
+    as the IVF centroids), corpus passes are linear.  Returns
+    (n, numpy DIM×DIM covariance)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ex = emb.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("d", "v")
+    )
+    means = {r.d: r.m for r in ex.groupBy("d").agg(F.avg("v").alias("m")).collect()}
+    mean_arr = F.array(*[F.lit(means[d]) for d in range(len(means))])
+    cen = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.zip_with(
+                _as_double(F.col("embedding")), mean_arr, lambda v, m: v - m
+            )
+        ).alias("d", "v"),
+    )
+    a, b = cen.alias("a"), cen.alias("b")
+    cov_rows = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.d") <= F.col("b.d")))
+        .groupBy(F.col("a.d").alias("i"), F.col("b.d").alias("j"))
+        .agg((F.sum(F.col("a.v") * F.col("b.v")) / F.lit(float(n - 1))).alias("c"))
+        .collect()
+    )
+    dim = len(means)
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.c
+    return n, cov
+
+
+def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal components of the embedding corpus — the variance
+    diagnostic run before dimensionality reduction or whitening: the
+    distributed covariance above, then an eigensolve on the driver
+    (DIM×DIM — trivially bounded; the data-sized work all happened in
+    the cluster).  Emits the top-5 eigenvalues and explained-variance
+    ratios.  Gated by a numpy oracle that recomputes covariance + eigh
+    directly from the collected vectors (tests/test_similarity_extra)."""
+    import numpy as np
+
+    n, cov = embedding_covariance(spark, sf_dir)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    rows = [
+        (int(k + 1), round(float(evals[k]), 6), round(float(evals[k] / total), 6))
+        for k in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+# embedding_pca_top carries a numpy oracle (eigensolve — not
+# SQL-expressible), so it appears in PYTEST_QUERIES without a DuckDB
+# entry, like the graph module's pagerank/SSSP.
 PYTEST_QUERIES = {
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_centroid_stats": embedding_centroid_stats,
+    "embedding_pca_top": embedding_pca_top,
 }
 PYTEST_ORACLES = {
     "quantize_embeddings_int8": _QUANTIZE_ORACLE,

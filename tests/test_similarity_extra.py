@@ -16,9 +16,11 @@ from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
 SF = "/root/testdata/sf0.01"
 
 
-@pytest.mark.parametrize("name", sorted(PYTEST_QUERIES))
+@pytest.mark.parametrize("name", sorted(PYTEST_ORACLES))
 def test_similarity_extra_matches_oracle(spark, name):
-    assert set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+    # PYTEST_ORACLES ⊆ PYTEST_QUERIES: python-oracle entries (pca)
+    # have their own dedicated tests below
+    assert set(PYTEST_ORACLES) <= set(PYTEST_QUERIES)
     sdf = PYTEST_QUERIES[name](spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -41,3 +43,30 @@ def test_quantization_quality_bounds(spark):
     rows = PYTEST_QUERIES["quantize_embeddings_int8"](spark, SF).collect()
     assert all(r.cos_recon >= 0.999 for r in rows)
     assert all(r.max_abs_err <= r.scale / 254 + 5e-7 for r in rows)
+
+
+def test_pca_matches_numpy(spark):
+    """The distributed covariance + driver eigensolve must agree with
+    numpy computing both steps directly from the collected vectors."""
+    import numpy as np
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        embedding_pca_top,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    X = np.array(
+        [r.embedding for r in load_table(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(X, rowvar=False)
+    want = np.linalg.eigvalsh(cov)[::-1]
+    total = want.sum()
+    got = embedding_pca_top(spark, SF).collect()
+    assert [r.component for r in got] == [1, 2, 3, 4, 5]
+    for r in got:
+        w = want[r.component - 1]
+        assert abs(r.eigenvalue - round(w, 6)) <= 2e-6, (r, w)
+        assert abs(r.explained_ratio - round(w / total, 6)) <= 2e-6
+    # ratios are a probability-like profile over a PSD spectrum
+    assert all(r.explained_ratio >= 0 for r in got)
