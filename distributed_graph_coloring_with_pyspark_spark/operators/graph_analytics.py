@@ -103,6 +103,12 @@ def min_label_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"min_label_components: no fixpoint within {max_rounds} rounds —"
+            " component diameter exceeds the bound; raise max_rounds or use"
+            " large-star/small-star contraction (Kiveris et al. 2014)"
+        )
     return labels
 
 
@@ -149,17 +155,19 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the fixture graph — Pearson correlation
     of (degree(src), degree(dst)) over the symmetric edge list (Newman
     2002), the one-scalar answer to "do hubs attach to hubs?".  Two
-    broadcast-sized joins of the degree table onto the edges and one
-    corr aggregate — a single pass at any scale (corr is a streaming
-    moment computation, no sort).  Value-checked against DuckDB's corr
-    over the identical edge CTE."""
+    id-keyed joins of the |V|-row degree table onto the edges (NO
+    broadcast hint — the degree table scales with the graph, so the
+    planner must stay free to pick shuffle-hash/sort-merge; AQE still
+    broadcasts when the measured size permits) and one corr aggregate,
+    a streaming moment computation with no sort.  Value-checked
+    against DuckDB's corr over the identical edge CTE."""
     edges = customer_graph_edges(spark, sf_dir)
     deg = degrees(edges)
     ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
     dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
     return (
-        edges.join(F.broadcast(ds), "src")
-        .join(F.broadcast(dd), "dst")
+        edges.join(ds, "src")
+        .join(dd, "dst")
         .agg(
             F.count("*").cast("long").alias("n_edges"),
             F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"),
@@ -229,6 +237,12 @@ def kcore_numbers(edges: DataFrame, max_rounds: int = KCORE_MAX_ROUNDS) -> DataF
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"kcore_numbers: H-index fixpoint not reached within {max_rounds}"
+            " rounds — raise max_rounds (published convergence is far below"
+            " |V| in practice, so this signals a pathological input)"
+        )
     return c.select("id", F.col("c").alias("core"))
 
 
@@ -286,11 +300,20 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_depth: int = BFS_MAX
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("id")
+    else:
+        raise RuntimeError(
+            f"bfs_distances: frontier still live after {max_depth} rounds —"
+            " source eccentricity exceeds the bound; raise max_depth"
+            " (silently truncating would drop every deeper vertex)"
+        )
     return dist
 
 
+SSSP_MAX_ROUNDS = 200  # Bellman-Ford worst case is |V|-1 relaxation rounds
+
+
 def sssp_distances(
-    edges: DataFrame, sources: DataFrame, max_rounds: int = BFS_MAX_DEPTH
+    edges: DataFrame, sources: DataFrame, max_rounds: int = SSSP_MAX_ROUNDS
 ) -> DataFrame:
     """WEIGHTED single-source shortest paths over ``edges(src, dst,
     weight)`` — the escalation ``bfs_distances`` names: distributed
@@ -335,6 +358,12 @@ def sssp_distances(
         if key == prev_sum:
             break
         prev_sum = key
+    else:
+        raise RuntimeError(
+            f"sssp_distances: no fixpoint within {max_rounds} relaxation"
+            " rounds — the minimum-weight path depth exceeds the bound;"
+            " raise max_rounds (Bellman-Ford worst case is |V|-1)"
+        )
     return dist
 
 

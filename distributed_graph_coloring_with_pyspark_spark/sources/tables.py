@@ -53,13 +53,29 @@ EVENTS_TS_SCHEMA = StructType(
 )
 
 
+# sf_dir → sniff result; the physical layout of a corpus is fixed for
+# the life of a run, so the footer is parsed once per directory, not
+# once per load_table/events_stream call
+_TS_UNIT_CACHE: dict[str, bool] = {}
+
+
 def events_ts_is_nanos(sf_dir: str) -> bool:
     """True when events.ts is physically INT64 nanos (or already long).
     Micro/milli/second timestamps read natively; nanos take the
     long-schema + exact ``div 1000`` path.  Handles both a single file
     and a Spark-written directory of part files (footer of the first
     part — one layout per table).  Unreadable/remote paths default to
-    the standard micros read, the layout every modern writer emits."""
+    the standard micros read, the layout every modern writer emits.
+    Memoized per sf_dir (one footer read per corpus per process)."""
+    cached = _TS_UNIT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    result = _sniff_ts_is_nanos(sf_dir)
+    _TS_UNIT_CACHE[sf_dir] = result
+    return result
+
+
+def _sniff_ts_is_nanos(sf_dir: str) -> bool:
     import glob
 
     import pyarrow.parquet as pq
@@ -132,22 +148,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming file-source over events.parquet with the same adaptive
-    ts handling as the batch loader (glob-filtered so sibling tables in
-    sf_dir aren't picked up)."""
+    ts handling as the batch loader.  A single-file layout is reached
+    by glob-filtering sf_dir (so sibling tables aren't picked up); a
+    directory-of-parts layout is streamed from the directory itself —
+    a glob of 'events.parquet' would match NONE of the part-*.parquet
+    leaves and silently deliver zero rows (pinned by
+    tests/test_io_formats.py::test_multifile_corpus_layout)."""
     ensure_utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        def _source(schema):
+            return spark.readStream.schema(schema).parquet(path)
+    else:
+        def _source(schema):
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+
     if events_ts_is_nanos(sf_dir):
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _source(EVENTS_RAW_SCHEMA)
         # exact integer division nanos→micros (see load_table note)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(EVENTS_TS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return _source(EVENTS_TS_SCHEMA)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

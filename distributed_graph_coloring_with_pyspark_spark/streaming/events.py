@@ -256,8 +256,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_hourly_counts_sink"
-    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
-    return spark.table(sink_name).select(
+    sink = _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
+    return sink.select(
         F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
         "event_type",
         "n",
@@ -299,10 +299,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a finite source) and complete; complete emits every session, which
     # is what the finite-input harness needs (same caveat as
     # streaming_hourly_counts: at scale, append to a real sink)
-    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
+    sink = _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
     seq = Window.partitionBy("user_id").orderBy("t_min")
     return (
-        spark.table(sink_name)
+        sink
         .select(
             "user_id",
             "n_events",
@@ -358,10 +358,10 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink_name = "streaming_user_totals_sink"
-    _drain_to_memory(spark, counted, sink_name, "update", sf_dir)
+    sink = _drain_to_memory(spark, counted, sink_name, "update", sf_dir)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(sink_name)
+        sink
         .withColumn("rn", F.row_number().over(latest))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
@@ -519,9 +519,9 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = "streaming_hopping_counts_sink"
-    _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
+    sink = _drain_to_memory(spark, agg, sink_name, "complete", sf_dir)
     return (
-        spark.table(sink_name)
+        sink
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
             "event_type",
@@ -588,9 +588,9 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("t_buy") <= F.col("t_click") + F.expr("INTERVAL 1 HOUR")),
     )
     sink_name = "streaming_click_purchase_sink"
-    _drain_to_memory(spark, pairs, sink_name, "append", sf_dir)
+    sink = _drain_to_memory(spark, pairs, sink_name, "append", sf_dir)
     return (
-        spark.table(sink_name)
+        sink
         .groupBy(F.col("u").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
@@ -621,9 +621,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     sink_name = "streaming_dedup_sink"
-    _drain_to_memory(spark, deduped, sink_name, "append", sf_dir)
+    sink = _drain_to_memory(spark, deduped, sink_name, "append", sf_dir)
     return (
-        spark.table(sink_name)
+        sink
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
         .orderBy("event_type")

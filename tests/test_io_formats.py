@@ -119,11 +119,13 @@ def test_multifile_corpus_layout(spark, tmp_path):
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
         clear_shingle_cache,
         dedup_near_minhash,
+        dedup_ngram_jaccard,
         repetition_stats,
         text_stats,
     )
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
         events_sessionization,
+        streaming_hourly_counts,
     )
 
     sf = SF
@@ -135,12 +137,20 @@ def test_multifile_corpus_layout(spark, tmp_path):
         )
     clear_shingle_cache(spark)
     try:
-        for fn in (text_stats, repetition_stats, dedup_near_minhash):
+        # dedup_ngram_jaccard exercises the session shingle cache on the
+        # directory layout; the others exercise private projections
+        for fn in (text_stats, repetition_stats, dedup_near_minhash, dedup_ngram_jaccard):
             a = _sorted_rows(fn(spark, sf))
+            clear_shingle_cache(spark)
             b = _sorted_rows(fn(spark, str(multi)))
             assert a == b, fn.__name__
+        # streaming file source must see the part files, not zero rows
+        # (a glob of 'events.parquet' matches no part-*.parquet leaf)
         a = _sorted_rows(events_sessionization(spark, sf))
         b = _sorted_rows(events_sessionization(spark, str(multi)))
         assert a == b
+        sa = _sorted_rows(streaming_hourly_counts(spark, sf))
+        sb = _sorted_rows(streaming_hourly_counts(spark, str(multi)))
+        assert sa and sa == sb
     finally:
         clear_shingle_cache(spark)
