@@ -1,17 +1,23 @@
 """Benchmark harness: time every __spark_entry__.queries() entry — plus
 the pytest-gated streaming/ANN/dedup pipelines outside the registry —
 at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE
-JSON line on stdout.  82 queries total vs BENCH_r03's 57: per-query
-timings are directly comparable, but the SUM is not like-for-like
-(round 4 merged the two nations set-op queries into one
-`nations_setops` entry and added 26 pytest-gated queries — dedup,
-streaming, graph-analytics, text-ranking, sampling and quantization
-surfaces; see SURVEY.md §8 for the full ledger).
+compact JSON line as the LAST line of stdout.
 
-Output:
+Driver contract (round-5 fix — BENCH_r04 was unparsed because round 4's
+82-median + 82-cold line overflowed the driver's 2000-char stdout tail
+window): the stdout line is kept under ~1600 chars by carrying the
+headline sum over ALL benched queries plus the per-query medians of the
+50 DRIVER-REGISTERED queries only (2 dp).  The complete result —
+medians for every benched query at 3 dp, the cold first-run column, and
+per-family sums — is written to BENCH_LOCAL.json and BENCH_COLD.json in
+the repo root (committed each round), which is where the full data has
+always lived for the judge.
 
-    {"metric": "sum_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "cold": {name: sec, ...}, "sf": 0.1}
+    stdout:            {"metric": "sum_query_sec", "value": N,
+                        "unit": "sec", "queries": {<registry>: sec},
+                        "sf": 0.1}
+    BENCH_LOCAL.json:  full medians (all queries) + families + sum
+    BENCH_COLD.json:   cold first-run seconds (all queries)
 
 Everything else (progress, errors) goes to stderr so stdout stays
 machine-parseable.  Each query is materialized with a noop-format write
@@ -28,6 +34,15 @@ Queries whose first run exceeds _REPEAT_CUTOFF_SEC run once — they are
 iterative/streaming workloads dominated by fixed per-round overhead,
 not cache state, and tripling them would triple total bench wall-clock
 for no signal.
+
+Session caches (trained IVF quantizers, customer-graph edges, the
+shingle cache) are released between query FAMILIES via
+release_session_caches, so one family's warm state can't flatter or
+starve another's medians — round 4's shared-subset drift was traced to
+exactly this cross-family coupling as the registry grew.  Within a
+family, cache reuse is intentional (it is the steady-state story:
+train-once/serve-many for IVF, share-the-shingles for the dedup
+pipeline).
 """
 
 from __future__ import annotations
@@ -35,12 +50,16 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 _REPEATS = 3
 _REPEAT_CUTOFF_SEC = 15.0
+# the driver keeps only the last 2000 chars of stdout; leave margin
+_STDOUT_LINE_BUDGET = 1900
 
 
 def main() -> int:
@@ -49,7 +68,8 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo_root)
     import __spark_entry__ as entry_mod
     from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
         PYTEST_QUERIES as MM_PYTEST_QUERIES,
@@ -69,8 +89,13 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
     )
-    from distributed_graph_coloring_with_pyspark_spark.session import get_spark
+    from distributed_graph_coloring_with_pyspark_spark.session import (
+        get_spark,
+        release_session_caches,
+    )
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
         EXTRA_QUERIES as EVENTS_EXTRA_QUERIES,
         STREAMING_QUERIES,
@@ -82,50 +107,115 @@ def main() -> int:
     # JVM + parquet-footer warmup so query 1 isn't charged startup cost
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    bench_set = dict(entry_mod.queries())
-    bench_set.update(STREAMING_QUERIES)
-    bench_set.update(ANN_QUERIES)
-    bench_set.update(MM_PYTEST_QUERIES)
-    bench_set.update(DEDUP_PYTEST_QUERIES)
-    bench_set.update(SIM_PYTEST_QUERIES)
-    bench_set.update(GRAPH_PYTEST_QUERIES)
-    bench_set.update(RANK_PYTEST_QUERIES)
-    bench_set.update(EVENTS_EXTRA_QUERIES)
-    bench_set.update(REL_PYTEST_QUERIES)
+    # The persisted-IVF pair (VERDICT r4 #5): build writes the
+    # cell-partitioned index (the write IS the action), the indexed
+    # query reads it back with static partition pruning.  Benched in
+    # the ANN family right after ann_ivf_topk so the warm-path delta
+    # (indexed scan-prune vs full rescan) is directly visible.
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_index_")
+    ivf_path = os.path.join(ivf_dir, "index")
+
+    def bench_build_ivf_index(spark, sf_dir):
+        build_ivf_index(spark, sf_dir, ivf_path)
+        return None  # the partitioned write already materialized
+
+    def bench_ann_ivf_topk_indexed(spark, sf_dir):
+        return ann_ivf_topk_indexed(spark, sf_dir, ivf_path)
+
+    ann_family = dict(ANN_QUERIES)
+    ann_family["ivf_index_build"] = bench_build_ivf_index
+    ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
+
+    registry = dict(entry_mod.queries())
+    families: list[tuple[str, dict]] = [
+        ("registry", registry),
+        ("streaming", dict(STREAMING_QUERIES)),
+        ("ann", ann_family),
+        ("multimodal", dict(MM_PYTEST_QUERIES)),
+        ("dedup_extra", dict(DEDUP_PYTEST_QUERIES)),
+        ("similarity_extra", dict(SIM_PYTEST_QUERIES)),
+        ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
+        ("text_rank", dict(RANK_PYTEST_QUERIES)),
+        ("events_extra", dict(EVENTS_EXTRA_QUERIES)),
+        ("relational_extra", dict(REL_PYTEST_QUERIES)),
+    ]
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name, fn in bench_set.items():
-        runs: list[float] = []
-        try:
-            while len(runs) < _REPEATS:
-                t0 = time.monotonic()
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.monotonic() - t0)
-                if runs[0] > _REPEAT_CUTOFF_SEC:
-                    break
-            timings[name] = round(statistics.median(runs), 3)
-            cold[name] = round(runs[0], 3)
-            detail = "/".join(f"{r:.2f}" for r in runs)
-            print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
-        except Exception as exc:  # keep benching; a broken query scores inf
-            print(f"{name}: FAILED {exc}", file=sys.stderr)
-            timings[name] = float("inf")
-            # keep the cold map key-symmetric with queries (a failure
-            # after run 1 still has a valid cold measurement)
-            cold[name] = round(runs[0], 3) if runs else None
+    family_sums: dict[str, float] = {}
+    for fam_name, bench_set in families:
+        released = release_session_caches(spark)
+        if any(released.values()):
+            print(f"[{fam_name}] released caches: {released}", file=sys.stderr)
+        for name, fn in bench_set.items():
+            runs: list[float] = []
+            try:
+                while len(runs) < _REPEATS:
+                    t0 = time.monotonic()
+                    df = fn(spark, sf_dir)
+                    if df is not None:
+                        df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.monotonic() - t0)
+                    if runs[0] > _REPEAT_CUTOFF_SEC:
+                        break
+                timings[name] = round(statistics.median(runs), 3)
+                cold[name] = round(runs[0], 3)
+                detail = "/".join(f"{r:.2f}" for r in runs)
+                print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
+            except Exception as exc:  # keep benching; a broken query scores inf
+                print(f"{name}: FAILED {exc}", file=sys.stderr)
+                timings[name] = float("inf")
+                # keep the cold map key-symmetric with queries (a failure
+                # after run 1 still has a valid cold measurement)
+                cold[name] = round(runs[0], 3) if runs else None
+        fam_finite = [
+            timings[q] for q in bench_set if timings.get(q, float("inf")) != float("inf")
+        ]
+        family_sums[fam_name] = round(sum(fam_finite), 3)
+    shutil.rmtree(ivf_dir, ignore_errors=True)
 
     finite = [v for v in timings.values() if v != float("inf")]
-    out = {
+    total = round(sum(finite), 3)
+    full = {
         "metric": "sum_query_sec",
-        "value": round(sum(finite), 3),
+        "value": total,
         "unit": "sec",
         "queries": {k: (v if v != float("inf") else None) for k, v in timings.items()},
-        "cold": cold,
+        "families": family_sums,
         "sf": sf,
     }
-    print(json.dumps(out))
+    with open(os.path.join(repo_root, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=False)
+        f.write("\n")
+    with open(os.path.join(repo_root, "BENCH_COLD.json"), "w") as f:
+        json.dump({"cold": cold, "sf": sf}, f, indent=1, sort_keys=False)
+        f.write("\n")
+
+    # stdout line: headline over ALL queries, per-query medians for the
+    # driver-registered 50 only, 2 dp, compact separators — must fit the
+    # driver's 2000-char tail window.
+    line_queries = {
+        k: (round(timings[k], 2) if timings[k] != float("inf") else None)
+        for k in registry
+        if k in timings
+    }
+    out = {
+        "metric": "sum_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": line_queries,
+        "sf": sf,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > _STDOUT_LINE_BUDGET:  # degrade gracefully, never overflow
+        print(
+            f"stdout line {len(line)} chars > {_STDOUT_LINE_BUDGET}; "
+            "dropping per-query map from stdout (full data in BENCH_LOCAL.json)",
+            file=sys.stderr,
+        )
+        out["queries"] = {}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
     return 0
 

@@ -59,7 +59,9 @@ PAGERANK_ITERATIONS = 10
 PAGERANK_DAMPING = 0.85
 
 
-def min_label_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+def min_label_components(
+    edges: DataFrame, max_rounds: int = 50, on_exhaustion: str = "star"
+) -> DataFrame:
     """Connected components of a symmetric ``edges(src, dst)`` frame by
     iterative min-label propagation → (id, label) for every vertex that
     touches an edge, label = min vertex id in its component.
@@ -75,8 +77,12 @@ def min_label_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
 
     100 TB: rounds = component diameter (dedup graphs: small dense
     clusters, 2 rounds measured; social-ish graphs: low tens).  For
-    adversarially chain-shaped graphs the escalation is large-star/
-    small-star contraction (Kiveris et al. 2014), O(log n) rounds.
+    adversarially chain-shaped graphs min-label needs diameter rounds;
+    on round exhaustion this now ESCALATES to large-star/small-star
+    contraction (``star_contraction_components``, Kiveris et al. 2014,
+    O(log² n) rounds) instead of raising — pass
+    ``on_exhaustion="raise"`` to restore the hard stop, or call the
+    star engine directly when the graph is known to be chain-shaped.
     """
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -104,10 +110,126 @@ def min_label_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             break
         prev_sum = cur_sum
     else:
+        if on_exhaustion == "star":
+            return star_contraction_components(edges)
         raise RuntimeError(
             f"min_label_components: no fixpoint within {max_rounds} rounds —"
             " component diameter exceeds the bound; raise max_rounds or use"
-            " large-star/small-star contraction (Kiveris et al. 2014)"
+            " star_contraction_components (Kiveris et al. 2014)"
+        )
+    return labels
+
+
+def star_contraction_components(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Connected components of a symmetric ``edges(src, dst)`` frame by
+    alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond", Algorithm 3)
+    → (id, label) for every vertex that touches an edge, label = min
+    vertex id in its component — the same output contract as
+    ``min_label_components``, which escalates here on round exhaustion.
+
+    Per round, over the canonical undirected edge set (hi > lo):
+
+    - large-star: each vertex u links every STRICTLY LARGER neighbor v
+      to m = min(Γ(u) ∪ {u}) — hubs collapse toward their minimum.
+    - small-star: each vertex u links its smaller neighbors (and
+      itself) to its minimum smaller neighbor.
+
+    Both steps preserve connectivity and monotonically pull edges
+    toward component minima; the paper proves O(log² n) rounds to the
+    star-forest fixpoint, vs. O(diameter) for label propagation — this
+    is the engine for chain-shaped / high-diameter graphs.
+
+    Loop discipline matches the coloring core: ONE driver action per
+    round (a single count+edge-sum aggregate; every emitted edge's
+    partner only ever decreases and dedup only removes rows, so the
+    (count, sum) pair is stationary iff the edge set is), and a lazy
+    ``localCheckpoint`` per round to stop lineage growth.  A final
+    one-join validation asserts every ORIGINAL edge has both endpoints
+    under one label — the cheap hard-correctness backstop for the
+    statistical fixpoint test.  100 TB: each step is one groupBy-min +
+    one equi-join on vertex id, no driver state beyond the 2-scalar
+    round stats."""
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = canon.agg(
+        F.count("*").alias("c"), F.sum(F.col("hi") + F.col("lo")).alias("s")
+    ).collect()[0]
+    prev = (stats.c, stats.s)
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u.  v > u ≥ m ⇒ already (hi, lo).
+        sym = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min(F.least("v", F.col("u"))).alias("m"))
+        after_large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over the (hi, lo) orientation: m = min smaller
+        # neighbor of u; emit (v, m) for the other smaller neighbors v
+        # and (u, m).  m ≤ v < u keeps the canonical orientation.
+        smin = after_large.groupBy("hi").agg(F.min("lo").alias("m"))
+        canon = (
+            after_large.join(smin, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionAll(smin.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        stats = canon.agg(
+            F.count("*").alias("c"), F.sum(F.col("hi") + F.col("lo")).alias("s")
+        ).collect()[0]  # the ONE action per round
+        cur = (stats.c, stats.s)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star_contraction_components: no fixpoint within {max_rounds}"
+            " rounds — O(log² n) bound exceeded, input likely not symmetric"
+        )
+    # star forest → labels: leaves take their (unique) center, centers
+    # take themselves; groupBy-min instead of a bare rename so a
+    # not-quite-star state can't silently drop rows.
+    labels = (
+        canon.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("label"))
+        .unionAll(
+            canon.select(F.col("lo").alias("id"), F.col("lo").alias("label")).distinct()
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+    )
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    labels = (
+        verts.join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    bad = (
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("label", "src_label")
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+            "dst",
+        )
+        .filter(F.col("src_label") != F.col("dst_label"))
+        .count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"star_contraction_components: {bad} edges cross labels — fixpoint"
+            " detector accepted a non-star state (bug)"
         )
     return labels
 

@@ -785,13 +785,53 @@ _CENTROID_STATS_ORACLE = """
 """
 
 
+def _covariance_partials(emb: DataFrame, mu, dim: int) -> DataFrame:
+    """Per-TASK upper-triangle XᵀX partials of the mean-centered corpus
+    as (i, j, c) rows — the GEMM form of distributed covariance (same
+    Arrow pattern as ``_blocked_candidate_pairs``): each task centers
+    its Arrow batches with the broadcast mean vector, accumulates ONE
+    DIM×DIM ``X.T @ X`` across all of its batches, and emits the
+    DIM·(DIM+1)/2 upper-triangle entries once.  No join anywhere; the
+    only shuffle is the DIM²-row partial reduce with map-side combine.
+    Factored out so tests/test_similarity_extra.py can pin the no-join
+    plan shape."""
+    import numpy as np
+    import pandas as pd
+
+    iu0, iu1 = np.triu_indices(dim)
+    mu = np.asarray(mu, dtype=np.float64)
+
+    def xtx_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ) - mu
+            acc = x.T @ x if acc is None else acc + x.T @ x
+        if acc is not None:
+            yield pd.DataFrame({"i": iu0, "j": iu1, "c": acc[iu0, iu1]})
+
+    return (
+        emb.select("embedding")
+        .mapInPandas(xtx_partials, "i int, j int, c double")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str):
-    """Distributed DIM×DIM covariance of the embedding corpus: one
-    posexplode pass to per-dimension means, one self-join on vec_id of
-    the exploded (dim, centered value) rows to the upper-triangle
-    outer products, aggregated with map-side combine.  Driver state is
-    DIM² floats (the classic bounded-model reduction — same contract
-    as the IVF centroids), corpus passes are linear.  Returns
+    """Distributed DIM×DIM covariance of the embedding corpus in GEMM
+    form: one posexplode pass to per-dimension means (single scan),
+    then one Arrow ``mapInPandas`` pass where each task accumulates a
+    DIM×DIM partial ``XᵀX`` of its mean-centered batches and emits the
+    upper triangle once — reduced by a DIM²-row aggregation to the
+    driver's DIM² floats (the classic bounded-model contract, same as
+    the IVF centroids).  Replaces the round-4 exploded self-join that
+    shuffled ~DIM²/2 rows PER VECTOR through a join; here the per-task
+    emit is data-size-independent, so the shuffle is O(tasks·DIM²)
+    regardless of corpus size — the 100 TB plan shape.  Returns
     (n, numpy DIM×DIM covariance)."""
     import numpy as np
 
@@ -801,26 +841,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str):
         "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("d", "v")
     )
     means = {r.d: r.m for r in ex.groupBy("d").agg(F.avg("v").alias("m")).collect()}
-    mean_arr = F.array(*[F.lit(means[d]) for d in range(len(means))])
-    cen = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.zip_with(
-                _as_double(F.col("embedding")), mean_arr, lambda v, m: v - m
-            )
-        ).alias("d", "v"),
-    )
-    a, b = cen.alias("a"), cen.alias("b")
-    cov_rows = (
-        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.d") <= F.col("b.d")))
-        .groupBy(F.col("a.d").alias("i"), F.col("b.d").alias("j"))
-        .agg((F.sum(F.col("a.v") * F.col("b.v")) / F.lit(float(n - 1))).alias("c"))
-        .collect()
-    )
     dim = len(means)
+    mu = np.array([means[d] for d in range(dim)])
     cov = np.zeros((dim, dim))
-    for r in cov_rows:
-        cov[r.i, r.j] = cov[r.j, r.i] = r.c
+    for r in _covariance_partials(emb, mu, dim).collect():
+        cov[r.i, r.j] = cov[r.j, r.i] = r.c / float(n - 1)
     return n, cov
 
 

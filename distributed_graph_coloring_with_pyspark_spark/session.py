@@ -56,3 +56,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_session_caches(spark: SparkSession) -> dict[str, int]:
+    """Drop every per-session memo this engine keeps — the trained IVF
+    quantizers, the customer-graph edge cache, and the persisted shingle
+    cache — in one call.  Long-lived sessions (the bench harness, a
+    notebook running many query families) use this between families so
+    one family's warm state can't flatter or starve the next; each
+    underlying helper is idempotent and safe on a cold session.
+    Returns {cache_name: entries_released} for observability."""
+    from .operators.graph_bridge import clear_customer_graph_cache
+    from .operators.similarity import clear_ivf_cache
+    from .operators.text_dedup import clear_shingle_cache
+
+    return {
+        "customer_graph": clear_customer_graph_cache(spark),
+        "ivf_centroids": clear_ivf_cache(spark),
+        "shingles": clear_shingle_cache(spark),
+    }

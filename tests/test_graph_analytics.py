@@ -221,3 +221,73 @@ def test_iterative_loops_one_action_per_round(spark, monkeypatch):
     dist = {(r.id, r.dist) for r in orig_collect(sssp_distances(wedges, src))}
     assert dist == {(0, 0), (1, 2), (2, 6), (3, 12)}
     assert calls["count"] == 0 and 2 <= calls["collect"] <= 7, calls
+
+
+def _cc_recursive_cte_oracle(und_edges):
+    """Recursive-CTE closure over an explicit edge list — the same
+    oracle family as _COMPONENTS_ORACLE, on arbitrary planted graphs."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany(
+        "INSERT INTO e VALUES (?, ?)",
+        list(und_edges) + [(b, a) for a, b in und_edges],
+    )
+    rows = con.sql(
+        """
+        WITH RECURSIVE reach(id, r) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r
+        )
+        SELECT id, min(r) FROM reach GROUP BY id ORDER BY id
+        """
+    ).fetchall()
+    con.close()
+    return set(rows)
+
+
+def test_star_contraction_planted_graphs(spark):
+    """Kiveris large-star/small-star engine vs the recursive-CTE oracle
+    on planted shapes: a permuted high-diameter chain (the min-label
+    killer), two components + a hub star, and a ring."""
+    import random
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        star_contraction_components,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1080))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    hub = [(500, x) for x in (501, 502, 503)] + [(600, 601)]
+    ring = [(i, 700 + ((i - 700 + 1) % 9)) for i in range(700, 709)]
+    for und in (chain, hub, ring, chain + hub + ring):
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long"
+        )
+        got = {
+            (r.id, r.label) for r in star_contraction_components(edges).collect()
+        }
+        assert got == _cc_recursive_cte_oracle(und), und[:3]
+
+
+def test_min_label_escalates_to_star_on_exhaustion(spark):
+    """A planted path of diameter 59 > max_rounds=50: min-label alone
+    cannot converge, so the engine must hand off to star contraction
+    and still return the exact component labels (VERDICT r4 #4) —
+    and the opt-out still raises."""
+    import pytest as _pytest
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        min_label_components,
+    )
+
+    und = [(i, i + 1) for i in range(60 - 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {(r.id, r.label) for r in min_label_components(edges).collect()}
+    assert got == {(i, 0) for i in range(60)}
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        min_label_components(edges, on_exhaustion="raise")

@@ -70,3 +70,24 @@ def test_pca_matches_numpy(spark):
         assert abs(r.explained_ratio - round(w / total, 6)) <= 2e-6
     # ratios are a probability-like profile over a PSD spectrum
     assert all(r.explained_ratio >= 0 for r in got)
+
+
+def test_covariance_plan_has_no_join(spark):
+    """Round-5 reshape contract (VERDICT r4 #2): covariance partials are
+    a mapInPandas scan + ONE partial-reduce aggregation — no join
+    anywhere in the plan (the round-4 form self-joined ~DIM²/2 exploded
+    rows per vector), and exactly the DIM·(DIM+1)/2 upper-triangle rows
+    come out."""
+    import numpy as np
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _DIM,
+        _covariance_partials,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = _covariance_partials(emb, np.zeros(_DIM), _DIM)
+    assert "Join" not in plan_string(df)
+    assert df.count() == _DIM * (_DIM + 1) // 2
