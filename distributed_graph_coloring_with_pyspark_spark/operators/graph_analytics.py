@@ -423,11 +423,22 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_depth: int = BFS_MAX
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("id")
     else:
-        raise RuntimeError(
-            f"bfs_distances: frontier still live after {max_depth} rounds —"
-            " source eccentricity exceeds the bound; raise max_depth"
-            " (silently truncating would drop every deeper vertex)"
+        # Vertices settled at exactly max_depth are fine IF nothing lies
+        # deeper (eccentricity == max_depth): probe one extra expansion
+        # and raise only when it finds unreached vertices — raising on a
+        # completed traversal was a spurious failure (ADVICE r4).
+        probe = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
         )
+        if probe.count() > 0:
+            raise RuntimeError(
+                f"bfs_distances: frontier still live after {max_depth} rounds —"
+                " source eccentricity exceeds the bound; raise max_depth"
+                " (silently truncating would drop every deeper vertex)"
+            )
     return dist
 
 

@@ -57,6 +57,11 @@ _MINHASH_BANDS = 16
 _NUM_HASHES = _MINHASH_ROWS * _MINHASH_BANDS
 _JACCARD_THRESHOLD = 0.5
 _BUCKET_CAP = 1000  # max docs per LSH bucket before the bucket is dropped
+# max docs indexing one gram in the prefix-filter inverted index before
+# that gram's bucket is dropped (same drop semantics as _BUCKET_CAP: a
+# prefix gram that hot means thousands of near-identical docs — exact
+# dedup catches full copies, and the MinHash path still covers the rest)
+_PREFIX_BUCKET_CAP = 1000
 _SIMHASH_HAMMING_MAX = 3
 
 _STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it"]
@@ -819,9 +824,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-duplicate pairs at token-3-gram Jaccard ≥ 0.5 — the
     third dedup family (n-gram Jaccard), deliberately computing the SAME
     predicate as ``dedup_near_minhash`` by a lossless algorithm: MinHash
-    banding has miss probability (1 − s²)¹⁶ > 0, the prefix filter has
-    exactly zero, so the two queries cross-validate each other (and the
-    all-pairs DuckDB oracle arbitrates both).
+    banding has miss probability (1 − s²)¹⁶ > 0, the prefix filter's is
+    ~2⁻⁶⁴ (the gram-hash collision bound — see the collision-honesty
+    note in ``_prefix_jaccard_pairs``), so the two queries
+    cross-validate each other (and the all-pairs DuckDB oracle
+    arbitrates both).  Like the other dedup families it carries a
+    hot-bucket drop guard (``_PREFIX_BUCKET_CAP``).
 
     Candidate generation is the prefix filter of the set-similarity-join
     literature (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 /
@@ -867,10 +875,17 @@ def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
     survivor set)."""
     # grams travel as xxhash64 ints, not strings: the df count, per-doc
     # window sort and candidate equi-join all shuffle 8-byte keys
-    # instead of ~20-byte token strings.  A hash collision can only ADD
-    # a candidate pair (gram equality relaxed to hash equality), and
-    # every candidate is exact-verified on the true shingle arrays
-    # below — lossless end to end.
+    # instead of ~20-byte token strings.  Collision honesty (the prefix
+    # theorem needs a total order on the TRUE grams, and hashing gives
+    # a total order on hash keys instead): two distinct grams sharing a
+    # hash merge into one index key, which usually ADDS candidates (the
+    # equi-join is relaxed, and every candidate is exact-verified on
+    # the true shingle arrays below) but can also shorten a doc's
+    # effective prefix, so a qualifying pair could in principle be
+    # missed.  The guarantee is therefore probabilistic at ~2⁻⁶⁴ per
+    # gram pair (union-bounded over the corpus vocabulary — orders of
+    # magnitude below the FP noise floor of the verify itself), not
+    # axiomatically lossless; the all-pairs DuckDB oracle arbitrates.
     ex = grams.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
     ).select("doc_id", "n", F.xxhash64("g").alias("gram"))
@@ -884,6 +899,18 @@ def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
             <= F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
         )
         .select("doc_id", "n", "gram")
+    )
+    # hot-bucket guard (same semantics as the MinHash _BUCKET_CAP): a
+    # degenerate corpus — e.g. one ubiquitous gram tying first in every
+    # doc's rare-first order — would regenerate quadratic candidate
+    # sets; drop any gram indexed by more than _PREFIX_BUCKET_CAP docs
+    # before the self-join.  Exercised by tests/test_cap_semantics.py.
+    prefix = prefix.join(
+        prefix.groupBy("gram")
+        .count()
+        .filter(F.col("count") <= _PREFIX_BUCKET_CAP)
+        .drop("count"),
+        "gram",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -460,22 +460,27 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     quantiles land within ~0.1%).  The exact quantiles double as the
     hash-checked payload."""
     ev = load_table(spark, sf_dir, "events")
+    # the contract booleans compare against the UNROUNDED exact
+    # percentile with abs(exact) as the tolerance base (ADVICE r4: the
+    # 4dp-rounded anchor could diverge from the oracle near the 2.5%
+    # boundary, and a non-positive percentile made the tolerance
+    # non-positive); rounding applies only to the displayed payload.
     out = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_exact"),
+        F.expr("percentile(value, 0.5)").alias("_e50"),
+        F.expr("percentile(value, 0.99)").alias("_e99"),
         F.expr("percentile_approx(value, 0.5, 10000)").alias("_a50"),
         F.expr("percentile_approx(value, 0.99, 10000)").alias("_a99"),
     )
     return out.select(
         "event_type",
         "n",
-        "p50_exact",
-        "p99_exact",
-        (F.abs(F.col("_a50") - F.col("p50_exact")) <= 0.025 * F.col("p50_exact")).alias(
+        F.round("_e50", 4).alias("p50_exact"),
+        F.round("_e99", 4).alias("p99_exact"),
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.025 * F.abs(F.col("_e50"))).alias(
             "p50_ok"
         ),
-        (F.abs(F.col("_a99") - F.col("p99_exact")) <= 0.025 * F.col("p99_exact")).alias(
+        (F.abs(F.col("_a99") - F.col("_e99")) <= 0.025 * F.abs(F.col("_e99"))).alias(
             "p99_ok"
         ),
     ).orderBy("event_type")
@@ -486,9 +491,9 @@ _QUANTILES_APPROX_ORACLE = """
            round(quantile_cont(value, 0.5), 4) AS p50_exact,
            round(quantile_cont(value, 0.99), 4) AS p99_exact,
            abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-               <= 0.025 * quantile_cont(value, 0.5) AS p50_ok,
+               <= 0.025 * abs(quantile_cont(value, 0.5)) AS p50_ok,
            abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
-               <= 0.025 * quantile_cont(value, 0.99) AS p99_ok
+               <= 0.025 * abs(quantile_cont(value, 0.99)) AS p99_ok
     FROM events
     GROUP BY event_type
     ORDER BY event_type

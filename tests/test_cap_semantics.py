@@ -114,3 +114,26 @@ def test_bucket_cap_drops_hot_cluster(spark, planted_docs, query_name, monkeypat
     hot = {1, 2, 3, 4, 5}
     assert capped == {r for r in oracle_rows if r[0] not in hot and r[1] not in hot}
     assert capped  # the surviving (10, 11) pair, value-equal to the oracle
+
+
+def test_prefix_bucket_cap_drops_hot_cluster(spark, planted_docs, monkeypatch):
+    """Same fixture discipline for the prefix-filter path (VERDICT r4
+    #6): the 5-clone cluster puts every clone prefix gram in a bucket of
+    5 docs, so a cap of 3 drops the whole cluster while the 2-doc pair's
+    buckets (size 2) survive — and the uncapped run equals the all-pairs
+    oracle."""
+    sf_dir, con = planted_docs
+    fn = TD.PYTEST_QUERIES["dedup_ngram_jaccard"]
+    oracle_rows = {
+        tuple(r) for r in con.sql(TD.PYTEST_ORACLES["dedup_ngram_jaccard"]).fetchall()
+    }
+
+    uncapped = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    assert uncapped == oracle_rows
+    assert len(uncapped) == 11
+
+    monkeypatch.setattr(TD, "_PREFIX_BUCKET_CAP", 3)
+    capped = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    hot = {1, 2, 3, 4, 5}
+    assert capped == {r for r in oracle_rows if r[0] not in hot and r[1] not in hot}
+    assert capped  # the surviving (10, 11) pair, value-equal to the oracle

@@ -291,3 +291,22 @@ def test_min_label_escalates_to_star_on_exhaustion(spark):
     assert got == {(i, 0) for i in range(60)}
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         min_label_components(edges, on_exhaustion="raise")
+
+
+def test_bfs_max_depth_boundary(spark):
+    """Eccentricity == max_depth is a COMPLETE traversal, not a failure
+    (ADVICE r4): the post-loop probe must distinguish it from a truly
+    truncated one."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        bfs_distances,
+    )
+
+    und = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {(r.id, r.dist) for r in bfs_distances(edges, src, max_depth=2).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}
+    with pytest.raises(RuntimeError, match="frontier still live"):
+        bfs_distances(edges, src, max_depth=1)

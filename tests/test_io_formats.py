@@ -84,8 +84,13 @@ def test_events_ts_unit_sniff(spark, tmp_path):
     assert events_ts_is_nanos(SF) is False
 
     base = load_table(spark, SF, "events").limit(50).collect()
+    # integer arithmetic end to end: .timestamp()*1e6 routes through
+    # float64 (~0.24µs resolution at current epochs, truncating toward
+    # zero) and could land the fixture 1µs off the base rows (ADVICE r4)
+    import calendar
+
     micros = [
-        int(r.ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+        calendar.timegm(r.ts.timetuple()) * 1_000_000 + r.ts.microsecond
         for r in base
     ]
     nanos_dir = tmp_path / "nanos"

@@ -66,3 +66,69 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         .collect()
     }
     assert second == expected
+
+
+def test_foreachbatch_parquet_sink_restart_idempotent(spark, tmp_path):
+    """Restart-resume for the PRODUCTION sink path (VERDICT r4 #7):
+    the same foreachBatch → partitioned-parquet overwrite epoch writer
+    streaming_hourly_to_parquet uses, killed after its first batch and
+    restarted on the SAME checkpoint dir with new files waiting.  The
+    complete-mode overwrite must be idempotent across the restart: the
+    read-back parquet equals the batch answer over ALL data — no
+    double-counted pre-restart rows, no stale epoch files surviving
+    the overwrite."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    _write_batch(spark, src, range(0, 50), "overwrite")
+
+    def start():
+        stream = spark.readStream.schema(
+            "event_id long, user_id string, value double"
+        ).parquet(src)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+        def _write_epoch(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").partitionBy("user_id").parquet(out)
+
+        return (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(_write_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def read_sink():
+        return {
+            (r.user_id, r.n, r.total)
+            for r in spark.read.parquet(out)
+            .select("user_id", "n", "total")
+            .collect()
+        }
+
+    def batch_answer():
+        return {
+            (r.user_id, r.n, r.total)
+            for r in spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "kill" after batch 1
+    assert read_sink() == batch_answer()
+
+    # new files land while the query is DOWN; restart on the SAME ckpt
+    _write_batch(spark, src, range(50, 80), "append")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert read_sink() == batch_answer()
