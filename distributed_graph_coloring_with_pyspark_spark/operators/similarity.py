@@ -871,6 +871,64 @@ def embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS — the SemDeDup-completing
+    composition (Abbas et al. 2023 keep one representative per
+    semantic-duplicate group): exact cosine pairs at the
+    ``_NEARDUP_THRESHOLD`` (``cosine_neardup_pairs``' blocked-GEMM
+    plan) → connected components of the pair graph (the shared
+    min-label engine with its star-contraction escalation,
+    graph_analytics.py) → one keep/drop report row per cluster:
+    (cluster_id = min vec_id, n_vecs, kept_vec_id = cluster_id,
+    n_dropped).  This is the row a curation pipeline anti-joins
+    against the corpus to drop semantic duplicates.
+
+    100 TB: the pair stage is the documented exact baseline (the scale
+    path swaps in the LSH/IVF candidate generators — same downstream
+    clustering); components cost rounds × pair-graph size, and dedup
+    pair graphs are unions of small dense clusters (2 rounds measured).
+    Oracle: all-pairs cosine + recursive-CTE closure in DuckDB."""
+    from .graph_analytics import min_label_components
+
+    pairs = cosine_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = min_label_components(edges)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.col("cluster_id").alias("kept_vec_id"),
+            (F.col("n_vecs") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_NEARDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    ), e(src, dst) AS (
+        SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs
+    ), reach(id, r) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id, count(*)::BIGINT AS n_vecs,
+           cluster_id AS kept_vec_id,
+           (count(*) - 1)::BIGINT AS n_dropped
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 # embedding_pca_top carries a numpy oracle (eigensolve — not
 # SQL-expressible), so it appears in PYTEST_QUERIES without a DuckDB
 # entry, like the graph module's pagerank/SSSP.
@@ -878,8 +936,10 @@ PYTEST_QUERIES = {
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_centroid_stats": embedding_centroid_stats,
     "embedding_pca_top": embedding_pca_top,
+    "embedding_neardup_clusters": embedding_neardup_clusters,
 }
 PYTEST_ORACLES = {
     "quantize_embeddings_int8": _QUANTIZE_ORACLE,
     "embedding_centroid_stats": _CENTROID_STATS_ORACLE,
+    "embedding_neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
 }

@@ -222,6 +222,19 @@ def test_iterative_loops_one_action_per_round(spark, monkeypatch):
     assert dist == {(0, 0), (1, 2), (2, 6), (3, 12)}
     assert calls["count"] == 0 and 2 <= calls["collect"] <= 7, calls
 
+    # star contraction: one stats collect per round (+ init) and exactly
+    # ONE count — the final cross-label edge validation
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        star_contraction_components,
+    )
+
+    calls.update(collect=0, count=0)
+    labels = {
+        (r.id, r.label) for r in orig_collect(star_contraction_components(edges))
+    }
+    assert labels == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 4), (6, 4)}
+    assert calls["count"] == 1 and 2 <= calls["collect"] <= 8, calls
+
 
 def _cc_recursive_cte_oracle(und_edges):
     """Recursive-CTE closure over an explicit edge list — the same
