@@ -904,7 +904,12 @@ def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
     # degenerate corpus — e.g. one ubiquitous gram tying first in every
     # doc's rare-first order — would regenerate quadratic candidate
     # sets; drop any gram indexed by more than _PREFIX_BUCKET_CAP docs
-    # before the self-join.  Exercised by tests/test_cap_semantics.py.
+    # before the self-join.  groupBy+semi-join deliberately, NOT a
+    # gram-partitioned window count: the aggregated side is tiny
+    # (distinct prefix grams) so AQE broadcasts the join, while the
+    # window form sorts the full prefix frame inside each gram
+    # partition (measured 2.3× slower end-to-end at sf0.1).  Exercised
+    # by tests/test_cap_semantics.py.
     prefix = prefix.join(
         prefix.groupBy("gram")
         .count()
