@@ -113,3 +113,25 @@ def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.columns == ["id", "color"]
     assert df.count() > 0
+
+
+def test_release_session_caches_all_at_once(spark):
+    """The one-call release bench.py uses between query families: after
+    warming all three per-session memos it must report every cache
+    non-empty, then be idempotent on a cold session."""
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        graph_bridge as GB,
+        similarity as S,
+        text_dedup as TD,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.session import (
+        release_session_caches,
+    )
+
+    GB.customer_graph_edges(spark, SF)
+    S.ann_ivf_topk(spark, SF).count()
+    TD.shingle_frame(spark, SF).count()
+    released = release_session_caches(spark)
+    assert set(released) == {"customer_graph", "ivf_centroids", "shingles"}
+    assert all(n >= 1 for n in released.values()), released
+    assert all(n == 0 for n in release_session_caches(spark).values())
