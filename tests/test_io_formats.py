@@ -67,6 +67,33 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert filtered.count() == ev.filter(F.col("event_type") == "click").count()
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DYNAMIC partition pruning — the star-schema scan eliminator at
+    100 TB: joining a partitioned fact on its partition column against
+    a selectively-filtered dim must inject a DynamicPruningExpression
+    into the fact scan's PartitionFilters, so the partitions to read
+    are decided at RUNTIME from the dim's surviving keys (static
+    pruning can't see through the join).  Complements the static pins:
+    the partition-key-filter test above and the IVF index's IN-list
+    pruning (test_ivf_index.py)."""
+    fact_path = str(tmp_path / "orders_by_priority")
+    dim_path = str(tmp_path / "priority_dim")
+    od = load_table(spark, SF, "orders")
+    od.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
+    prios = [r.o_orderpriority for r in od.select("o_orderpriority").distinct().collect()]
+    spark.createDataFrame(
+        [(p, "hot" if p.startswith("1") else "cold") for p in prios],
+        "o_orderpriority string, tag string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "hot")
+    joined = spark.read.parquet(fact_path).join(dim, "o_orderpriority")
+    assert "dynamicpruningexpression" in plan_string(joined).lower()
+    # and the pruned result is the plain filtered answer
+    want = od.filter(F.col("o_orderpriority").startswith("1")).count()
+    assert joined.count() == want > 0
+
+
 def test_events_ts_unit_sniff(spark, tmp_path):
     """The events loader adapts to the file's physical ts unit: micros
     (current generator) reads natively; int64/nanos (earlier
