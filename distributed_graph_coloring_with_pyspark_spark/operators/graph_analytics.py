@@ -48,6 +48,8 @@ Correctness
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -120,7 +122,9 @@ def min_label_components(
     return labels
 
 
-def star_contraction_components(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
+def star_contraction_components(
+    edges: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
     """Connected components of a symmetric ``edges(src, dst)`` frame by
     alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.
     2014, "Connected Components in MapReduce and Beyond", Algorithm 3)
@@ -147,9 +151,13 @@ def star_contraction_components(edges: DataFrame, max_rounds: int = 60) -> DataF
     ``localCheckpoint`` per round to stop lineage growth.  A final
     one-join validation asserts every ORIGINAL edge has both endpoints
     under one label — the cheap hard-correctness backstop for the
-    statistical fixpoint test.  100 TB: each step is one groupBy-min +
-    one equi-join on vertex id, no driver state beyond the 2-scalar
-    round stats."""
+    statistical fixpoint test.  ``max_rounds`` defaults to the PROVEN
+    ⌈log₂ n⌉² bound (+slack), self-scaled from the initial edge count
+    the first stats action already paid for — observed behavior is
+    ≈ log₂ n (19 rounds on a 200 000-vertex path, SCALE.md), so
+    exhaustion can only mean a round-update bug, and the error says so.
+    100 TB: each step is one groupBy-min + one equi-join on vertex id,
+    no driver state beyond the 2-scalar round stats."""
     canon = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -162,6 +170,11 @@ def star_contraction_components(edges: DataFrame, max_rounds: int = 60) -> DataF
         F.count("*").alias("c"), F.sum(F.col("hi") + F.col("lo")).alias("s")
     ).collect()[0]
     prev = (stats.c, stats.s)
+    if max_rounds is None:
+        # Kiveris worst case is O(log² n) rounds; n ≤ 2·|canon edges|,
+        # known from the init stats at no extra action.
+        n_upper = max(2, 2 * (stats.c or 0))
+        max_rounds = math.ceil(math.log2(n_upper)) ** 2 + 8
     for _ in range(max_rounds):
         # large-star over the symmetric view: m = min(Γ(u) ∪ {u});
         # emit (v, m) for v ∈ Γ(u), v > u.  v > u ≥ m ⇒ already (hi, lo).
@@ -197,7 +210,9 @@ def star_contraction_components(edges: DataFrame, max_rounds: int = 60) -> DataF
     else:
         raise RuntimeError(
             f"star_contraction_components: no fixpoint within {max_rounds}"
-            " rounds — O(log² n) bound exceeded, input likely not symmetric"
+            " rounds — the proven O(log² n) worst case is exceeded, which"
+            " indicates a bug in the round update (input shape cannot cause"
+            " this: canonicalization symmetrizes any edge frame)"
         )
     # star forest → labels: leaves take their (unique) center, centers
     # take themselves; groupBy-min instead of a bare rename so a

@@ -214,14 +214,11 @@ def _blocked_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ 0.45): blocked-GEMM
-    prefilter (ε-margined), then the exact sequential-double Catalyst
-    cosine on the surviving candidates — bit-identical to the all-pairs
-    DuckDB oracle, ~300× faster than the naive per-pair HOF join.  The
-    100 TB answer is the LSH bucketing of ``ann_hyperplane_topk``; this
-    is the strongest exact baseline (and ANN's ground truth)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _neardup_pair_frame(emb: DataFrame) -> DataFrame:
+    """Unordered exact near-dup pairs (id_a < id_b, cos_sim ≥ threshold)
+    — the shared pair stage of ``cosine_neardup_pairs`` (which adds the
+    presentation sort) and ``embedding_neardup_clusters`` (which must
+    NOT inherit a global sort it immediately discards)."""
     cand = _blocked_candidate_pairs(emb, _NEARDUP_THRESHOLD)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
@@ -234,8 +231,18 @@ def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
-        .orderBy("id_a", "id_b")
     )
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.45): blocked-GEMM
+    prefilter (ε-margined), then the exact sequential-double Catalyst
+    cosine on the surviving candidates — bit-identical to the all-pairs
+    DuckDB oracle, ~300× faster than the naive per-pair HOF join.  The
+    100 TB answer is the LSH bucketing of ``ann_hyperplane_topk``; this
+    is the strongest exact baseline (and ANN's ground truth)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _neardup_pair_frame(emb).orderBy("id_a", "id_b")
 
 
 _NEARDUP_ORACLE = f"""
@@ -887,15 +894,20 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     path swaps in the LSH/IVF candidate generators — same downstream
     clustering); components cost rounds × pair-graph size, and dedup
     pair graphs are unions of small dense clusters (2 rounds measured).
+    The symmetrized pair frame is PERSISTED across the engine's
+    one-action-per-round loop (same discipline as dedup_components) —
+    without it every round would re-run the blocked-GEMM pipeline —
+    and built sort-free via ``_neardup_pair_frame``.
     Oracle: all-pairs cosine + recursive-CTE closure in DuckDB."""
     from .graph_analytics import min_label_components
 
-    pairs = cosine_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
-    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _neardup_pair_frame(emb).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select("id_b", "id_a")).toDF("src", "dst").persist()
     )
     labels = min_label_components(edges)
-    return (
+    out = (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").cast("long").alias("n_vecs"))
         .select(
@@ -906,6 +918,8 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+    edges.unpersist(False)
+    return out
 
 
 _NEARDUP_CLUSTERS_ORACLE = f"""
