@@ -709,6 +709,52 @@ _HOURLY_ORACLE = """
     ORDER BY hour_epoch, event_type
 """
 
+def streaming_enrich_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension-enrichment join — the remaining cell of
+    the streaming join matrix (tumbling/hopping/session windows,
+    stream-stream join, stateful totals, watermark dedup and the
+    parquet sink are covered above): enrich an event stream against a
+    slowly-changing dimension SNAPSHOT, the pattern every production
+    event pipeline runs before aggregating.
+
+    The static side is a plain batch DataFrame (customer market
+    segments) joined into the stream — Spark re-resolves it per
+    micro-batch, and the explicit broadcast hint makes each batch a
+    map-side hash join: a dimension snapshot is exactly the broadcast
+    side at 100 TB, and unlike the stream-stream join this one keeps
+    ZERO join state (only the downstream aggregate holds state).
+    Inner join on user_id ≡ c_custkey; per-segment totals in complete
+    mode (finite-input harness convention, see streaming_sessions).
+    Oracle: the same join+group in DuckDB over the batch tables."""
+    ensure_utc(spark)
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    sink = _drain_to_memory(
+        spark, agg, "streaming_enrich_static_sink", "complete", sf_dir
+    )
+    return sink.orderBy("segment")
+
+
+_ENRICH_STATIC_ORACLE = """
+    SELECT c_mktsegment AS segment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON events.user_id = customer.c_custkey
+    GROUP BY 1
+    ORDER BY segment
+"""
+
+
 # The driver records at most 50 correctness rows (hard cap, observed
 # rounds 2-3), so the registry must stay ≤50 entries for every
 # registered query to get a row.  The four streaming pipelines are the
@@ -746,6 +792,7 @@ STREAMING_QUERIES = {
     "streaming_hourly_to_parquet": streaming_hourly_to_parquet,
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_hopping_counts": streaming_hopping_counts,
+    "streaming_enrich_static_dim": streaming_enrich_static_dim,
 }
 
 # ONE sessionization oracle for both formulations: since the boundary
@@ -828,6 +875,7 @@ ORACLES = {
 # enforced by tests/test_streaming_batch_equivalence.py instead of the
 # row-capped driver.
 STREAMING_ORACLES = {
+    "streaming_enrich_static_dim": _ENRICH_STATIC_ORACLE,
     "streaming_click_purchase_join": ORACLES["click_purchase_within_hour"],
     "streaming_hopping_counts": _HOPPING_ORACLE,
     "streaming_hourly_counts": _HOURLY_ORACLE,

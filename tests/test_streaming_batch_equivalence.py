@@ -45,6 +45,8 @@ SF = "/root/testdata/sf0.01"
 def duck():
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    # static dimension side of the stream-static enrichment join
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
     yield con
     con.close()
 
