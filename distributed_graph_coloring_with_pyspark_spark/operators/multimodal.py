@@ -356,6 +356,135 @@ _DEDUP_EXACT_BLOB_ORACLE = f"""
 """
 
 
+_PHASH_ROWS, _PHASH_COLS = 8, 9  # dHash grid: 8 rows × 9 cols → 64 bits
+_PHASH_HAMMING_MAX = 3
+_PHASH_BUCKET_CAP = 1000
+
+
+def _fake_phash(payload: bytes) -> tuple[int, int]:
+    """dHash-shaped perceptual signature of the payload body, as two
+    32-bit halves (hi, lo).  A real image dHash averages an 8×9
+    grayscale downsample and emits bit (r, c) = right neighbor brighter
+    (Krawetz's difference hash); the codec-less stand-in averages the
+    BODY BYTES into the same 8×9 grid of contiguous buckets and applies
+    the identical bit rule — a localized byte edit perturbs one bucket,
+    hence ≤ 2 bits, which is exactly the locality property the banded
+    join downstream exploits."""
+    body = payload[4:]
+    cells = _PHASH_ROWS * _PHASH_COLS
+    n = len(body)
+    if n == 0:
+        return 0, 0
+    grid = []
+    for i in range(cells):
+        lo_i = i * n // cells
+        hi_i = max(lo_i + 1, (i + 1) * n // cells)
+        seg = body[lo_i:hi_i]
+        grid.append(sum(seg) / len(seg))
+    sig = 0
+    bit = 0
+    for r in range(_PHASH_ROWS):
+        base = r * _PHASH_COLS
+        for c in range(_PHASH_COLS - 1):
+            if grid[base + c + 1] > grid[base + c]:
+                sig |= 1 << bit
+            bit += 1
+    return sig >> 32, sig & 0xFFFFFFFF
+
+
+def multimodal_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-dup pairs over media blobs — the media twin
+    of ``dedup_simhash``, completing the dedup matrix (text: exact /
+    MinHash / SimHash / n-gram; media: exact / perceptual): per-type
+    pairs at hamming ≤ 3 over a 64-bit dHash-style signature.
+
+    The signature is the codec-less stand-in (``_fake_phash``, Arrow
+    ``mapInPandas`` — the slot a real pipeline fills with PIL+dHash);
+    everything AFTER the signature is the real 100 TB plan, identical
+    to dedup_simhash's: 4×16-bit band split (pigeonhole-complete at
+    hamming ≤ 3 — banding loses nothing vs all-pairs), hot-bucket drop
+    cap, exact hamming verify in JVM bit ops, all shuffles on 8-byte
+    keys (payloads never shuffle).  Gated by a pure-python all-pairs
+    oracle recomputing the same signature (tests/test_multimodal_extra:
+    the 72-bucket average is not reasonably SQL-expressible, so this is
+    a python-oracle entry like PCA) plus a planted near-identical
+    fixture."""
+    blobs = with_blob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", "blob"
+    )
+
+    def sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [_fake_phash(p) for p in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "sig_hi": [h for h, _ in hs],
+                    "sig_lo": [l for _, l in hs],
+                }
+            )
+
+    sigs = blobs.mapInPandas(
+        sign, "doc_id long, media_type string, sig_hi long, sig_lo long"
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        "media_type",
+        "sig_hi",
+        "sig_lo",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(half), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for half in ("sig_lo", "sig_hi")
+                    for b in range(2)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    bands = bands.join(
+        bands.groupBy("media_type", "band", "chunk")
+        .count()
+        .filter(F.col("count") <= _PHASH_BUCKET_CAP)
+        .drop("count"),
+        ["media_type", "band", "chunk"],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.media_type").alias("media_type"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig_hi").alias("ha"),
+            F.col("a.sig_lo").alias("la"),
+            F.col("b.sig_hi").alias("hb"),
+            F.col("b.sig_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "media_type",
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "multimodal_blob_stats": multimodal_blob_stats,
     "multimodal_decode_features": multimodal_decode_features,
@@ -369,10 +498,14 @@ ORACLES = {
 }
 
 # pytest-gated (driver registry is capped at 50 entries): same
-# value-hash contract, enforced by tests/test_multimodal_extra.py
+# value-hash contract, enforced by tests/test_multimodal_extra.py.
+# multimodal_neardup_phash carries a pure-python oracle (72-bucket
+# signature, not SQL-expressible) so it has no PYTEST_ORACLES entry —
+# same convention as similarity's embedding_pca_top.
 PYTEST_QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_dedup_exact": multimodal_dedup_exact,
+    "multimodal_neardup_phash": multimodal_neardup_phash,
 }
 PYTEST_ORACLES = {
     "multimodal_resize": _RESIZE_ORACLE,

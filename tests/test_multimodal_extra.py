@@ -16,9 +16,11 @@ from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.01"
 
 
-@pytest.mark.parametrize("name", sorted(PYTEST_QUERIES))
+@pytest.mark.parametrize("name", sorted(PYTEST_ORACLES))
 def test_multimodal_extra_matches_oracle(spark, name):
-    assert set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+    # PYTEST_ORACLES ⊆ PYTEST_QUERIES: python-oracle entries (phash)
+    # have their own dedicated tests below
+    assert set(PYTEST_ORACLES) <= set(PYTEST_QUERIES)
     sdf = PYTEST_QUERIES[name](spark, SF)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -30,3 +32,79 @@ def test_multimodal_extra_matches_oracle(spark, name):
     con.close()
     assert len(srows) == len(drows), name
     assert canon_rows(scols, srows) == canon_rows(ddf.columns, drows), name
+
+
+def _python_allpairs_phash(rows):
+    """Independent all-pairs oracle over collected (doc_id, media_type,
+    blob) rows using the same signature function — the exactness of the
+    banded plan rests on the pigeonhole argument, which this verifies."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
+        _PHASH_HAMMING_MAX,
+        _fake_phash,
+    )
+
+    sigs = [(r.doc_id, r.media_type, _fake_phash(bytes(r.blob))) for r in rows]
+    want = set()
+    for i in range(len(sigs)):
+        d1, m1, (h1, l1) = sigs[i]
+        for j in range(i + 1, len(sigs)):
+            d2, m2, (h2, l2) = sigs[j]
+            if m1 != m2:
+                continue
+            ham = bin(h1 ^ h2).count("1") + bin(l1 ^ l2).count("1")
+            if ham <= _PHASH_HAMMING_MAX:
+                want.add((m1, min(d1, d2), max(d1, d2), ham))
+    return want
+
+
+def test_phash_neardup_matches_python_allpairs(spark):
+    """The banded phash plan must EQUAL the all-pairs answer on the real
+    sf0.01 corpus (pigeonhole-complete at hamming <= 3)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
+        multimodal_neardup_phash,
+        with_blob,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    rows = with_blob(load_table(spark, SF, "documents")).select(
+        "doc_id", "media_type", "blob"
+    ).collect()
+    want = _python_allpairs_phash(rows)
+    got = {
+        (r.media_type, r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal_neardup_phash(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_phash_neardup_planted_fixture(spark, tmp_path):
+    """Planted near-identical payloads: a byte-identical clone (hamming
+    0) and a one-char edit (a localized edit perturbs one grid bucket
+    -> <= 2 bits) must surface as pairs; an unrelated doc must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
+        multimodal_neardup_phash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    edited = base[:-10] + "Zog " + base[-6:]
+    other = "completely different content with other bytes entirely " * 5
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": pa.array([base, base, edited, other], pa.string()),
+                "source": pa.array(["src0"] * 4, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal_neardup_phash(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2, 0) in got, got  # exact clone
+    assert any(a == 1 and b == 3 for a, b, _ in got), got  # near-dup edit
+    assert not any(9 in (a, b) for a, b, _ in got), got  # unrelated doc
