@@ -30,10 +30,14 @@ showed a 6× swing on knn_exact_topk between two single-run benches) AND
 the COLD first run, because a 100 TB user pays first-run planning/IO
 cost once per query — a regression hiding in analysis/codegen time
 (e.g. a plan-literal blowup) is visible only in the cold column.
-Queries whose first run exceeds _REPEAT_CUTOFF_SEC run once — they are
-iterative/streaming workloads dominated by fixed per-round overhead,
-not cache state, and tripling them would triple total bench wall-clock
-for no signal.
+Queries whose first run exceeds _REPEAT_CUTOFF_SEC get exactly ONE
+warm rerun and report that as the median (the cold column keeps the
+first run): a single-run median conflates genuinely-heavy queries with
+cold-cache spikes — with caches released between families, the first
+dedup query's run 1 builds the shingle cache and measured 15-19 s
+where its warm steady state is ~8-9 s.  One rerun separates the two
+for the cost of seconds, and truly-heavy queries simply pay 2× instead
+of 3×.
 
 Session caches (trained IVF quantizers, customer-graph edges, the
 shingle cache) are released between query FAMILIES via
@@ -166,9 +170,12 @@ def main() -> int:
                     if df is not None:
                         df.write.format("noop").mode("overwrite").save()
                     runs.append(time.monotonic() - t0)
-                    if runs[0] > _REPEAT_CUTOFF_SEC:
+                    if runs[0] > _REPEAT_CUTOFF_SEC and len(runs) >= 2:
                         break
-                timings[name] = round(statistics.median(runs), 3)
+                # over-cutoff queries ran twice: report the warm run as
+                # the median (docstring: cold-spike vs truly-heavy)
+                steady = runs[1:] if len(runs) == 2 else runs
+                timings[name] = round(statistics.median(steady), 3)
                 cold[name] = round(runs[0], 3)
                 detail = "/".join(f"{r:.2f}" for r in runs)
                 print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
