@@ -36,9 +36,12 @@ _CELL_CAP = 1000  # max customers per (part, day) cell before it is dropped
 # session → {view name: persisted edge frame}, so the cache has an
 # explicit release path (a long-lived session iterating many sf_dirs
 # would otherwise accumulate persisted frames with no handle to them).
-# Weakly keyed on the session object itself: entries vanish with the
-# session (no leak), and a recycled id() can never alias a new session
-# onto a stopped one's frames.
+# Weakly keyed on the session object itself — which guards only
+# against a recycled id() aliasing a new session onto a stopped one's
+# frames.  Lifetime honesty (review r5): the cached DataFrame values
+# strongly reference their session, so the weak key can never actually
+# expire an entry; clear_customer_graph_cache /
+# release_session_caches is the real lifetime mechanism (cache.py).
 _EDGE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..sources.tables import load_table
 
 _MAGICS = ["IMG!", "AUD!", "VID!"]
@@ -425,9 +426,12 @@ def multimodal_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sigs = blobs.mapInPandas(
-        sign, "doc_id long, media_type string, sig_hi long, sig_lo long"
-    ).persist()
+    sigs = persist_tracked(
+        spark,
+        blobs.mapInPandas(
+            sign, "doc_id long, media_type string, sig_hi long, sig_lo long"
+        ),
+    )
     bands = sigs.select(
         "doc_id",
         "media_type",

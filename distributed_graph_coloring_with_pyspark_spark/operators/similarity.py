@@ -488,9 +488,12 @@ def _train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
 # trained coarse quantizers, memoized per (session, sf_dir) — an IVF
 # index is a persisted artifact in any real deployment (train once,
 # serve many queries); this is the in-session equivalent, with an
-# explicit release like the graph-edge cache.  Weakly keyed on the
-# session object: entries die with the session, and no id() recycling
-# can alias a new session onto old centroids.
+# explicit release like the graph-edge cache.  The weak keying guards
+# against id() recycling aliasing a new session onto old centroids;
+# it does NOT auto-expire entries (the values here are plain floats,
+# but the convention across all three session caches is the same —
+# see cache.py's honesty note): clear_ivf_cache /
+# release_session_caches is the lifetime mechanism.
 _IVF_CENTROID_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[list[float]]]]" = (
     weakref.WeakKeyDictionary()
 )

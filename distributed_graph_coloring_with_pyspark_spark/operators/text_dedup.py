@@ -47,6 +47,7 @@ import weakref
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_tracked
 from ..sources.tables import load_table
 
 # MinHash parameters: b bands × r rows = k hashes.
@@ -128,9 +129,14 @@ def _doc_shingles(
 # single most expensive pre-shuffle step of each (~5 s of HOF work per
 # scan at sf0.1).  Memoize ONE persisted copy per (session, sf_dir) —
 # the same shared-scan materialization the customer-graph edge cache
-# does (graph_bridge.py), with the same weak keying and explicit
-# release.  At 100 TB this is the "materialize the shingle table once
-# per corpus build" step every multi-pass dedup pipeline schedules.
+# does (graph_bridge.py).  Lifetime honesty (review r5): the weak
+# keying only guards against id-recycling aliasing — it canNOT free
+# entries when a session is dropped, because the cached frame itself
+# strongly references its session; EXPLICIT release
+# (clear_shingle_cache / release_session_caches) is the real
+# mechanism.  At 100 TB this is the "materialize the shingle table
+# once per corpus build" step every multi-pass dedup pipeline
+# schedules.
 _SHINGLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -202,7 +208,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlaps the parquet scan, which measurably beats re-reading the
     # persisted (array-heavy) cached frame here — the one consumer for
     # whom recompute-from-scan wins (see _doc_shingles' parallel note).
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = persist_tracked(spark, _doc_shingles(spark, sf_dir))
 
     # signature[i] = min over shingles of xxhash64(shingle, seed=i).
     # Shape: explode shingles → 32 min-aggregates.  The partial (map-side)
@@ -346,7 +352,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes (the _BUCKET_CAP guard only drops buckets
     > 1000 docs, which the graded corpus never reaches)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _simhash_signatures(docs).persist()
+    sigs = persist_tracked(spark, _simhash_signatures(docs))
 
     bands = sigs.select(
         "doc_id",
@@ -783,7 +789,21 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_idx, chunk_len, chunk_md5); the md5 stands in for the chunk
     text in the oracle hash (keeps the compared values small)."""
     docs = load_table(spark, sf_dir, "documents")
-    starts = F.sequence(F.lit(1), F.greatest(F.length("text") - (_CHUNK_SIZE - 1), F.lit(1)), F.lit(_CHUNK_STRIDE))
+    # FULL-coverage starts (review r5: the bare stride grid dropped up
+    # to _CHUNK_STRIDE-1 trailing chars of any doc whose length wasn't
+    # stride-aligned): the stride grid plus a tail start clamped to
+    # len-(size-1), deduped+sorted — the final chunk is always the last
+    # _CHUNK_SIZE chars (with a deeper overlap when unaligned), so no
+    # byte of the corpus is absent from every chunk.
+    tail_start = F.greatest(F.length("text") - (_CHUNK_SIZE - 1), F.lit(1))
+    starts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(1), tail_start, F.lit(_CHUNK_STRIDE)),
+                F.array(tail_start),
+            )
+        )
+    )
     chunks = docs.select(
         "doc_id",
         F.posexplode(
@@ -801,8 +821,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_ORACLE = f"""
     WITH starts AS (
         SELECT doc_id, text,
-               unnest(range(1, greatest(length(text) - {_CHUNK_SIZE - 1}, 1) + 1,
-                            {_CHUNK_STRIDE})) AS s
+               unnest(list_sort(list_distinct(list_append(
+                   range(1, greatest(length(text) - {_CHUNK_SIZE - 1}, 1) + 1,
+                         {_CHUNK_STRIDE}),
+                   greatest(length(text) - {_CHUNK_SIZE - 1}, 1))))) AS s
         FROM documents
     )
     SELECT doc_id,
@@ -1011,8 +1033,13 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate_cut
         )
     rate_cut = F.coalesce(rate_cut, F.lit(int(_STRAT_DEFAULT_RATE * 2**32)))
-    h_strat = _hash32_col(F.concat_ws(":", F.lit("strat"), "lang", "doc_id"))
-    h_split = _hash32_col(F.concat_ws(":", F.lit("split"), "lang", "doc_id"))
+    # NULL-lang discipline (review r5): concat_ws SKIPS nulls while the
+    # oracle's `||` propagates them, so hash the explicit coalesce('')
+    # in BOTH engines — identical bytes for labeled rows, and unlabeled
+    # rows are sampled instead of silently dropped by the oracle.
+    lang_key = F.coalesce(F.col("lang"), F.lit(""))
+    h_strat = _hash32_col(F.concat_ws(":", F.lit("strat"), lang_key, "doc_id"))
+    h_split = _hash32_col(F.concat_ws(":", F.lit("split"), lang_key, "doc_id"))
     kept = docs.filter(h_strat < rate_cut).select(
         "lang",
         F.when(h_split < _SPLIT_TRAIN_CUT, "train")
@@ -1028,8 +1055,8 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stratified_oracle() -> str:
-    strat_h = _hash32_sql("'strat:' || lang || ':' || doc_id::VARCHAR")
-    split_h = _hash32_sql("'split:' || lang || ':' || doc_id::VARCHAR")
+    strat_h = _hash32_sql("'strat:' || coalesce(lang, '') || ':' || doc_id::VARCHAR")
+    split_h = _hash32_sql("'split:' || coalesce(lang, '') || ':' || doc_id::VARCHAR")
     rate_cases = " ".join(
         f"WHEN lang = '{lg}' THEN {int(rate * 2**32)}"
         for lg, rate in sorted(_STRAT_RATES.items())
@@ -1176,21 +1203,21 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
         "doc_id"
     )
-    exact = (
+    exact = persist_tracked(
+        spark,
         quality.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .drop("rk")
-        .persist()
+        .drop("rk"),
     )
     # survivor shingles come from the session shingle cache (shingling
     # is text-only, so the subset's shingles are the cached rows for the
     # surviving doc_ids) — a doc_id semi-join against the persisted
     # frame instead of re-running the ~5 s HOF projection per build
-    grams = (
+    grams = persist_tracked(
+        spark,
         shingle_frame(spark, sf_dir)
         .join(exact.select("doc_id"), "doc_id", "left_semi")
-        .filter(F.size("shingles") > 0)
-        .persist()
+        .filter(F.size("shingles") > 0),
     )
     dropped = (
         _prefix_jaccard_pairs(grams)
@@ -1199,9 +1226,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = exact.join(dropped, "doc_id", "left_anti")
     ln = F.length("text")
+    # closed form of chunk_documents' full-coverage start list: the
+    # stride-grid count plus one tail chunk when the length is not
+    # stride-aligned (review r5 — keep in lockstep with _CHUNK_ORACLE)
     n_chunks = F.when(
         ln >= _CHUNK_SIZE,
-        F.floor((ln - _CHUNK_SIZE) / _CHUNK_STRIDE) + 1,
+        F.floor((ln - _CHUNK_SIZE) / _CHUNK_STRIDE)
+        + 1
+        + F.when(((ln - _CHUNK_SIZE) % _CHUNK_STRIDE) != 0, 1).otherwise(0),
     ).otherwise(F.lit(1))
     kept_agg = kept.agg(
         F.count("*").cast("long").alias("n_kept"),
@@ -1252,6 +1284,9 @@ _CURATE_ORACLE = f"""
            (SELECT count(*) FROM kept)::BIGINT AS n_kept,
            (SELECT sum(CASE WHEN length(text) >= {_CHUNK_SIZE}
                             THEN (length(text) - {_CHUNK_SIZE}) // {_CHUNK_STRIDE} + 1
+                                 + CASE WHEN (length(text) - {_CHUNK_SIZE})
+                                             % {_CHUNK_STRIDE} <> 0
+                                        THEN 1 ELSE 0 END
                             ELSE 1 END) FROM kept)::BIGINT AS n_chunks,
            (SELECT sum(len(string_split(trim(text), ' ')))
             FROM kept)::BIGINT AS n_tokens

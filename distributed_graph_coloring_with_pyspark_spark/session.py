@@ -60,12 +60,17 @@ def get_spark(
 
 def release_session_caches(spark: SparkSession) -> dict[str, int]:
     """Drop every per-session memo this engine keeps — the trained IVF
-    quantizers, the customer-graph edge cache, and the persisted shingle
-    cache — in one call.  Long-lived sessions (the bench harness, a
-    notebook running many query families) use this between families so
-    one family's warm state can't flatter or starve the next; each
-    underlying helper is idempotent and safe on a cold session.
-    Returns {cache_name: entries_released} for observability."""
+    quantizers, the customer-graph edge cache, the persisted shingle
+    cache, and the ad-hoc tracked persists (cache.py) — in one call.
+    Long-lived sessions (the bench harness, a notebook running many
+    query families) use this between families so one family's warm
+    state can't flatter or starve the next; each underlying helper is
+    idempotent and safe on a cold session.  This explicit release IS
+    the cache-lifetime mechanism: cached frames strongly reference
+    their session, so no keying scheme can expire them automatically
+    (see cache.py's honesty note).  Returns {cache_name:
+    entries_released} for observability."""
+    from .cache import release_tracked
     from .operators.graph_bridge import clear_customer_graph_cache
     from .operators.similarity import clear_ivf_cache
     from .operators.text_dedup import clear_shingle_cache
@@ -74,4 +79,5 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "customer_graph": clear_customer_graph_cache(spark),
         "ivf_centroids": clear_ivf_cache(spark),
         "shingles": clear_shingle_cache(spark),
+        "tracked_frames": release_tracked(spark),
     }

@@ -102,6 +102,39 @@ def _sniff_ts_is_nanos(sf_dir: str) -> bool:
         return "nano" in str(lt).lower()
     return True  # plain INT64 → long epoch-nanos (test fixtures)
 
+# sf_dir → events row count; like the ts sniff, a corpus's size is
+# fixed for the life of a run, and the streaming drive harness only
+# needs it to size the shuffle/state-store clamp
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def events_row_count(sf_dir: str) -> int:
+    """Row count of the events table from parquet FOOTER metadata — no
+    Spark job (review r5: every streaming query was paying a count()
+    job just to size its shuffle clamp), memoized per corpus like the
+    ts-unit sniff.  Falls back to 0 (callers clamp to ≥1 partition) if
+    the footers are unreadable."""
+    cached = _ROW_COUNT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    try:
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return 0  # uncached: a later successful read should win
+    _ROW_COUNT_CACHE[sf_dir] = n
+    return n
+
+
 TABLE_NAMES = [
     "region",
     "nation",

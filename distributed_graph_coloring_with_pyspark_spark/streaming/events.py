@@ -16,7 +16,9 @@ source is swapped for Kafka with identical downstream plan.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.coloring import scoped_shuffle_partitions
-from ..sources.tables import ensure_utc, events_stream, load_table
+from ..sources.tables import ensure_utc, events_row_count, events_stream, load_table
 
 SESSION_GAP_MIN = 30
 
@@ -209,32 +211,45 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _drain_to_memory(
-    spark: SparkSession, stream_df: DataFrame, sink_name: str, mode: str, sf_dir: str
-) -> DataFrame:
-    """Run a finite streaming plan to completion into a memory sink and
-    return the sink table.  The run is wrapped in
-    ``scoped_shuffle_partitions`` sized to the events row count
-    (parquet-footer metadata, no scan): the state-store partition count
-    is fixed by spark.sql.shuffle.partitions at query start, and
-    core-count-wide state stores on a small keyed working set are pure
-    per-partition overhead (measured on the stream-stream join at
-    sf0.1: 6.3 s → 2.8 s steady-state at 8 vs 32 state partitions).
-    A 100 TB deployment sizes this the opposite way — state partitions
-    ≈ cluster cores — which is exactly what the session default gives
-    on big inputs: the clamp never raises the width."""
-    n_rows = load_table(spark, sf_dir, "events").count()
+def _drive_stream(spark: SparkSession, stream_df: DataFrame, sf_dir: str, configure):
+    """THE shared drive loop for every finite streaming pipeline in
+    this module (memory-sink harness AND the foreachBatch production
+    sink — review r5 deduplicated the two copies): size the shuffle /
+    state-store width, configure the writer via the callback, start,
+    drain, stop.
+
+    The run is wrapped in ``scoped_shuffle_partitions`` sized to the
+    events row count — now genuinely from parquet-footer metadata
+    (``events_row_count``, memoized per corpus; previously every
+    streaming query paid a Spark count() job for this): the state-store
+    partition count is fixed by spark.sql.shuffle.partitions at query
+    start, and core-count-wide state stores on a small keyed working
+    set are pure per-partition overhead (measured on the stream-stream
+    join at sf0.1: 6.3 s → 2.8 s steady-state at 8 vs 32 state
+    partitions).  A 100 TB deployment sizes this the opposite way —
+    state partitions ≈ cluster cores — which is exactly what the
+    session default gives on big inputs: the clamp never raises the
+    width."""
+    n_rows = max(1, events_row_count(sf_dir))
     with scoped_shuffle_partitions(spark, n_rows):
-        q = (
-            stream_df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(sink_name)
-            .start()
-        )
+        q = configure(stream_df.writeStream).start()
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def _drain_to_memory(
+    spark: SparkSession, stream_df: DataFrame, sink_name: str, mode: str, sf_dir: str
+) -> DataFrame:
+    """Drive a finite streaming plan into a memory sink and return the
+    sink table (the assertable-output harness convention)."""
+    _drive_stream(
+        spark,
+        stream_df,
+        sf_dir,
+        lambda w: w.outputMode(mode).format("memory").queryName(sink_name),
+    )
     return spark.table(sink_name)
 
 
@@ -643,6 +658,19 @@ _STREAM_DEDUP_ORACLE = """
 """
 
 
+# per-process sink root (review r5: the old fixed /tmp path let two
+# processes clobber each other's epoch overwrites), with one subdir per
+# corpus so concurrent sf_dirs don't collide either
+_SINK_TMPDIR: list[str] = []
+
+
+def _default_sink_dir(sf_dir: str) -> str:
+    if not _SINK_TMPDIR:
+        _SINK_TMPDIR.append(tempfile.mkdtemp(prefix="dgc_stream_sink_"))
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_SINK_TMPDIR[0], f"hourly_{digest}")
+
+
 def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION sink path for the watermarked hourly rollup:
     ``foreachBatch`` → partitioned-parquet overwrite, instead of the
@@ -658,9 +686,7 @@ def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the READ-BACK parquet, so the oracle checks the full
     write→read round trip including the partitioned layout."""
     ensure_utc(spark)
-    out = os.environ.get(
-        "SPARK_GRAFT_STREAM_SINK_DIR", "/tmp/dgc_streaming_hourly_parquet"
-    )
+    out = os.environ.get("SPARK_GRAFT_STREAM_SINK_DIR") or _default_sink_dir(sf_dir)
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -686,13 +712,12 @@ def streaming_hourly_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    n_rows = load_table(spark, sf_dir, "events").count()
-    with scoped_shuffle_partitions(spark, n_rows):
-        q = agg.writeStream.outputMode("complete").foreachBatch(_write_epoch).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    _drive_stream(
+        spark,
+        agg,
+        sf_dir,
+        lambda w: w.outputMode("complete").foreachBatch(_write_epoch),
+    )
     return spark.read.parquet(out).select(
         "hour_epoch", "event_type", "n", "total_value", "avg_value"
     )

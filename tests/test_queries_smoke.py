@@ -131,7 +131,13 @@ def test_release_session_caches_all_at_once(spark):
     GB.customer_graph_edges(spark, SF)
     S.ann_ivf_topk(spark, SF).count()
     TD.shingle_frame(spark, SF).count()
+    TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
     released = release_session_caches(spark)
-    assert set(released) == {"customer_graph", "ivf_centroids", "shingles"}
+    assert set(released) == {
+        "customer_graph",
+        "ivf_centroids",
+        "shingles",
+        "tracked_frames",
+    }
     assert all(n >= 1 for n in released.values()), released
     assert all(n == 0 for n in release_session_caches(spark).values())

@@ -89,7 +89,10 @@ def test_chunking_is_codepoint_based_on_unicode(spark, tmp_path):
     size, stride = 200, 150
     expected = {}
     for doc_id, t in enumerate(texts):
-        starts = range(0, max(len(t) - (size - 1), 1), stride)
+        # full-coverage rule (round 5): stride grid plus the clamped
+        # tail start, deduped — mirrors chunk_documents exactly
+        tail = max(len(t) - size, 0)
+        starts = sorted(set(range(0, max(len(t) - (size - 1), 1), stride)) | {tail})
         for idx, s in enumerate(starts):
             expected[(doc_id, idx)] = len(t[s : s + size])
     assert got == expected

@@ -52,3 +52,50 @@ def test_ngram_jaccard_cross_validates_minhash(spark):
     assert canon_rows(exact.columns, [tuple(r) for r in exact.collect()]) == canon_rows(
         mh.columns, [tuple(r) for r in mh.collect()]
     )
+
+
+def test_chunk_documents_covers_every_byte(spark, tmp_path):
+    """Planted boundary lengths (review r5: the bare stride grid
+    dropped up to stride-1 trailing chars of unaligned docs): for every
+    doc the final chunk must be exactly the last min(len, 200) chars,
+    the first chunk the first min(len, 200), and the count must match
+    the closed form curate_corpus uses."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    lengths = [1, 149, 199, 200, 201, 349, 350, 500, 501, 650]
+    texts = {i: ("ab%d " % i + "x" * n)[:n] for i, n in enumerate(lengths)}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = chunk_documents(spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        t = texts[i]
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        md5 = lambda s: _hashlib.md5(s.encode()).hexdigest()
+        assert chunks[0].chunk_md5 == md5(t[:_CHUNK_SIZE]), n
+        assert chunks[-1].chunk_md5 == md5(t[-min(n, _CHUNK_SIZE):]), n
+        if n >= _CHUNK_SIZE:
+            want = (n - _CHUNK_SIZE) // _CHUNK_STRIDE + 1
+            if (n - _CHUNK_SIZE) % _CHUNK_STRIDE != 0:
+                want += 1
+        else:
+            want = 1
+        assert len(chunks) == want, (n, len(chunks), want)
