@@ -687,6 +687,12 @@ def pagerank_customers(
                 )
                 .localCheckpoint(eager=False)
             )
+        # Materialize INSIDE the scope (review r5): the loop body is
+        # deliberately action-free, so without this eager checkpoint all
+        # 10 iterations' shuffles would execute at the caller's terminal
+        # action — after the with-block restored the session-wide
+        # shuffle width, silently undoing the |V|-scoped clamp.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 

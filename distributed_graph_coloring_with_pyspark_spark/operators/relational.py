@@ -138,14 +138,25 @@ def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders")
     return (
+        # GROUPING() (not coalesce-to-'ALL') labels the subtotal rows
+        # (review r5): a genuine NULL group value and a rollup subtotal
+        # would otherwise both render as 'ALL' and become
+        # indistinguishable — the SQL-standard disambiguator, mirrored
+        # in the oracle
         od.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").alias("_gs"),
+            F.grouping("o_orderpriority").alias("_gp"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("orderstatus"),
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("orderpriority"),
             "n_orders",
             "total_price",
         )
@@ -155,14 +166,21 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = _t(spark, sf_dir, "part")
     return (
+        # GROUPING() subtotal labeling — see rollup_order_stats' note
         pa.cube("p_brand", "p_type")
         .agg(
             F.count("*").alias("n_parts"),
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.grouping("p_brand").alias("_gb"),
+            F.grouping("p_type").alias("_gt"),
         )
         .select(
-            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
-            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            F.when(F.col("_gb") == 1, F.lit("ALL"))
+            .otherwise(F.col("p_brand"))
+            .alias("brand"),
+            F.when(F.col("_gt") == 1, F.lit("ALL"))
+            .otherwise(F.col("p_type"))
+            .alias("ptype"),
             "n_parts",
             "avg_price",
         )
@@ -398,7 +416,12 @@ def cross_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = od.select(F.col("o_orderstatus").alias("status")).distinct()
     grid = re_.crossJoin(statuses)
     facts = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        # no broadcast hint on customer (review r5): it scales with the
+        # fact data, so the planner must stay free to shuffle it — AQE
+        # still broadcasts when the measured size permits (the pattern
+        # graph_assortativity documents); nation/region are the true
+        # bounded dimensions and keep their hints
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(
             F.broadcast(_t(spark, sf_dir, "region")),
@@ -543,10 +566,17 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").alias("_gs"),
+            F.grouping("o_orderpriority").alias("_gp"),
         )
+        # GROUPING() subtotal labeling — see rollup_order_stats' note
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("orderstatus"),
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("orderpriority"),
             "n_orders",
             "total_price",
         )
@@ -555,8 +585,10 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GROUPING_SETS_ORACLE = """
-    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
-           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS orderstatus,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS orderpriority,
            count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS total_price
     FROM orders
@@ -650,16 +682,20 @@ ORACLES = {
         LIMIT 10
     """,
     "rollup_order_stats": """
-        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
-               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS orderstatus,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS orderpriority,
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "cube_part_stats": """
-        SELECT coalesce(p_brand, 'ALL') AS brand,
-               coalesce(p_type, 'ALL') AS ptype,
+        SELECT CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL'
+                    ELSE p_brand END AS brand,
+               CASE WHEN GROUPING(p_type) = 1 THEN 'ALL'
+                    ELSE p_type END AS ptype,
                count(*) AS n_parts,
                round(avg(p_retailprice), 4) AS avg_price
         FROM part

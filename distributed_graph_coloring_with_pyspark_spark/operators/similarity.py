@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import persist_tracked
 from ..sources.tables import load_table
 
 _DIM = 64
@@ -60,6 +61,22 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def _topk_per_probe(scored: DataFrame) -> DataFrame:
+    """Deterministic per-probe top-K tail shared by the exact KNN and
+    both ANN paths (review r5 deduplicated three verbatim copies): rank
+    by (cos_sim desc, vec_id) for a stable tie-break, keep _TOP_K, emit
+    the common (probe_id, rank, neighbor_id, cos_sim) schema.  One
+    definition keeps the ANN paths in lockstep with the exact query
+    their recall gates compare against."""
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("probe_id", "rank")
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -116,13 +133,7 @@ def knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_per_probe(scored)
 
 
 _KNN_ORACLE = f"""
@@ -166,7 +177,10 @@ def _blocked_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     nb = _N_BLOCKS
     eps = 1e-6
 
-    block = (F.col("vec_id") % nb).cast("int")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # vec_id would land outside the 0..NB-1 grid and silently drop the
+    # vector from every block pair (review r5)
+    block = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
     base = emb.select(block.alias("blk"), "vec_id", "embedding")
     # distinct column names on the right side: the two cogroup inputs share
     # a lineage, and duplicate attributes would trip the self-join checker
@@ -385,13 +399,7 @@ def ann_hyperplane_topk(
         "vec_id",
         F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_per_probe(scored)
 
 
 # --- IVF (inverted-file) ANN: the second standard scale path ------------
@@ -555,13 +563,7 @@ def _ivf_rerank(probes: DataFrame, corpus: DataFrame) -> DataFrame:
         "vec_id",
         F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("probe_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_per_probe(scored)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +620,11 @@ def ann_ivf_topk_indexed(
     (pinned by tests/test_ivf_index.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_centroids(spark, sf_dir, emb)
-    probes = _ivf_probes(emb, cents)
+    # tracked persist (review r5): the probes pipeline is consumed twice
+    # — once by the probed-cells collect below and again inside the
+    # rerank join — and without a persist the serve path re-scanned the
+    # probe side and re-scored all K centroids per action
+    probes = persist_tracked(spark, _ivf_probes(emb, cents))
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
@@ -847,6 +853,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
+    if n < 2:
+        raise ValueError(
+            f"embedding_covariance: need >= 2 vectors for an n-1-normalized"
+            f" covariance, got {n}"
+        )
     ex = emb.select(
         "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("d", "v")
     )
@@ -906,8 +917,11 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = _neardup_pair_frame(emb).select("id_a", "id_b")
-    edges = (
-        pairs.union(pairs.select("id_b", "id_a")).toDF("src", "dst").persist()
+    # tracked persist (cache.py): if the component loop raises (round
+    # exhaustion), release_session_caches can still reclaim the blocks
+    # the success-path unpersist below would have dropped
+    edges = persist_tracked(
+        spark, pairs.union(pairs.select("id_b", "id_a")).toDF("src", "dst")
     )
     labels = min_label_components(edges)
     out = (
