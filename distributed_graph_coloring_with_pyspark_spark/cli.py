@@ -57,11 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Minimal colors: {result.minimal_colors}")
     print(f"Validation result: {valid} (uncolored={n_uncolored}, conflict_rows={conflicts})")
     print(f"Attempts (k, success, rounds): {result.attempts}")
-    print(f"Total time: {time.time() - t0:.2f} s")
+    solve_s = time.time() - t0
+    t1 = time.time()
     if args.output_format == "jsonl":
         write_coloring_jsonl(result.vertices, args.output_coloring)
     else:
         write_coloring_json(result.vertices, args.output_coloring)
+    # write timed separately so the reported wall clock covers the WHOLE
+    # run (review r5: the old single line was printed before the write)
+    print(f"Total time: {solve_s + (time.time() - t1):.2f} s (solve {solve_s:.2f} s)")
     spark.stop()
     return 0 if valid else 1
 

@@ -150,6 +150,11 @@ def color_graph_attempt(
     ``vertices`` must be (id, degree, color) with color all-NULL;
     ``edges`` symmetric and ideally persisted by the caller.
     """
+    if k < 1:
+        # review r5: sequence(0, k-1) DESCENDS for k <= 0 (Spark infers
+        # step -1), which would hand out negative "colors" and report a
+        # bogus success — fail loudly instead
+        raise ValueError(f"color_graph_attempt: palette size k must be >= 1, got {k}")
     state = vertices.localCheckpoint(eager=False)
     rounds = 0
     prev_cand: DataFrame | None = None
@@ -205,7 +210,10 @@ def color_graph_attempt(
         if stats["uncolored"] == 0:
             used_colors = state.agg(F.max("color")).collect()[0][0]
             _cleanup()
-            return AttemptResult(True, state, rounds, (used_colors or 0) + 1)
+            # None-checked, not `or 0` (review r5): an EMPTY graph has
+            # max(color) = NULL and uses zero colors, not one
+            n_used = (used_colors + 1) if used_colors is not None else 0
+            return AttemptResult(True, state, rounds, n_used)
         if stats["exhausted"] > 0:  # G5 failure detector (coloring.py:104-108)
             _cleanup()
             return AttemptResult(False, state, rounds, -1)
@@ -258,35 +266,54 @@ def minimal_coloring(
       size only matters at exhaustion), so intermediate k values cannot
       change the outcome — they are skipped, not decided differently.
     """
+    caller_k = start_k is not None
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     verts0 = init_vertices(node_ids, edges).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = verts0.agg(
-        F.count("*").alias("n"), F.max("degree").alias("max_deg")
-    ).collect()[0]
-    if start_k is None:
-        start_k = (stats["max_deg"] or 0) + 1  # Δ+1 always suffices (coloring.py:212)
+    try:
+        stats = verts0.agg(
+            F.count("*").alias("n"), F.max("degree").alias("max_deg")
+        ).collect()[0]
+        if start_k is None:
+            start_k = (stats["max_deg"] or 0) + 1  # Δ+1 always suffices (coloring.py:212)
 
-    attempts: list[tuple[int, bool, int]] = []
-    best: DataFrame | None = None
-    best_colors = -1
-    k = max(start_k, 1)
-    # every round is joins/aggs over |V|-row frames — size the loop's
-    # shuffle width to that, not to the session's scan-oriented value
-    with scoped_shuffle_partitions(edges.sparkSession, int(stats["n"])):
-        while k >= 1:
-            res = color_graph_attempt(verts0, edges, k, max_rounds=max_rounds)
-            attempts.append((k, res.success, res.rounds))
-            if not res.success:
-                break
-            best = res.vertices
-            best_colors = res.colors_used
-            k = res.colors_used - 1
+        attempts: list[tuple[int, bool, int]] = []
+        best: DataFrame | None = None
+        best_colors = -1
+        k = max(start_k, 1)
+        # every round is joins/aggs over |V|-row frames — size the loop's
+        # shuffle width to that, not to the session's scan-oriented value
+        with scoped_shuffle_partitions(edges.sparkSession, int(stats["n"])):
+            while k >= 1:
+                res = color_graph_attempt(verts0, edges, k, max_rounds=max_rounds)
+                attempts.append((k, res.success, res.rounds))
+                if not res.success:
+                    break
+                best = res.vertices
+                best_colors = res.colors_used
+                k = res.colors_used - 1
 
-    if best is None:
-        # Even Δ+1 failed — impossible for a simple graph; only reachable
-        # if the input violates the symmetric/no-self-loop contract.
-        raise ValueError("coloring failed at k = Δ+1; input graph is not simple/symmetric")
-    return ColoringResult(best_colors, best, attempts)
+        if best is None:
+            if caller_k:
+                # review r5: a too-small CALLER palette is an expected
+                # outcome, not a broken input — say so
+                raise ValueError(
+                    f"coloring failed: caller-supplied start_k={start_k} is"
+                    " below the chromatic number; retry with a larger palette"
+                    " or start_k=None for the Δ+1 guarantee"
+                )
+            # Even Δ+1 failed — impossible for a simple graph; only reachable
+            # if the input violates the symmetric/no-self-loop contract.
+            raise ValueError(
+                "coloring failed at k = Δ+1; input graph is not simple/symmetric"
+            )
+        return ColoringResult(best_colors, best, attempts)
+    finally:
+        # the returned vertices are localCheckpoint-backed (materialized
+        # by the attempt's final stats collect), so the inputs' cached
+        # blocks can be released — repeated colorings in one session
+        # previously leaked both frames (review r5)
+        edges.unpersist(False)
+        verts0.unpersist(False)
 
 
 def validate_coloring(vertices: DataFrame, edges: DataFrame) -> tuple[bool, int, int]:

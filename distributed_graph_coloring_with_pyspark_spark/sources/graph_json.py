@@ -40,6 +40,17 @@ def read_graph_json(spark: SparkSession, path: str) -> tuple[DataFrame, DataFram
     object-pointer links (graph.py:23-25).
     """
     raw = spark.read.schema(GRAPH_JSON_SCHEMA).option("multiLine", True).json(path)
+    # fail at the READ boundary on malformed input (review r5): under
+    # PERMISSIVE parsing a node object without "id" (or a syntax error,
+    # which nulls the whole multiLine array) yields id=NULL rows — and a
+    # NULL-id vertex can never win an equi-join, so the coloring loop
+    # would spin its full round budget before failing confusingly
+    bad = raw.filter(F.col("id").isNull()).count()
+    if bad:
+        raise ValueError(
+            f"read_graph_json: {path} has {bad} records with NULL id —"
+            " malformed JSON or node objects missing the 'id' field"
+        )
     node_ids = raw.select("id")
     # ``pos`` carries each neighbor's position in the source list so the
     # sink can reproduce the reference's insertion-order serialization

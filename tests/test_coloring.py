@@ -111,3 +111,57 @@ def test_palette_exhaustion_fails(spark):
     verts = init_vertices(node_ids, edges)
     assert not color_graph_attempt(verts, edges, k=2).success
     assert color_graph_attempt(verts, edges, k=3).success
+
+
+def test_empty_graph_uses_zero_colors(spark):
+    """Review r5: max(color) over zero rows is NULL, which must report
+    0 colors, not 1."""
+    node_ids = spark.createDataFrame([], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    res = minimal_coloring(node_ids, edges)
+    assert res.minimal_colors == 0
+    assert res.vertices.count() == 0
+
+
+def test_attempt_rejects_nonpositive_palette(spark):
+    """Review r5: sequence(0, k-1) descends for k <= 0, which would
+    hand out negative colors — must raise instead."""
+    und = [(0, 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    verts = init_vertices(edges.select(F.col("src").alias("id")).distinct(), edges)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        color_graph_attempt(verts, edges, k=0)
+
+
+def test_start_k_below_chromatic_reports_clearly(spark):
+    """Review r5: a caller palette below the chromatic number is an
+    expected outcome with its own message, not a bogus 'input graph is
+    not simple/symmetric' diagnosis."""
+    und = [(0, 1), (1, 2), (0, 2)]  # triangle: chromatic number 3
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    node_ids = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    with pytest.raises(ValueError, match="below the chromatic number"):
+        minimal_coloring(node_ids, edges, start_k=2)
+
+
+def test_read_graph_json_rejects_null_ids(spark, tmp_path):
+    """Review r5: a node object missing 'id' must fail at the read
+    boundary, not spin the coloring loop on an unjoinable NULL key."""
+    import json as _json
+
+    p = tmp_path / "bad_graph.json"
+    p.write_text(
+        _json.dumps(
+            [
+                {"id": 0, "neighbors": [1], "color": -1},
+                {"neighbors": [0], "color": -1},
+            ],
+            indent=4,
+        )
+    )
+    with pytest.raises(ValueError, match="NULL id"):
+        read_graph_json(spark, str(p))
