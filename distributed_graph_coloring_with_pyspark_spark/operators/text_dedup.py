@@ -1109,7 +1109,13 @@ def dedup_components(
     from .graph_analytics import min_label_components
 
     grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
-    pairs = _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
+    # persist the DIRECTED pairs, not just the symmetrized union: the
+    # union's two branches are separate subtrees of one plan, so without
+    # this persist the expensive prefix-filter join ran TWICE inside the
+    # first materializing action (measured +6 s at sf0.1, review r5)
+    pairs = persist_tracked(
+        spark, _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
+    )
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
@@ -1444,6 +1450,231 @@ _STOPWORD_FILTER_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# deterministic eval holdout: ~10% of docs by a salted md5 hash (same
+# engine-portable idiom as the stratified split; independent salt)
+_CONTAM_EVAL_CUT = int(0.1 * 2**32)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination scan — the decontamination pass every
+    serious pre-training build runs before reporting benchmark numbers
+    (GPT-3 appendix C / PaLM style: flag eval documents sharing n-grams
+    with the training set).  A deterministic ~10% holdout is carved out
+    by a salted md5 hash (pure function of doc_id — reproducible
+    engine-to-engine, like ``stratified_sample_split``); for every eval
+    doc with ≥ 1 shingle the output reports how many of its distinct
+    token-3-grams also appear anywhere in the training partition:
+
+        (doc_id, n_grams, n_shared, contam_frac)
+
+    100 TB design: the training side collapses to DISTINCT 8-byte
+    xxhash64 gram keys (the inverted-index trick the prefix-filter join
+    uses — grams never shuffle as strings), the eval side explodes and
+    LEFT SEMI joins on that key, and both sides reuse the session
+    shingle cache.  Equi-join + two hash aggregations, no window, no
+    driver state.  Collision honesty (same note as
+    ``_prefix_jaccard_pairs``): two distinct grams colliding at 64 bits
+    could count a non-shared gram as shared with probability ~2⁻⁶⁴ per
+    pair — the DuckDB oracle joins on TRUE gram strings and arbitrates."""
+    sh = shingle_frame(spark, sf_dir)
+    is_eval = _hash32_col(F.concat_ws(":", F.lit("contam"), "doc_id")) < _CONTAM_EVAL_CUT
+    labeled = sh.withColumn("is_eval", is_eval)
+    train_grams = (
+        labeled.filter(~F.col("is_eval"))
+        .select(F.explode("shingles").alias("g"))
+        .select(F.xxhash64("g").alias("gk"))
+        .distinct()
+    )
+    eval_docs = labeled.filter(F.col("is_eval") & (F.size("shingles") > 0)).select(
+        "doc_id", F.size("shingles").alias("n_grams"), "shingles"
+    )
+    shared = (
+        eval_docs.select("doc_id", F.explode("shingles").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gk"))
+        .join(train_grams, "gk", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        eval_docs.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_oracle() -> str:
+    h = _hash32_sql("'contam:' || doc_id::VARCHAR")
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END) AS sg,
+               {h} < {_CONTAM_EVAL_CUT} AS is_eval
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents)
+    ), train_g AS (
+        SELECT DISTINCT unnest(sg) AS g FROM sh WHERE NOT is_eval
+    ), ev AS (
+        SELECT doc_id, unnest(sg) AS g FROM sh WHERE is_eval AND len(sg) > 0
+    ), shared AS (
+        SELECT doc_id, count(*) AS n_shared FROM ev
+        WHERE g IN (SELECT g FROM train_g) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           len(s.sg)::BIGINT AS n_grams,
+           coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
+           round(coalesce(sh2.n_shared, 0)::DOUBLE / len(s.sg), 6) AS contam_frac
+    FROM sh s LEFT JOIN shared sh2 USING (doc_id)
+    WHERE s.is_eval AND len(s.sg) > 0
+    ORDER BY s.doc_id
+"""
+
+
+_CONTAMINATION_ORACLE = _contamination_oracle()
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (concat-and-split token accounting)
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing — the GPT-style pre-training
+    layout: concatenate every document's tokens in doc_id order and cut
+    the stream every ``_PACK_SEQ_LEN`` tokens.  Output is the packing
+    manifest a data loader needs, one row per packed sequence:
+
+        (seq_id, n_docs, n_full_docs, n_tokens)
+
+    where n_docs counts documents intersecting the sequence,
+    n_full_docs those fully contained (no boundary fragment), and
+    n_tokens is _PACK_SEQ_LEN except for the final tail.
+
+    The core is a GLOBAL prefix sum over token counts in doc_id order —
+    the textbook two-pass distributed scan, NOT a single-partition
+    window (``Window.orderBy`` with no partitionBy funnels the corpus
+    through one task — the anti-pattern this module bans):
+
+      1. range-partition by doc_id and PERSIST (pinning rows to
+         partitions so both passes see identical pids — range sampling
+         is otherwise not run-to-run stable), then one tiny action
+         collects per-partition token totals (#partitions rows, bounded
+         driver state);
+      2. per-partition running sums via a pid-partitioned window plus
+         the broadcast partition-offset table give every doc its global
+         [start, end) token span.
+
+    Each doc then explodes to the sequences its span crosses
+    (``F.sequence`` — ≤ ⌈n_tok/L⌉ + 1 rows) and a single hash
+    aggregation builds the manifest.  At 100 TB: two scans of an
+    8-byte-per-doc projection, one equi-shuffle (range partition), one
+    broadcast join, one agg — and the manifest is ~corpus_tokens/L rows,
+    itself distributed."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    base = persist_tracked(
+        spark,
+        docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tok"))
+        .repartitionByRange(par, "doc_id")
+        .withColumn("pid", F.spark_partition_id()),
+    )
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in base.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += tot
+    off_df = spark.createDataFrame(offsets, "pid int, base long")
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    L = _PACK_SEQ_LEN
+    spans = (
+        base.withColumn("cum", F.sum("n_tok").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("base") + F.col("cum") - F.col("n_tok")).alias("start"),
+            (F.col("base") + F.col("cum")).alias("end"),
+        )
+    )
+    ex = spans.select(
+        "start",
+        "end",
+        F.explode(
+            F.sequence(F.floor(F.col("start") / L), F.floor((F.col("end") - 1) / L))
+        ).alias("seq_id"),
+    )
+    return (
+        ex.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("start") >= F.col("seq_id") * L)
+                    & (F.col("end") <= (F.col("seq_id") + 1) * L),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_full_docs"),
+            F.sum(
+                F.least(F.col("end"), (F.col("seq_id") + 1) * L)
+                - F.greatest(F.col("start"), F.col("seq_id") * L)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+_PACK_ORACLE = f"""
+    WITH cum AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cend
+        FROM (SELECT doc_id,
+                     len(string_split(trim(text), ' '))::BIGINT AS n_tok
+              FROM documents)
+    ), spans AS (
+        -- DuckDB widens the window sum to HUGEINT; generate_series needs BIGINT
+        SELECT (cend - n_tok)::BIGINT AS cstart, cend::BIGINT AS cend FROM cum
+    ), ex AS (
+        SELECT cstart, cend,
+               unnest(generate_series(cstart // {_PACK_SEQ_LEN},
+                                      (cend - 1) // {_PACK_SEQ_LEN})) AS seq_id
+        FROM spans
+    )
+    SELECT seq_id::BIGINT AS seq_id,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN cstart >= seq_id * {_PACK_SEQ_LEN}
+                     AND cend <= (seq_id + 1) * {_PACK_SEQ_LEN}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_full_docs,
+           sum(least(cend, (seq_id + 1) * {_PACK_SEQ_LEN})
+               - greatest(cstart, seq_id * {_PACK_SEQ_LEN}))::BIGINT AS n_tokens
+    FROM ex GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1481,6 +1712,8 @@ PYTEST_QUERIES = {
     "stratified_sample_split": stratified_sample_split,
     "repetition_stats": repetition_stats,
     "stopword_filter": stopword_filter,
+    "contamination_check": contamination_check,
+    "pack_sequences": pack_sequences,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -1489,4 +1722,6 @@ PYTEST_ORACLES = {
     "stratified_sample_split": _STRATIFIED_ORACLE,
     "repetition_stats": _REPETITION_ORACLE,
     "stopword_filter": _STOPWORD_FILTER_ORACLE,
+    "contamination_check": _CONTAMINATION_ORACLE,
+    "pack_sequences": _PACK_ORACLE,
 }
