@@ -596,10 +596,96 @@ _GROUPING_SETS_ORACLE = """
     ORDER BY orderstatus, orderpriority
 """
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adapted to the testdata columns — the canonical
+    predicate-pushdown showcase: a single fact-table scan where EVERY
+    filter is a scan-column comparison, so all three predicates reach
+    the parquet reader (``PushedFilters``) and the projection prunes to
+    four columns; one map-side-combined global aggregate, zero joins,
+    zero wide shuffles.  At 100 TB this plan's cost is IO-bound on the
+    pruned column chunks — exactly what you want from a revenue scan
+    (plan pinned in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (the testdata has no l_commitdate/l_receiptdate,
+    so the EXISTS predicate becomes "some line item shipped after the
+    order date"): priority counts over orders with a correlated-EXISTS
+    lineitem probe.  Spark-first shape: the EXISTS is a LEFT SEMI join
+    with a non-equi residual on top of the l_orderkey equi-key — the
+    shuffle stays keyed on the join key (no broadcast of the fact
+    table, no cartesian), and the semi form stops probing an order at
+    its first qualifying line item.  At 100 TB both sides partition on
+    orderkey; AQE handles the skewed-order tail."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
-PYTEST_QUERIES = {"grouping_sets_order_stats": grouping_sets_order_stats}
-PYTEST_ORACLES = {"grouping_sets_order_stats": _GROUPING_SETS_ORACLE}
+PYTEST_QUERIES = {
+    "grouping_sets_order_stats": grouping_sets_order_stats,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+}
+PYTEST_ORACLES = {
+    "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
+    "q6_forecast_revenue": _Q6_ORACLE,
+    "q4_order_priority": _Q4_ORACLE,
+}
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,

@@ -1675,6 +1675,68 @@ _PACK_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# per-source corpus health rollup
+# ---------------------------------------------------------------------------
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health — the dashboard a data team reads when
+    deciding which crawl/source to up- or down-weight in the next mix:
+    per source, the doc count, how many of its docs are corpus-wide
+    exact duplicates (normalized sha256 appearing > once ANYWHERE, not
+    just within the source — cross-source duplication is exactly what
+    this surfaces), average document length and total token yield.
+
+    100 TB design: one groupBy on the 32-byte digest (map-side
+    combined; dup groups compress it far below corpus size), one
+    equi-join back on the digest, one tiny per-source aggregation —
+    text itself never shuffles, only digests and counters."""
+    docs = load_table(spark, sf_dir, "documents")
+    hsh = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    counts = (
+        docs.select(hsh.alias("hsh")).groupBy("hsh").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.size(_tokens()).cast("long").alias("n_tok"),
+            hsh.alias("hsh"),
+        )
+        .join(counts, "hsh")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_ROLLUP_ORACLE = """
+    WITH h AS (
+        SELECT source, n_chars,
+               len(string_split(trim(text), ' '))::BIGINT AS n_tok,
+               sha256(lower(trim(text))) AS hsh
+        FROM documents
+    ), c AS (
+        SELECT hsh, count(*) AS cnt FROM h GROUP BY hsh
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(n_tok)::BIGINT AS n_tokens
+    FROM h JOIN c USING (hsh)
+    GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_minhash": dedup_near_minhash,
@@ -1714,6 +1776,7 @@ PYTEST_QUERIES = {
     "stopword_filter": stopword_filter,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
+    "source_quality_rollup": source_quality_rollup,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -1724,4 +1787,5 @@ PYTEST_ORACLES = {
     "stopword_filter": _STOPWORD_FILTER_ORACLE,
     "contamination_check": _CONTAMINATION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
+    "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,
 }

@@ -161,3 +161,22 @@ def test_latest_snapshot_prunes_props(spark):
 
     schemas = scan_schemas(E.events_latest_snapshot(spark, SF))
     assert schemas and all("props" not in s for s in schemas)
+
+
+def test_q6_all_filters_pushed_and_pruned(spark):
+    """Q6 is the pushdown showcase: all three predicates reach the
+    parquet scan and the projection prunes to the 4 touched columns —
+    at 100 TB the scan cost IS the query cost, so this shape is the
+    whole point of the operator."""
+    import re as _re
+
+    df = R.q6_forecast_revenue(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    schemas = scan_schemas(df)
+    assert schemas and all(
+        set(_re.findall(r"(\w+):", s))
+        <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+        for s in schemas
+    ), schemas
