@@ -92,6 +92,7 @@ def main() -> int:
         PYTEST_QUERIES as GRAPH_PYTEST_QUERIES,
     )
     from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        EXTRA_QUERIES as DEDUP_EXTRA_QUERIES,
         PYTEST_QUERIES as DEDUP_PYTEST_QUERIES,
     )
     from distributed_graph_coloring_with_pyspark_spark.operators.relational import (
@@ -146,7 +147,7 @@ def main() -> int:
         ("streaming", dict(STREAMING_QUERIES)),
         ("ann", ann_family),
         ("multimodal", dict(MM_PYTEST_QUERIES)),
-        ("dedup_extra", dict(DEDUP_PYTEST_QUERIES)),
+        ("dedup_extra", {**DEDUP_PYTEST_QUERIES, **DEDUP_EXTRA_QUERIES}),
         ("similarity_extra", dict(SIM_PYTEST_QUERIES)),
         ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
         ("text_rank", dict(RANK_PYTEST_QUERIES)),

@@ -267,7 +267,17 @@ def minimal_coloring(
       change the outcome — they are skipped, not decided differently.
     """
     caller_k = start_k is not None
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist-ownership discipline (perf regression r5: the bench showed
+    # graph_color_customers 4.4 s → 16.8 s after the finally-unpersist
+    # landed): when the CALLER hands in an already-persisted edge frame
+    # (the session customer-graph cache, a caller's own working set),
+    # unpersisting it here silently evicts THEIR cache — the flagship
+    # query then rebuilt the edge projection for the in-query validator
+    # and again on every subsequent run.  Only release what this
+    # function itself persisted.
+    edges_were_persisted = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    if not edges_were_persisted:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     verts0 = init_vertices(node_ids, edges).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stats = verts0.agg(
@@ -309,10 +319,12 @@ def minimal_coloring(
         return ColoringResult(best_colors, best, attempts)
     finally:
         # the returned vertices are localCheckpoint-backed (materialized
-        # by the attempt's final stats collect), so the inputs' cached
-        # blocks can be released — repeated colorings in one session
-        # previously leaked both frames (review r5)
-        edges.unpersist(False)
+        # by the attempt's final stats collect), so the blocks THIS call
+        # persisted can be released — repeated colorings in one session
+        # previously leaked both frames (review r5).  Caller-persisted
+        # edges stay cached (see ownership note above).
+        if not edges_were_persisted:
+            edges.unpersist(False)
         verts0.unpersist(False)
 
 

@@ -674,17 +674,107 @@ _Q4_ORACLE = """
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted — returned-item revenue ranking: which
+    customers sent back the most value in a quarter.  Fact-fact join on
+    orderkey (shuffle, AQE-sized) with the returnflag filter pushed to
+    the lineitem scan, broadcast nation dim, deterministic top-20.
+    At 100 TB: the returnflag+date filters prune most of both scans
+    before the only wide shuffle; the groupBy key (custkey) is
+    high-cardinality so no skew hotspot."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted (p_type here is a single word, so PROMO
+    matches by equality, not prefix): promo revenue share in a month —
+    conditional aggregation over a fact-dim join.  The part dim is
+    broadcast (2 k rows at sf0.01; at 100 TB a parts dim is still
+    dim-sized — broadcast stays right), the date filter is pushed to
+    the lineitem scan, and both numerator and denominator come out of
+    ONE aggregation pass (a CASE inside sum), not two queries."""
+    pt = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
     "grouping_sets_order_stats": grouping_sets_order_stats,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
     "q6_forecast_revenue": _Q6_ORACLE,
     "q4_order_priority": _Q4_ORACLE,
+    "q10_returned_items": _Q10_ORACLE,
+    "q14_promo_revenue": _Q14_ORACLE,
 }
 
 QUERIES = {

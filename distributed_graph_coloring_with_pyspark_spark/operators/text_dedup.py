@@ -1600,7 +1600,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid, tot in totals:
         offsets.append((pid, acc))
         acc += tot
-    off_df = spark.createDataFrame(offsets, "pid int, base long")
+    # empty corpus: createDataFrame([]) would need an explicit guard —
+    # keep a dummy row so the (empty) join below still plans
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, base long")
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1673,6 +1675,68 @@ _PACK_ORACLE = f"""
                - greatest(cstart, seq_id * {_PACK_SEQ_LEN}))::BIGINT AS n_tokens
     FROM ex GROUP BY seq_id ORDER BY seq_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter tokens (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 64  # counters per batch summary; ε = N/(capacity+1)
+_MG_TOP = 20  # rows returned
+
+
+def heavy_hitter_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = _MG_CAPACITY,
+    top: int | None = _MG_TOP,
+) -> DataFrame:
+    """Approximate top tokens via a MERGED Misra-Gries sketch — the
+    third sketch family after the t-digest quantile contract and the
+    HLL ``approx_count_distinct``: bounded-state frequency estimation
+    for when the exact ``token_frequencies`` groupBy is too hot (at
+    100 TB the token stream is ~corpus-sized and Zipf-skewed; the
+    sketch never shuffles more than ``capacity`` rows per Arrow batch).
+
+    Per batch, the exact value_counts is reduced to ≤ ``capacity``
+    counters by subtracting the (capacity+1)-th largest count δ_b from
+    every counter and dropping the non-positive — the classic
+    Misra-Gries reduction, error ≤ n_b/(capacity+1) per batch.  Batch
+    summaries merge by summed counters (Agarwal et al., "Mergeable
+    Summaries"), so the global estimate carries the deterministic
+    two-sided bound
+
+        true − N/(capacity+1)  ≤  est  ≤  true
+
+    which tests/test_heavy_hitters.py checks against the exact counts —
+    including that every token with true count > N/(capacity+1) is
+    PRESENT (no heavy hitter can vanish; the gate passes ``top=None``
+    to see the whole summary — the default top-k presentation cut could
+    otherwise hide one behind 20 heavier tokens).  Estimates depend on
+    batch boundaries, so this is property-gated, not hash-gated (same
+    status as the recall-gated ANN paths).  Output: top ``top`` rows by
+    (est_count desc, token asc), or the full summary when ``top`` is
+    None."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("token"))
+
+    def mg_batches(batches):
+        for pdf in batches:
+            cnt = pdf["token"].value_counts()
+            if len(cnt) > capacity:
+                delta = int(cnt.iloc[capacity])
+                cnt = (cnt - delta)[cnt > delta]
+            out = cnt.rename_axis("token").reset_index(name="est_count")
+            out["est_count"] = out["est_count"].astype("int64")
+            yield out
+
+    merged = (
+        toks.mapInPandas(mg_batches, "token string, est_count long")
+        .groupBy("token")
+        .agg(F.sum("est_count").cast("long").alias("est_count"))
+        .orderBy(F.desc("est_count"), "token")
+    )
+    return merged.limit(top) if top is not None else merged
 
 
 # ---------------------------------------------------------------------------
@@ -1789,3 +1853,8 @@ PYTEST_ORACLES = {
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,
 }
+
+# Bound-gated rather than oracle-gated (estimates depend on Arrow batch
+# boundaries — tests/test_heavy_hitters.py pins the Misra-Gries error
+# contract instead); benched with the dedup family.
+EXTRA_QUERIES = {"heavy_hitter_tokens": heavy_hitter_tokens}

@@ -165,3 +165,28 @@ def test_read_graph_json_rejects_null_ids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL id"):
         read_graph_json(spark, str(p))
+
+
+def test_minimal_coloring_respects_caller_persisted_edges(spark):
+    """Persist-ownership regression (bench r5: graph_color_customers
+    4.4 s → 16.8 s): minimal_coloring's cleanup must release only the
+    blocks IT persisted — a caller-persisted edge frame (the session
+    customer-graph cache) must stay cached for the caller's validator
+    and subsequent queries, while a cold edge frame it persisted
+    itself must be released."""
+    node_ids, edges = generate_graph(spark, 40, 5, seed=11)
+
+    cached = edges.persist()
+    try:
+        cached.count()  # materialize the caller's cache
+        minimal_coloring(node_ids, cached)
+        lvl = cached.storageLevel
+        assert lvl.useMemory or lvl.useDisk, "caller cache was evicted"
+    finally:
+        cached.unpersist(False)
+
+    # a cold frame is persisted AND released by minimal_coloring itself
+    node_ids2, cold = generate_graph(spark, 40, 5, seed=12)
+    minimal_coloring(node_ids2, cold)
+    lvl = cold.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "cold frame leaked"

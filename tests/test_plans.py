@@ -5,6 +5,8 @@ deliberately out of scope (they depend on sizes observed at runtime)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from distributed_graph_coloring_with_pyspark_spark.operators import (
     multimodal as MM,
     relational as R,
@@ -180,3 +182,52 @@ def test_q6_all_filters_pushed_and_pruned(spark):
         <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
         for s in schemas
     ), schemas
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """100 TB lever check: with broadcast off (forcing the shuffle-join
+    regime a fact-fact join hits at scale), Spark's runtime bloom
+    filter must inject a might_contain probe on the fact scan side of
+    a selective join — row-group-level pruning the engine gets for
+    free as long as our join shapes stay eligible (equi-key, selective
+    creation side).  Thresholds are lowered only inside this test; the
+    tiny local tables would never cross the 10 GB default."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, SF, "lineitem")
+        od = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in plan_string(df).lower(), plan_string(df)[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
