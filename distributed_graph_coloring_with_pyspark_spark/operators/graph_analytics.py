@@ -288,6 +288,108 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
+LPA_ROUNDS = 4
+
+
+def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    DETERMINISTIC: labels start as vertex ids; each round EVERY vertex
+    simultaneously adopts its neighbors' most frequent label, ties
+    broken by the smallest label.  A FIXED round count (no convergence
+    probe — synchronous LPA can 2-cycle on bipartite-ish structure, so
+    a fixpoint test may never fire) keeps the result a pure function of
+    the edge set, which is what lets the DuckDB oracle replay the exact
+    rounds and VALUE-check an algorithm that is normally only
+    modularity-gated.
+
+    Loop discipline is the house pattern (coloring.py:144-239): the
+    body is action-free — per-round cost is one (src, label) equi-join
+    + one (id, label) count agg + one top-1 window per vertex, lineage
+    truncated by a lazy localCheckpoint.  At 100 TB each round is a
+    degree-sum-sized shuffle keyed on vertex id; rounds are O(1) by
+    construction."""
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), "nbr_label")
+    for _ in range(rounds):
+        labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), F.col("label").alias("nbr_label"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("nbr_label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment of the customer fixture graph after
+    ``LPA_ROUNDS`` synchronous label-propagation rounds — singleton
+    customers included as their own community → (id, community_id,
+    community_size) for every customer."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        labels = lpa_labels(edges)
+        full = cu.join(labels, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("community_id")
+        )
+        sizes = full.groupBy("community_id").agg(
+            F.count("*").cast("long").alias("community_size")
+        )
+        return (
+            full.join(sizes, "community_id")
+            .select("id", "community_id", "community_size")
+            .orderBy("id")
+        )
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    # the fixed round count is what makes this oracle possible: unroll
+    # each synchronous round as its own CTE (recursive CTEs cannot
+    # aggregate over the working table)
+    ctes = ["lab0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""lab{r} AS (
+        SELECT id, nbr_label AS label FROM (
+            SELECT e.src AS id, l.label AS nbr_label,
+                   row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, l.label) AS rk
+            FROM e JOIN lab{r - 1} l ON e.dst = l.id
+            GROUP BY e.src, l.label)
+        WHERE rk = 1
+    )"""
+        )
+    return f"""
+    WITH {EDGES_CTE},
+    {', '.join(ctes)},
+    full_lab AS (
+        SELECT c.c_custkey AS id,
+               coalesce(l.label, c.c_custkey) AS community_id
+        FROM customer c LEFT JOIN lab{rounds} l ON l.id = c.c_custkey
+    ),
+    sizes AS (
+        SELECT community_id, count(*)::BIGINT AS community_size
+        FROM full_lab GROUP BY 1
+    )
+    SELECT id, community_id, community_size
+    FROM full_lab JOIN sizes USING (community_id)
+    ORDER BY id
+"""
+
+
+_LPA_ORACLE = _lpa_oracle()
+
+
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the fixture graph — Pearson correlation
     of (degree(src), degree(dst)) over the symmetric edge list (Newman
@@ -729,6 +831,7 @@ PYTEST_QUERIES = {
     "triangle_count": triangle_count,
     "pagerank_customers": pagerank_customers,
     "graph_components": graph_components,
+    "graph_communities": graph_communities,
     "graph_bfs_distances": graph_bfs_distances,
     "graph_kcore": graph_kcore,
     "graph_sssp_weighted": graph_sssp_weighted,
@@ -738,6 +841,7 @@ PYTEST_QUERIES = {
 PYTEST_ORACLES = {
     "triangle_count": _TRIANGLE_ORACLE,
     "graph_components": _COMPONENTS_ORACLE,
+    "graph_communities": _LPA_ORACLE,
     "graph_bfs_distances": _BFS_ORACLE,
     "graph_assortativity": _ASSORTATIVITY_ORACLE,
 }

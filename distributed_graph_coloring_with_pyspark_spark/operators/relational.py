@@ -760,6 +760,115 @@ _Q14_ORACLE = """
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 adapted — top supplier(s) by quarterly revenue,
+    including ties (the TPC-H spec's subtle point: the max is computed
+    over the revenue VIEW and suppliers equal to it are returned, not a
+    LIMIT 1 that would drop ties arbitrarily).  Spark-first: the
+    revenue aggregation happens once, the scalar max enters as a 1-row
+    broadcast crossJoin (no driver collect, no second scan of
+    lineitem), and the supplier dim joins broadcast.  At 100 TB the
+    fact table is scanned exactly once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    su = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(su), F.col("suppkey") == su.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted — large-volume orders: customers whose single
+    order aggregates more than a quantity threshold.  The HAVING
+    subquery becomes a pre-aggregated semi-join input: aggregate
+    lineitem by orderkey FIRST (map-side combinable, collapses the
+    fact table to |orders| rows), filter on the sum, then join the
+    much smaller survivors to orders/customer.  At 100 TB this
+    agg-before-join ordering is the difference between shuffling the
+    fact table once (keyed, combined) and dragging it through two
+    joins first."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("_raw_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        # filter on the UNROUNDED sum like the oracle's HAVING (parity
+        # discipline; moot here because l_quantity is integer-valued)
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_ORACLE = """
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
@@ -768,6 +877,8 @@ PYTEST_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_orders": q18_large_orders,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
@@ -775,6 +886,8 @@ PYTEST_ORACLES = {
     "q4_order_priority": _Q4_ORACLE,
     "q10_returned_items": _Q10_ORACLE,
     "q14_promo_revenue": _Q14_ORACLE,
+    "q15_top_supplier": _Q15_ORACLE,
+    "q18_large_orders": _Q18_ORACLE,
 }
 
 QUERIES = {
