@@ -798,15 +798,71 @@ QUERIES = {
     "user_funnel": user_funnel,
 }
 
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build — the other half of the CDC story next
+    to ``events_latest_snapshot``'s compaction: turn the append-only
+    changelog into validity intervals, one row per version with
+    [valid_from, valid_to) bounds and an is_current flag (valid_to of
+    the newest version is NULL).  This is how a lakehouse dimension
+    table tracks history; the MERGE that maintains it incrementally is
+    exactly this window applied to the changed keys.
+
+    One window shuffle on the entity key (user_id — high cardinality,
+    no skew hotspot), ``lead`` for the closing bound, no self-join.
+    Timestamps travel as formatted strings so the hash compare is
+    byte-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lead("ts").over(w).alias("next_ts"),
+            F.row_number().over(w).alias("version"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("version").cast("long").alias("version"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format("next_ts", fmt).alias("valid_to"),
+            F.col("next_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_SCD2_ORACLE = """
+    SELECT user_id, event_id,
+           version::BIGINT AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           next_ts IS NULL AS is_current
+    FROM (
+        SELECT user_id, event_id, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM events
+    )
+    ORDER BY user_id, version
+"""
+
+
 # Batch queries outside the 50-entry driver registry, oracle-gated by
 # tests/test_streaming_batch_equivalence.py alongside the streaming set.
 EXTRA_QUERIES = {
     "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_latest_snapshot": events_latest_snapshot,
+    "events_scd2_intervals": events_scd2_intervals,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
     "events_latest_snapshot": _LATEST_SNAPSHOT_ORACLE,
+    "events_scd2_intervals": _SCD2_ORACLE,
 }
 
 STREAMING_QUERIES = {

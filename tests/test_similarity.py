@@ -120,3 +120,16 @@ def test_neardup_pairs_threshold(spark, tmp_path):
     pairs = {(r.id_a, r.id_b) for r in S.cosine_neardup_pairs(spark, sf).collect()}
     # every (probe, clone) pair is a near-dup at threshold 0.45
     assert all((p, 20 + p) in pairs for p in range(20))
+
+
+def test_pq_recall_on_real_fixture(spark):
+    """PQ flat (8 subspaces x 16 codewords, ADC shortlist-50 + exact
+    rerank) recall gate on the graded dataset.  The near-random fixture
+    maximizes quantization error (no cluster structure for the
+    codebooks to exploit), so the shortlist+rerank pipeline has to do
+    the work — same bar as IVF."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.probe_id, r.neighbor_id) for r in S.knn_exact_topk(spark, sf).collect()}
+    pq = {(r.probe_id, r.neighbor_id) for r in S.ann_pq_topk(spark, sf).collect()}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.85, f"sf0.01 PQ recall@5 {recall} < 0.85"
