@@ -1678,6 +1678,58 @@ _PACK_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# unigram surprisal (corpus-LM perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal −E[ln p(token)] under the
+    corpus's own unigram distribution — the cheapest member of the
+    perplexity-filtering family (CCNet/Gopher filter on a real LM; the
+    unigram proxy needs no model artifact and already separates
+    boilerplate-heavy from vocabulary-rich documents).  Low surprisal =
+    repetitive/common tokens; high = rare-token-dense.
+
+    Two hash aggregations and one token-keyed equi-join — the unigram
+    "model" is the corpus token-frequency table itself (never
+    collected; the total rides along as a broadcast one-row
+    aggregate).  At 100 TB this is exactly ``token_frequencies`` plus
+    one join keyed on the same shuffle key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SURPRISAL_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents
+    ), f AS (
+        SELECT token, count(*) AS cnt FROM t GROUP BY token
+    ), n AS (
+        SELECT count(*) AS total FROM t
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(cnt::DOUBLE / total)), 6) AS avg_surprisal
+    FROM t JOIN f USING (token) CROSS JOIN n
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy-hitter tokens (mergeable frequency sketch)
 # ---------------------------------------------------------------------------
 
@@ -1841,6 +1893,7 @@ PYTEST_QUERIES = {
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "source_quality_rollup": source_quality_rollup,
+    "token_surprisal": token_surprisal,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -1852,6 +1905,7 @@ PYTEST_ORACLES = {
     "contamination_check": _CONTAMINATION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,
+    "token_surprisal": _SURPRISAL_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch
