@@ -337,7 +337,12 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     n = cu.count()
     with scoped_shuffle_partitions(spark, n):
-        labels = lpa_labels(edges)
+        # Materialize INSIDE the scope (review r5, same as
+        # pagerank_customers): lpa_labels' body is action-free, so
+        # without this eager checkpoint all LPA rounds would execute at
+        # the caller's terminal action — after the with-block restored
+        # the session shuffle width, undoing the |V|-scoped clamp.
+        labels = lpa_labels(edges).localCheckpoint(eager=True)
         full = cu.join(labels, "id", "left").select(
             "id", F.coalesce("label", F.col("id")).alias("community_id")
         )

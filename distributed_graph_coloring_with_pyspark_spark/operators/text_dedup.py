@@ -1116,10 +1116,13 @@ def dedup_components(
     pairs = persist_tracked(
         spark, _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
     )
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .persist()
+    # persist_tracked, not a bare persist (review r5): if the component
+    # loop raises (star-engine validation, on_exhaustion="raise"), the
+    # unpersist below never runs — the registry lets
+    # release_session_caches reclaim the blocks anyway
+    edges = persist_tracked(
+        spark,
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst"),
     )
     labels = min_label_components(edges, max_rounds)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("component_size"))
@@ -1698,7 +1701,10 @@ def token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total"))
+    # total from the (tiny) frequency aggregate, NOT a third scan of the
+    # exploded corpus (review r5 — the same duplicated-subtree recompute
+    # the dedup pair-join fix removed)
+    total = freq.agg(F.sum("cnt").alias("total"))
     return (
         toks.join(freq, "token")
         .crossJoin(F.broadcast(total))
