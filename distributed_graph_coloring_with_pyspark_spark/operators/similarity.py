@@ -635,6 +635,104 @@ def ann_ivf_topk_indexed(
     return _ivf_rerank(probes, corpus)
 
 
+# --- cross-modal dedup agreement (text pairs vs embedding pairs) ---------
+
+
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the TEXT near-dup detector and the EMBEDDING near-dup
+    detector flag the same pairs?  The calibration question every
+    SemDeDup-style pipeline answers before trusting embedding dedup at
+    scale (where re-shingling all text is too hot): full-outer join the
+    exact token-3-gram Jaccard pairs (≥ 0.5) against the exact cosine
+    pairs (≥ 0.45) on the doc/vec id and report the confusion counts.
+
+    Pure composition — both pair generators are this repo's
+    already-oracle-checked operators (``dedup_ngram_jaccard``,
+    ``cosine_neardup_pairs``) sharing their session caches; the overlap
+    join keys on the (a, b) pair, and the one-row confusion summary is
+    a single aggregation.  At 100 TB each side is its own audited
+    bucketed plan; the agreement join touches only pair lists."""
+    from .text_dedup import dedup_ngram_jaccard
+
+    t = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.lit(1).alias("is_text"),
+    )
+    e = _neardup_pair_frame(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(1).alias("is_embed"),
+    )
+    return (
+        t.join(e, ["a", "b"], "full_outer")
+        .agg(
+            F.sum(F.coalesce("is_text", F.lit(0))).cast("long").alias("n_text_pairs"),
+            F.sum(F.coalesce("is_embed", F.lit(0)))
+            .cast("long")
+            .alias("n_embed_pairs"),
+            F.sum(
+                F.when(
+                    F.col("is_text").isNotNull() & F.col("is_embed").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+        .select(
+            "n_text_pairs",
+            "n_embed_pairs",
+            "n_both",
+            (F.col("n_text_pairs") - F.col("n_both")).alias("n_text_only"),
+            (F.col("n_embed_pairs") - F.col("n_both")).alias("n_embed_only"),
+        )
+    )
+
+
+def _modality_agreement_oracle() -> str:
+    # threshold imported at build time so the oracle stays in lockstep
+    # with the text module's constant
+    from .text_dedup import _JACCARD_THRESHOLD
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END) AS sg
+        FROM toks
+    ), tp AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+              / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
+    ), ep AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= {_NEARDUP_THRESHOLD}
+    ), j AS (
+        SELECT coalesce(tp.a, ep.a) AS a,
+               tp.a IS NOT NULL AS is_text,
+               ep.a IS NOT NULL AS is_embed
+        FROM tp FULL OUTER JOIN ep ON tp.a = ep.a AND tp.b = ep.b
+    )
+    SELECT sum(CASE WHEN is_text THEN 1 ELSE 0 END)::BIGINT AS n_text_pairs,
+           sum(CASE WHEN is_embed THEN 1 ELSE 0 END)::BIGINT AS n_embed_pairs,
+           sum(CASE WHEN is_text AND is_embed THEN 1 ELSE 0 END)::BIGINT AS n_both,
+           sum(CASE WHEN is_text AND NOT is_embed THEN 1 ELSE 0 END)::BIGINT
+               AS n_text_only,
+           sum(CASE WHEN is_embed AND NOT is_text THEN 1 ELSE 0 END)::BIGINT
+               AS n_embed_only
+    FROM j
+"""
+
+
+_MODALITY_AGREEMENT_ORACLE = _modality_agreement_oracle()
+
+
 # --- product quantization ANN (PQ flat: ADC shortlist + exact rerank) ----
 
 _PQ_M = 8  # subspaces
@@ -1194,9 +1292,11 @@ PYTEST_QUERIES = {
     "embedding_centroid_stats": embedding_centroid_stats,
     "embedding_pca_top": embedding_pca_top,
     "embedding_neardup_clusters": embedding_neardup_clusters,
+    "dedup_modality_agreement": dedup_modality_agreement,
 }
 PYTEST_ORACLES = {
     "quantize_embeddings_int8": _QUANTIZE_ORACLE,
     "embedding_centroid_stats": _CENTROID_STATS_ORACLE,
     "embedding_neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
+    "dedup_modality_agreement": _MODALITY_AGREEMENT_ORACLE,
 }

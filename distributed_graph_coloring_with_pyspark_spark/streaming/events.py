@@ -852,17 +852,101 @@ _SCD2_ORACLE = """
 """
 
 
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid + forward fill — the time-series resampling
+    pass a metrics pipeline runs before charting or joining series:
+    hours with no events must EXIST (count 0) rather than silently
+    vanish, and a gauge-style value carries the last observation
+    forward across the gap.
+
+    Spark-first shape: the grid is ONE ``sequence(min_hour, max_hour,
+    1 hour)`` exploded from a 1-row aggregate (no driver loop, no
+    collect) cross-joined with the distinct type dim (tiny × tiny);
+    observed hourly aggs LEFT JOIN onto it; the forward fill is
+    ``last(value, ignorenulls)`` over an unbounded-preceding window per
+    type.  At 100 TB the grid is |types| × |hours| — dimension-sized,
+    broadcast; the fact table contributes one hourly pre-aggregation
+    (map-side combined).  Hours before a type's first observation stay
+    NULL — fabricating a value there would be lying with data."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    observed = ev.groupBy(
+        F.col("event_type"), hr.alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("avg_value", ignorenulls=True).over(w), 4
+            ).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_GAPFILL_ORACLE = """
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_obs, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, g.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS hour FROM bounds) g
+    )
+    SELECT event_type,
+           strftime(g.hour, '%Y-%m-%d %H:00') AS hour,
+           coalesce(o.n_obs, 0)::BIGINT AS n_events,
+           round(last_value(o.avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS filled_value
+    FROM grid g LEFT JOIN obs o USING (event_type, hour)
+    ORDER BY event_type, hour
+"""
+
+
 # Batch queries outside the 50-entry driver registry, oracle-gated by
 # tests/test_streaming_batch_equivalence.py alongside the streaming set.
 EXTRA_QUERIES = {
     "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_latest_snapshot": events_latest_snapshot,
     "events_scd2_intervals": events_scd2_intervals,
+    "events_hourly_gapfill": events_hourly_gapfill,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
     "events_latest_snapshot": _LATEST_SNAPSHOT_ORACLE,
     "events_scd2_intervals": _SCD2_ORACLE,
+    "events_hourly_gapfill": _GAPFILL_ORACLE,
 }
 
 STREAMING_QUERIES = {
