@@ -934,6 +934,76 @@ _GAPFILL_ORACLE = """
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — the product-analytics staple:
+    users grouped by their FIRST activity week (the cohort), counted in
+    every subsequent week they return, with the retention rate against
+    the cohort's size.
+
+    Two hash aggregations on user_id (both map-side combinable: first
+    the per-user (cohort_week, active_week) distinct grid, then the
+    cohort × offset counts) and one broadcast join back to cohort
+    sizes.  No window over the event stream — the per-user min is an
+    agg, so at 100 TB the fact table shuffles once on user_id and the
+    result is cohort-dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", wk.alias("week")).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    grid = (
+        user_weeks.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        grid.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count("*").cast("long").alias("cohort_size"))
+    )
+    return (
+        grid.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), firsts AS (
+        SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    ), grid AS (
+        SELECT DISTINCT uw.user_id, f.cohort_week,
+               (date_diff('day', f.cohort_week, uw.week) / 7)::BIGINT
+                   AS week_offset
+        FROM uw JOIN firsts f USING (user_id)
+    ), sizes AS (
+        SELECT cohort_week, count(*)::BIGINT AS cohort_size
+        FROM grid WHERE week_offset = 0 GROUP BY cohort_week
+    )
+    SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, count(*)::BIGINT AS n_active, s.cohort_size,
+           round(count(*)::DOUBLE / s.cohort_size, 4) AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+    GROUP BY g.cohort_week, week_offset, s.cohort_size
+    ORDER BY cohort_week, week_offset
+"""
+
+
 # Batch queries outside the 50-entry driver registry, oracle-gated by
 # tests/test_streaming_batch_equivalence.py alongside the streaming set.
 EXTRA_QUERIES = {
@@ -941,12 +1011,14 @@ EXTRA_QUERIES = {
     "events_latest_snapshot": events_latest_snapshot,
     "events_scd2_intervals": events_scd2_intervals,
     "events_hourly_gapfill": events_hourly_gapfill,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
     "events_latest_snapshot": _LATEST_SNAPSHOT_ORACLE,
     "events_scd2_intervals": _SCD2_ORACLE,
     "events_hourly_gapfill": _GAPFILL_ORACLE,
+    "events_retention_cohorts": _RETENTION_ORACLE,
 }
 
 STREAMING_QUERIES = {
