@@ -652,9 +652,9 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys on the (a, b) pair, and the one-row confusion summary is
     a single aggregation.  At 100 TB each side is its own audited
     bucketed plan; the agreement join touches only pair lists."""
-    from .text_dedup import dedup_ngram_jaccard
+    from .text_dedup import jaccard_pair_frame
 
-    t = dedup_ngram_jaccard(spark, sf_dir).select(
+    t = jaccard_pair_frame(spark, sf_dir).select(
         F.col("doc_a").alias("a"),
         F.col("doc_b").alias("b"),
         F.lit(1).alias("is_text"),

@@ -879,12 +879,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold: no signature cost and zero misses, in exchange for a
     corpus-dependent candidate volume — the standard trade, which is why
     both paths ship."""
-    grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
     return (
-        _prefix_jaccard_pairs(grams)
+        jaccard_pair_frame(spark, sf_dir)
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# The full-corpus exact-Jaccard pair list is the expensive stage of the
+# dedup family and THREE queries consume the identical frame
+# (dedup_ngram_jaccard, dedup_components, similarity's
+# dedup_modality_agreement) — memoize ONE persisted copy per
+# (session, sf_dir), exactly the shingle-cache discipline above.  At
+# 100 TB this is "materialize the pair table once per corpus build":
+# every downstream consumer (drop list, clustering, calibration) reads
+# the same artifact rather than re-running the set-similarity join.
+# Lifetime honesty: explicit release (clear_pair_cache /
+# release_session_caches) is the mechanism, same as every session memo.
+# curate_corpus does NOT use this cache — its pair join runs on the
+# quality/exact-dedup SURVIVOR subset, a different input frame.
+_PAIR_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def jaccard_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_a, doc_b, j) exact-Jaccard pairs for this
+    session+corpus (built on the session shingle cache)."""
+    per_session = _PAIR_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
+        df = _prefix_jaccard_pairs(grams).persist()
+        per_session[sf_dir] = df
+    return df
+
+
+def clear_pair_cache(spark: SparkSession) -> int:
+    """Unpersist and drop this session's pair frames; returns entries
+    released."""
+    dropped = _PAIR_CACHE.pop(spark, {})
+    for df in dropped.values():
+        df.unpersist(False)
+    return len(dropped)
 
 
 def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
@@ -1108,14 +1145,11 @@ def dedup_components(
     check because colorings are not unique — components ARE)."""
     from .graph_analytics import min_label_components
 
-    grams = shingle_frame(spark, sf_dir).filter(F.size("shingles") > 0)
-    # persist the DIRECTED pairs, not just the symmetrized union: the
-    # union's two branches are separate subtrees of one plan, so without
-    # this persist the expensive prefix-filter join ran TWICE inside the
-    # first materializing action (measured +6 s at sf0.1, review r5)
-    pairs = persist_tracked(
-        spark, _prefix_jaccard_pairs(grams).select("doc_a", "doc_b")
-    )
+    # the session pair cache makes the DIRECTED pairs a persisted leaf,
+    # so the union's two branches (which are separate subtrees of one
+    # plan) both read cached blocks instead of re-running the expensive
+    # prefix-filter join (measured +6 s at sf0.1, review r5)
+    pairs = jaccard_pair_frame(spark, sf_dir).select("doc_a", "doc_b")
     # persist_tracked, not a bare persist (review r5): if the component
     # loop raises (star-engine validation, on_exhaustion="raise"), the
     # unpersist below never runs — the registry lets

@@ -133,6 +133,9 @@ def test_prefix_bucket_cap_drops_hot_cluster(spark, planted_docs, monkeypatch):
     assert len(uncapped) == 11
 
     monkeypatch.setattr(TD, "_PREFIX_BUCKET_CAP", 3)
+    # the session pair cache would otherwise serve the uncapped result
+    # — drop it so the monkeypatched cap actually re-plans the join
+    TD.clear_pair_cache(spark)
     capped = {tuple(r) for r in fn(spark, sf_dir).collect()}
     hot = {1, 2, 3, 4, 5}
     assert capped == {r for r in oracle_rows if r[0] not in hot and r[1] not in hot}

@@ -131,12 +131,14 @@ def test_release_session_caches_all_at_once(spark):
     GB.customer_graph_edges(spark, SF)
     S.ann_ivf_topk(spark, SF).count()
     TD.shingle_frame(spark, SF).count()
+    TD.jaccard_pair_frame(spark, SF).count()
     TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
         "ivf_centroids",
         "shingles",
+        "jaccard_pairs",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released
