@@ -231,3 +231,15 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """pack_sequences' global prefix sum must stay the TWO-PASS
+    distributed form — a naive Window.orderBy with no partitionBy
+    funnels the corpus through one task (plans show a SinglePartition
+    exchange), which is exactly the shape this pin forbids."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    ps = plan_string(TD.pack_sequences(spark, SF))
+    assert "Window" in ps  # the pid-local cumsum is still a window
+    assert "SinglePartition" not in ps, ps[:2000]
