@@ -869,6 +869,72 @@ _Q18_ORACLE = """
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted — bilateral trade volume: revenue shipped
+    between two nations in either direction, by year.  The supplier
+    nation comes through lineitem's suppkey, the customer nation
+    through orders' custkey; both nation lookups are broadcast dim
+    joins on top of the one fact-fact shuffle (lineitem ⋈ orders on
+    orderkey).  The pair filter ((A,B) or (B,A)) lands on the two
+    broadcast-joined columns, so Catalyst evaluates it before the
+    aggregation; at 100 TB nothing here shuffles except the orderkey
+    join and the final tiny (nation, nation, year) agg."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_ORACLE = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::BIGINT AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
@@ -879,6 +945,7 @@ PYTEST_QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
+    "q7_volume_shipping": q7_volume_shipping,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
@@ -888,6 +955,7 @@ PYTEST_ORACLES = {
     "q14_promo_revenue": _Q14_ORACLE,
     "q15_top_supplier": _Q15_ORACLE,
     "q18_large_orders": _Q18_ORACLE,
+    "q7_volume_shipping": _Q7_ORACLE,
 }
 
 QUERIES = {
