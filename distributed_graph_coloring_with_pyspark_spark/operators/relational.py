@@ -874,11 +874,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     between two nations in either direction, by year.  The supplier
     nation comes through lineitem's suppkey, the customer nation
     through orders' custkey; both nation lookups are broadcast dim
-    joins on top of the one fact-fact shuffle (lineitem ⋈ orders on
-    orderkey).  The pair filter ((A,B) or (B,A)) lands on the two
-    broadcast-joined columns, so Catalyst evaluates it before the
-    aggregation; at 100 TB nothing here shuffles except the orderkey
-    join and the final tiny (nation, nation, year) agg."""
+    joins on top of TWO fact-scale shuffles — lineitem ⋈ orders on
+    orderkey, then the stream ⋈ customer on custkey (customer is a
+    fact-sized table at 100 TB, so it is deliberately NOT broadcast;
+    supplier, orders-of-magnitude smaller, is).  The pair filter
+    ((A,B) or (B,A)) lands on the broadcast-joined nation columns, so
+    Catalyst evaluates it before the final tiny (nation, nation, year)
+    aggregation — this two-shuffle shape IS the canonical Q7 plan."""
     n1 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )

@@ -692,17 +692,14 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _modality_agreement_oracle() -> str:
     # threshold imported at build time so the oracle stays in lockstep
     # with the text module's constant
-    from .text_dedup import _JACCARD_THRESHOLD
+    from .text_dedup import _JACCARD_THRESHOLD, SHINGLE_SQL_EXPR
 
     return f"""
     WITH toks AS (
         SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
     ), sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(ts) >= 3
-                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                         for i in range(1, len(ts) - 1)]
-                   ELSE [] END) AS sg
+               {SHINGLE_SQL_EXPR} AS sg
         FROM toks
     ), tp AS (
         SELECT a.doc_id AS a, b.doc_id AS b

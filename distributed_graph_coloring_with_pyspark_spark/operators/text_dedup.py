@@ -57,6 +57,16 @@ _MINHASH_ROWS = 2
 _MINHASH_BANDS = 16
 _NUM_HASHES = _MINHASH_ROWS * _MINHASH_BANDS
 _JACCARD_THRESHOLD = 0.5
+
+# Canonical DuckDB twin of ``_shingles()``: the distinct token-3-gram
+# list built from a `ts` token-list column.  Every oracle that
+# re-derives shingles interpolates THIS fragment so the SQL can never
+# drift from the Spark tokenizer (review r5: a fifth hand-copy had
+# appeared cross-module in similarity.py).
+SHINGLE_SQL_EXPR = """list_distinct(CASE WHEN len(ts) >= 3
+                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)]
+                   ELSE [] END)"""
 _BUCKET_CAP = 1000  # max docs per LSH bucket before the bucket is dropped
 # max docs indexing one gram in the prefix-filter inverted index before
 # that gram's bucket is dropped (same drop semantics as _BUCKET_CAP: a
@@ -278,10 +288,7 @@ _NEAR_DUP_ORACLE = f"""
         SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
     ), sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(ts) >= 3
-                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                         for i in range(1, len(ts) - 1)]
-                   ELSE [] END) AS sg
+               {SHINGLE_SQL_EXPR} AS sg
         FROM toks
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1178,10 +1185,7 @@ _COMPONENTS_ORACLE = f"""
         SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
     ), sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(ts) >= 3
-                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                         for i in range(1, len(ts) - 1)]
-                   ELSE [] END) AS sg
+               {SHINGLE_SQL_EXPR} AS sg
         FROM toks
     ), pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1308,10 +1312,7 @@ _CURATE_ORACLE = f"""
         WHERE rk = 1
     ), sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(ts) >= 3
-                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                         for i in range(1, len(ts) - 1)]
-                   ELSE [] END) AS sg
+               {SHINGLE_SQL_EXPR} AS sg
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM exact)
     ), pairs AS (
         SELECT b.doc_id AS dropped FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1555,10 +1556,7 @@ def _contamination_oracle() -> str:
     return f"""
     WITH sh AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(ts) >= 3
-                   THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                         for i in range(1, len(ts) - 1)]
-                   ELSE [] END) AS sg,
+               {SHINGLE_SQL_EXPR} AS sg,
                {h} < {_CONTAM_EVAL_CUT} AS is_eval
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents)
     ), train_g AS (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..cache import persist_tracked
 from ..operators.coloring import scoped_shuffle_partitions
 from ..sources.tables import ensure_utc, events_row_count, events_stream, load_table
 
@@ -870,15 +871,20 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL — fabricating a value there would be lying with data."""
     ev = load_table(spark, sf_dir, "events")
     hr = F.date_trunc("hour", F.col("ts"))
-    observed = ev.groupBy(
-        F.col("event_type"), hr.alias("hour")
-    ).agg(
-        F.count("*").cast("long").alias("n_obs"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+    # the fact table is scanned ONCE: bounds and the type dim both
+    # derive from the (tiny, persisted) hourly aggregate — min/max of
+    # observed hours equals min/max of truncated event times, and a
+    # type exists in the grid iff it has >= 1 event (review r5: the
+    # earlier form re-scanned raw events for each subtree)
+    observed = persist_tracked(
+        spark,
+        ev.groupBy(F.col("event_type"), hr.alias("hour")).agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ),
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = observed.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
     grid = (
         bounds.select(
@@ -886,7 +892,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
             ).alias("hour")
         )
-        .crossJoin(ev.select("event_type").distinct())
+        .crossJoin(observed.select("event_type").distinct())
     )
     w = (
         Window.partitionBy("event_type")
@@ -950,14 +956,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = F.date_trunc("week", F.col("ts"))
     user_weeks = ev.select("user_id", wk.alias("week")).distinct()
     firsts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    grid = (
-        user_weeks.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
-        )
-        .distinct()
+    # no trailing distinct (review r5): user_weeks is already distinct
+    # on (user_id, week), firsts contributes one row per user, and
+    # week = cohort_week + 7·offset is invertible — so these rows are
+    # unique by construction and a distinct would only add a shuffle
+    grid = user_weeks.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
     )
     sizes = (
         grid.filter(F.col("week_offset") == 0)

@@ -134,9 +134,14 @@ def test_prefix_bucket_cap_drops_hot_cluster(spark, planted_docs, monkeypatch):
 
     monkeypatch.setattr(TD, "_PREFIX_BUCKET_CAP", 3)
     # the session pair cache would otherwise serve the uncapped result
-    # — drop it so the monkeypatched cap actually re-plans the join
+    # — drop it so the monkeypatched cap actually re-plans the join,
+    # and drop it AGAIN afterwards so no cap=3-built frame outlives the
+    # restored constant (review r5)
     TD.clear_pair_cache(spark)
-    capped = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    try:
+        capped = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        TD.clear_pair_cache(spark)
     hot = {1, 2, 3, 4, 5}
     assert capped == {r for r in oracle_rows if r[0] not in hot and r[1] not in hot}
     assert capped  # the surviving (10, 11) pair, value-equal to the oracle
