@@ -302,6 +302,11 @@ def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     rounds and VALUE-check an algorithm that is normally only
     modularity-gated.
 
+    Precondition: ``edges`` must be SYMMETRIC (both (a,b) and (b,a)
+    present), same as min_label_components — seeds and propagation run
+    over src-side vertices only, so a dst-only vertex of an asymmetric
+    frame would silently drop out of the result.
+
     Loop discipline is the house pattern (coloring.py:144-239): the
     body is action-free — per-round cost is one (src, label) equi-join
     + one (id, label) count agg + one top-1 window per vertex, lineage

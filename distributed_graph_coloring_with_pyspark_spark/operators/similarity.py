@@ -508,11 +508,17 @@ _IVF_CENTROID_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, list[lis
 
 
 def clear_ivf_cache(spark: SparkSession) -> int:
-    """Drop this session's trained quantizers (IVF coarse centroids AND
-    the PQ codebooks — one release point for every trained vector-index
-    artifact); returns entries removed."""
-    n = len(_IVF_CENTROID_CACHE.pop(spark, {}))
-    return n + len(_PQ_CODEBOOK_CACHE.pop(spark, {}))
+    """Drop this session's trained IVF coarse centroids; returns
+    entries removed.  The PQ codebooks have their own release
+    (``clear_pq_cache``) so cache-stats readers see each trained
+    quantizer family under its own name."""
+    return len(_IVF_CENTROID_CACHE.pop(spark, {}))
+
+
+def clear_pq_cache(spark: SparkSession) -> int:
+    """Drop this session's trained PQ codebooks; returns entries
+    removed."""
+    return len(_PQ_CODEBOOK_CACHE.pop(spark, {}))
 
 
 def _get_ivf_centroids(

@@ -1604,13 +1604,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (``Window.orderBy`` with no partitionBy funnels the corpus
     through one task — the anti-pattern this module bans):
 
-      1. range-partition by doc_id and PERSIST (pinning rows to
-         partitions so both passes see identical pids — range sampling
-         is otherwise not run-to-run stable), then one tiny action
-         collects per-partition token totals (#partitions rows, bounded
-         driver state);
-      2. per-partition running sums via a pid-partitioned window plus
-         the broadcast partition-offset table give every doc its global
+      0. derive EXPLICIT range-bucket cut points once (one seeded
+         doc_id sample, sorted on the driver, ≤ par−1 literals).  The
+         bucket id is then a PURE FUNCTION of doc_id — a literal-array
+         rank expression — so both passes, and any recompute after
+         cache/block loss, assign identical buckets by construction.
+         (Before r6 this used repartitionByRange + spark_partition_id
+         with persist as the pinning mechanism; RangePartitioner's
+         sampling being recompute-stable is an implementation detail,
+         not a contract — VERDICT r5 item 5.)
+      1. one tiny action collects per-bucket token totals (#buckets
+         rows, bounded driver state);
+      2. per-bucket running sums via a bucket-partitioned window plus
+         the broadcast bucket-offset table give every doc its global
          [start, end) token span.
 
     Each doc then explodes to the sequences its span crosses
@@ -1621,12 +1627,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself distributed."""
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    base = persist_tracked(
-        spark,
-        docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tok"))
-        .repartitionByRange(par, "doc_id")
-        .withColumn("pid", F.spark_partition_id()),
+    toks = docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tok"))
+    # the persist is now a pure scan-saver (3 tiny actions + the final
+    # plan read it); correctness no longer depends on it — bucket ids
+    # below are literal-derived, recompute-safe
+    base = persist_tracked(spark, toks)
+    n = base.count()
+    frac = min(1.0, (par * 20) / max(n, 1))
+    sample = sorted(
+        r["doc_id"] for r in base.select("doc_id").sample(False, frac, 42).collect()
     )
+    step = max(1, len(sample) // par)
+    cuts = sample[step::step][: par - 1]
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("doc_id")))
+    else:
+        bucket = F.lit(0)
+    base = base.withColumn("pid", bucket.cast("int"))
     totals = sorted(
         (r["pid"], r["tot"])
         for r in base.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()

@@ -72,12 +72,13 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
     entries_released} for observability."""
     from .cache import release_tracked
     from .operators.graph_bridge import clear_customer_graph_cache
-    from .operators.similarity import clear_ivf_cache
+    from .operators.similarity import clear_ivf_cache, clear_pq_cache
     from .operators.text_dedup import clear_pair_cache, clear_shingle_cache
 
     return {
         "customer_graph": clear_customer_graph_cache(spark),
         "ivf_centroids": clear_ivf_cache(spark),
+        "pq_codebooks": clear_pq_cache(spark),
         "shingles": clear_shingle_cache(spark),
         "jaccard_pairs": clear_pair_cache(spark),
         "tracked_frames": release_tracked(spark),

@@ -123,7 +123,7 @@ def test_neardup_pairs_threshold(spark, tmp_path):
 
 
 def test_pq_recall_on_real_fixture(spark):
-    """PQ flat (8 subspaces x 16 codewords, ADC shortlist-50 + exact
+    """PQ flat (8 subspaces x 256 codewords, ADC shortlist-50 + exact
     rerank) recall gate on the graded dataset.  The near-random fixture
     maximizes quantization error (no cluster structure for the
     codebooks to exploit), so the shortlist+rerank pipeline has to do

@@ -99,3 +99,25 @@ def test_chunk_documents_covers_every_byte(spark, tmp_path):
         else:
             want = 1
         assert len(chunks) == want, (n, len(chunks), want)
+
+
+def test_pack_sequences_survives_cache_loss(spark):
+    """VERDICT r5 item 5: the prefix sum's bucket assignment must be a
+    pure function of doc_id (literal cut points), not a persist-pinned
+    spark_partition_id — so releasing every session cache between
+    building the lazy frame and forcing it (simulating executor/block
+    loss recompute) must not change a single manifest row."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        pack_sequences,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.session import (
+        release_session_caches,
+    )
+
+    lazy = pack_sequences(spark, SF)
+    release_session_caches(spark)  # unpersists the token-count base
+    after_loss = [tuple(r) for r in lazy.collect()]
+    fresh = [tuple(r) for r in pack_sequences(spark, SF).collect()]
+    release_session_caches(spark)
+    assert after_loss == fresh
+    assert after_loss  # non-degenerate fixture
