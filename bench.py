@@ -44,7 +44,12 @@ shingle cache) are released between query FAMILIES via
 release_session_caches, so one family's warm state can't flatter or
 starve another's medians.  Within a family, cache reuse is intentional
 (it is the steady-state story: train-once/serve-many for IVF,
-share-the-shingles for the dedup pipeline).
+share-the-shingles for the dedup pipeline).  Where a family memoizes an
+expensive shared artifact, the BUILD is benched as its own line with
+the memo cleared every run (`ivf_index_build`, `jaccard_pair_build` —
+VERDICT r5 #1) so a consumer's warm median (a cache read) can never be
+mistaken for the artifact's construction cost: the amortized and the
+one-off numbers are both first-class.
 
 Round-4 drift note (VERDICT r4 #3, resolved): the +15% shared-subset
 drift concentrated in sql_revenue_by_region / cross_region_status_grid
@@ -141,13 +146,38 @@ def main() -> int:
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
 
+    # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup
+    # queries read one persisted pair table, so their warm medians are
+    # cache READS (~0.4 s) while the set-similarity join itself costs
+    # ~13 s — bench the build as its own line, exactly the
+    # ivf_index_build treatment, clearing the memo each run so every
+    # run pays the full join and the median IS the build cost.  The
+    # consumers that follow then read the warm cache, which is the
+    # steady-state story their medians are meant to tell
+    # (amortized-vs-one-off both first-class numbers).
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        clear_pair_cache,
+        jaccard_pair_frame,
+    )
+
+    def bench_jaccard_pair_build(spark, sf_dir):
+        clear_pair_cache(spark)
+        return jaccard_pair_frame(spark, sf_dir)
+
     registry = dict(entry_mod.queries())
     families: list[tuple[str, dict]] = [
         ("registry", registry),
         ("streaming", dict(STREAMING_QUERIES)),
         ("ann", ann_family),
         ("multimodal", dict(MM_PYTEST_QUERIES)),
-        ("dedup_extra", {**DEDUP_PYTEST_QUERIES, **DEDUP_EXTRA_QUERIES}),
+        (
+            "dedup_extra",
+            {
+                "jaccard_pair_build": bench_jaccard_pair_build,
+                **DEDUP_PYTEST_QUERIES,
+                **DEDUP_EXTRA_QUERIES,
+            },
+        ),
         ("similarity_extra", dict(SIM_PYTEST_QUERIES)),
         ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
         ("text_rank", dict(RANK_PYTEST_QUERIES)),
