@@ -55,9 +55,52 @@ def test_frame_sample_matches_python(spark):
         assert got.sample_md5 == hashlib.md5(sampled).hexdigest()
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_media_real(b"IMG!abc", "IMG!")
+def test_real_decoder_ppm_handbuilt_bytes():
+    """Hand-built P6 fixture (comment in header, 2x2 image) so the
+    parser is pinned against raw bytes, independent of encode_ppm."""
+    rgb = bytes(range(12))
+    payload = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert MM.decode_media_real(payload) == ("ppm", 2, 2, rgb)
+
+
+def test_real_decoder_bmp_handbuilt_bytes():
+    """Hand-built 2x2 24-bit BMP: bottom-up BGR rows with 2-byte pad.
+    Top-down RGB out must reverse rows AND channels — a symmetric
+    encode/decode bug could not hide from this fixture."""
+    import struct as _struct
+
+    # image rows (top-down RGB): row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(10,11,12)
+    row_bottom = bytes((9, 8, 7, 12, 11, 10)) + b"\x00\x00"  # stored first
+    row_top = bytes((3, 2, 1, 6, 5, 4)) + b"\x00\x00"
+    hdr = _struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    fmt, w, h, rgb = MM.decode_media_real(hdr + info + row_bottom + row_top)
+    assert (fmt, w, h) == ("bmp", 2, 2)
+    assert rgb == bytes(range(1, 13))
+
+
+def test_real_decoder_roundtrip_container_invariant():
+    """encode_ppm and encode_bmp of the same pixels decode to the SAME
+    normalized top-down RGB stream (including non-multiple-of-4 widths
+    that force BMP row padding)."""
+    for w, h in [(1, 1), (2, 3), (5, 4), (7, 2)]:
+        rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        assert MM.decode_media_real(MM.encode_ppm(w, h, rgb)) == ("ppm", w, h, rgb)
+        assert MM.decode_media_real(MM.encode_bmp(w, h, rgb)) == ("bmp", w, h, rgb)
+
+
+def test_real_decoder_rejects_unknown_and_truncated():
+    with pytest.raises(ValueError):
+        MM.decode_media_real(b"IMG!abc")  # fake-magic blobs stay fake-decoded
+    with pytest.raises(ValueError):
+        MM.decode_media_real(b"P6\n2 2\n255\n\x00\x00\x00")  # truncated pixels
+    with pytest.raises(ValueError):
+        # 32-bpp BMP is out of scope for the dependency-free parser
+        import struct as _struct
+
+        hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        info = _struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+        MM.decode_media_real(hdr + info + b"\x00" * 4)
 
 
 def test_blob_stats_magic_all_ok(spark):

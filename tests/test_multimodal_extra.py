@@ -108,3 +108,42 @@ def test_phash_neardup_planted_fixture(spark, tmp_path):
     assert (1, 2, 0) in got, got  # exact clone
     assert any(a == 1 and b == 3 for a, b, _ in got), got  # near-dup edit
     assert not any(9 in (a, b) for a, b, _ in got), got  # unrelated doc
+
+
+def test_decode_real_matches_python_oracle(spark):
+    """Pure-python oracle for multimodal_decode_real: every output
+    column recomputed from the TEXT alone (the _real_pixels derivation
+    plus plain arithmetic) — neither encode_* nor decode_media_real is
+    touched, so the Spark result matching proves the container
+    round-trip is lossless for both formats."""
+    import hashlib
+
+    import duckdb as _duckdb
+    import numpy as _np
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.multimodal import (
+        multimodal_decode_real,
+    )
+
+    got = {r.doc_id: r for r in multimodal_decode_real(spark, SF).collect()}
+    con = _duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    assert len(got) == len(docs) and len(docs) > 0
+    for doc_id, text in docs:
+        base = text.encode("utf-8") or b"\x00"
+        n = len(base)
+        w, h = 4 + n % 13, 3 + n % 7
+        need = w * h * 3
+        rgb = (base * (need // len(base) + 1))[:need]
+        px = _np.frombuffer(rgb, _np.uint8).reshape(-1, 3)
+        r = got[doc_id]
+        assert r.container == ("ppm" if doc_id % 2 == 0 else "bmp")
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        means = px.mean(axis=0)
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(
+            round(float(m), 4) for m in means
+        )
+        assert r.pixels_md5 == hashlib.md5(rgb).hexdigest()
