@@ -853,6 +853,129 @@ _SCD2_ORACLE = """
 """
 
 
+_SCD2_N_BUCKETS = 8
+_SCD2_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def streaming_scd2_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance — the MERGE-upsert lakehouse path
+    that completes the CDC matrix next to ``events_latest_snapshot``
+    (compaction) and ``events_scd2_intervals`` (batch history build):
+    consume the events changelog as a stream and maintain the interval
+    table INCREMENTALLY, one ``foreachBatch`` micro-batch at a time.
+
+    Per batch, only the CHANGED user keys are recomputed: their stored
+    interval rows are reconstructed into change events (one interval
+    row ≡ one changelog event, keyed (user_id, event_id) with
+    valid_from = the event ts), unioned with the batch's new events,
+    deduplicated on (user_id, event_id), and re-windowed — which closes
+    the previously-open interval of every changed key and appends the
+    new current version; out-of-order/late events are absorbed by the
+    same recompute (history for that key is rewritten correctly).  The
+    write is a bucket-partitioned (ub = hash(user_id) % 8)
+    DYNAMIC-partition overwrite: unchanged users sharing a touched
+    bucket pass through byte-identically, untouched buckets are never
+    rewritten — the plain-parquet emulation of a transactional MERGE
+    that touches only the files containing changed keys.
+
+    Idempotency/restart: a replayed batch re-unions events that are
+    already in the table, the (user_id, event_id) dedup collapses them,
+    and rewriting a partition from identical input yields identical
+    rows; the file-source checkpoint makes progress exactly-once.
+    tests/test_streaming_recovery.py kills the query mid-stream,
+    restarts on the same checkpoint with more files waiting, and
+    asserts the incremental table EQUALS batch events_scd2_intervals;
+    the DuckDB oracle gate (STREAMING_ORACLES) runs the full pipeline
+    against _SCD2_ORACLE.
+
+    At 100 TB the identical shape targets Delta/Iceberg MERGE keyed on
+    (user_id, event_id): per-batch work is proportional to the changed
+    keys' history, not the table; the bucket count becomes the table's
+    file/partition layout, and the eager localCheckpoint below (which
+    severs the self-overwrite read-path) is replaced by the table
+    format's ACID read-before-merge."""
+    ensure_utc(spark)
+    out = out_dir or _default_sink_dir(sf_dir) + "_scd2"
+    ev = events_stream(spark, sf_dir).select("user_id", "event_id", "ts")
+    bucket = F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(_SCD2_N_BUCKETS)).cast(
+        "int"
+    )
+
+    def _merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.dropDuplicates(["user_id", "event_id"])
+        # ≤ _SCD2_N_BUCKETS literals — bounded driver state; as literals
+        # they reach the read as a static partition filter
+        hit = [
+            r["ub"]
+            for r in b.select(bucket.alias("ub")).distinct().collect()
+        ]
+        if not hit:
+            return  # empty replay epoch: nothing to merge
+        has_table = os.path.isdir(out) and any(
+            e.startswith("ub=") for e in os.listdir(out)
+        )
+        if has_table:
+            # eager localCheckpoint: materialize the touched buckets
+            # BEFORE overwriting the same path (self-overwrite guard)
+            ex_hit = (
+                spark.read.parquet(out)
+                .filter(F.col("ub").isin(hit))
+                .localCheckpoint(eager=True)
+            )
+            changed = b.select("user_id").distinct()
+            old_events = ex_hit.join(changed, "user_id", "semi").select(
+                "user_id", "event_id", "ts"
+            )
+            passthrough = ex_hit.join(changed, "user_id", "anti").select(
+                "user_id", "event_id", "ts", "valid_to_ts", "version", "ub"
+            )
+            merged = old_events.unionByName(b).dropDuplicates(["user_id", "event_id"])
+        else:
+            passthrough = None
+            merged = b
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        recomputed = merged.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lead("ts").over(w).alias("valid_to_ts"),
+            F.row_number().over(w).cast("long").alias("version"),
+        ).withColumn("ub", bucket)
+        if passthrough is not None:
+            recomputed = recomputed.unionByName(passthrough)
+        (
+            recomputed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ub")
+            .parquet(out)
+        )
+
+    def _configure(w):
+        w = w.outputMode("append").foreachBatch(_merge_epoch)
+        if checkpoint_dir:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        return w
+
+    _drive_stream(spark, ev, sf_dir, _configure)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            "event_id",
+            "version",
+            F.date_format("ts", _SCD2_TS_FMT).alias("valid_from"),
+            F.date_format("valid_to_ts", _SCD2_TS_FMT).alias("valid_to"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly grid + forward fill — the time-series resampling
     pass a metrics pipeline runs before charting or joining series:
@@ -1036,6 +1159,7 @@ STREAMING_QUERIES = {
     "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_hopping_counts": streaming_hopping_counts,
     "streaming_enrich_static_dim": streaming_enrich_static_dim,
+    "streaming_scd2_incremental": streaming_scd2_incremental,
 }
 
 # ONE sessionization oracle for both formulations: since the boundary
@@ -1119,6 +1243,7 @@ ORACLES = {
 # row-capped driver.
 STREAMING_ORACLES = {
     "streaming_enrich_static_dim": _ENRICH_STATIC_ORACLE,
+    "streaming_scd2_incremental": _SCD2_ORACLE,
     "streaming_click_purchase_join": ORACLES["click_purchase_within_hour"],
     "streaming_hopping_counts": _HOPPING_ORACLE,
     "streaming_hourly_counts": _HOURLY_ORACLE,
