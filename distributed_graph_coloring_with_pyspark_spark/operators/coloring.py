@@ -278,7 +278,19 @@ def minimal_coloring(
     edges_were_persisted = edges.storageLevel.useMemory or edges.storageLevel.useDisk
     if not edges_were_persisted:
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    verts0 = init_vertices(node_ids, edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # verts0 is a TRACKED persist (cache.py), not a per-call
+    # persist/finally-unpersist pair: Spark's CacheManager matches
+    # cached plans by canonicalized form, so a later coloring of the
+    # same graph reuses these blocks outright — the r5 finally-unpersist
+    # destroyed that reuse and cost the flagship ~0.7 s/run at sf0.1
+    # plus a much longer warmup (r6 isolation of the graph-family
+    # creep: 12-run steady state 4.6 → 3.9 s with the unpersist
+    # removed).  The r5 leak concern stays addressed with the same
+    # lifetime every session memo has: release_session_caches drops the
+    # tracked blocks in bulk.
+    from ..cache import persist_tracked
+
+    verts0 = persist_tracked(node_ids.sparkSession, init_vertices(node_ids, edges))
     try:
         stats = verts0.agg(
             F.count("*").alias("n"), F.max("degree").alias("max_deg")
@@ -319,13 +331,13 @@ def minimal_coloring(
         return ColoringResult(best_colors, best, attempts)
     finally:
         # the returned vertices are localCheckpoint-backed (materialized
-        # by the attempt's final stats collect), so the blocks THIS call
-        # persisted can be released — repeated colorings in one session
-        # previously leaked both frames (review r5).  Caller-persisted
-        # edges stay cached (see ownership note above).
+        # by the attempt's final stats collect), so the edge blocks THIS
+        # call persisted can be released; caller-persisted edges stay
+        # cached (see ownership note above).  verts0 deliberately stays
+        # cached under the tracked-persist registry for cross-call plan
+        # reuse — release_session_caches is its lifetime.
         if not edges_were_persisted:
             edges.unpersist(False)
-        verts0.unpersist(False)
 
 
 def validate_coloring(vertices: DataFrame, edges: DataFrame) -> tuple[bool, int, int]:

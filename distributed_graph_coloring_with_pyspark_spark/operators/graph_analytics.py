@@ -57,6 +57,22 @@ from ..sources.tables import load_table
 from .coloring import degrees, scoped_shuffle_partitions
 from .graph_bridge import EDGES_CTE, customer_graph_edges
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Force an action-free loop's lazily-checkpointed state INSIDE the
+    current ``scoped_shuffle_partitions`` block (otherwise the rounds
+    would execute at the caller's terminal action, after the scope
+    restored the session shuffle width).  A noop-format write is the
+    cheapest full-plan action and measurably beats
+    ``localCheckpoint(eager=True)`` for the same effect — r6's
+    isolation of the r5 graph-family creep put pagerank_customers at
+    3.7 s (noop write) vs 4.4 s (eager) at sf0.1: the eager path pays
+    an extra RDD materialization pass the write avoids, while the lazy
+    checkpoint wrapping ``df`` still registers its blocks on this first
+    compute for every downstream read."""
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
 PAGERANK_ITERATIONS = 10
 PAGERANK_DAMPING = 0.85
 
@@ -344,10 +360,10 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_partitions(spark, n):
         # Materialize INSIDE the scope (review r5, same as
         # pagerank_customers): lpa_labels' body is action-free, so
-        # without this eager checkpoint all LPA rounds would execute at
-        # the caller's terminal action — after the with-block restored
-        # the session shuffle width, undoing the |V|-scoped clamp.
-        labels = lpa_labels(edges).localCheckpoint(eager=True)
+        # without an action here all LPA rounds would execute at the
+        # caller's terminal action — after the with-block restored the
+        # session shuffle width, undoing the |V|-scoped clamp.
+        labels = _materialize(lpa_labels(edges))
         full = cu.join(labels, "id", "left").select(
             "id", F.coalesce("label", F.col("id")).alias("community_id")
         )
@@ -800,11 +816,11 @@ def pagerank_customers(
                 .localCheckpoint(eager=False)
             )
         # Materialize INSIDE the scope (review r5): the loop body is
-        # deliberately action-free, so without this eager checkpoint all
-        # 10 iterations' shuffles would execute at the caller's terminal
+        # deliberately action-free, so without an action here all 10
+        # iterations' shuffles would execute at the caller's terminal
         # action — after the with-block restored the session-wide
         # shuffle width, silently undoing the |V|-scoped clamp.
-        ranks = ranks.localCheckpoint(eager=True)
+        _materialize(ranks)
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 

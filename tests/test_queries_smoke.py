@@ -130,6 +130,7 @@ def test_release_session_caches_all_at_once(spark):
 
     GB.customer_graph_edges(spark, SF)
     S.ann_ivf_topk(spark, SF).count()
+    S.ann_pq_topk(spark, SF).count()
     TD.shingle_frame(spark, SF).count()
     TD.jaccard_pair_frame(spark, SF).count()
     TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
@@ -137,6 +138,7 @@ def test_release_session_caches_all_at_once(spark):
     assert set(released) == {
         "customer_graph",
         "ivf_centroids",
+        "pq_codebooks",
         "shingles",
         "jaccard_pairs",
         "tracked_frames",
