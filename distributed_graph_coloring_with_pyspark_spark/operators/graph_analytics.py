@@ -695,7 +695,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_v C(deg(v), 2) (unordered 2-paths); global clustering coefficient
     is the usual 3·triangles / wedges (0.0 when the graph has no wedge).
     """
-    edges = customer_graph_edges(spark, sf_dir)
+    return triangle_stats(customer_graph_edges(spark, sf_dir))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-ordered oriented triangle/wedge stats over ANY symmetric
+    edges(src, dst) frame — the reusable core of ``triangle_count``
+    (also driven at 10× graph sizes by tools/scale_probe_graph.py)."""
     deg = degrees(edges)
     du = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
     dv = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
@@ -784,6 +790,22 @@ def pagerank_customers(
         .select("id", F.coalesce("degree", F.lit(0)).alias("out_deg"))
     )
     n = verts.count()
+    ranks = pagerank_ranks(verts, edges, n, iterations, damping)
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def pagerank_ranks(
+    verts: DataFrame,
+    edges: DataFrame,
+    n: int,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """The reusable PageRank loop over ANY (id, out_deg) vertex frame +
+    symmetric edges(src, dst) frame with ``n`` total vertices →
+    (id, out_deg, rank).  Same loop discipline as the module docstring;
+    also driven at 10× graph sizes by tools/scale_probe_graph.py."""
+    spark = verts.sparkSession
     with scoped_shuffle_partitions(spark, n):
         ranks = verts.select("id", "out_deg", F.lit(1.0 / n).alias("rank"))
         for _ in range(iterations):
@@ -821,7 +843,7 @@ def pagerank_customers(
         # action — after the with-block restored the session-wide
         # shuffle width, silently undoing the |V|-scoped clamp.
         _materialize(ranks)
-    return ranks.select("id", F.col("rank").alias("pagerank"))
+    return ranks
 
 
 def pagerank_reference(
