@@ -937,6 +937,270 @@ _Q7_ORACLE = """
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted — national market share: NATION_1 suppliers'
+    share of revenue in AMERICA-region customers' orders, by year.
+    Two fact-scale shuffles (lineitem ⋈ orders on orderkey, stream ⋈
+    customer on custkey) with supplier/nation/region as broadcast dims;
+    the share is a conditional-sum ratio inside ONE aggregation — no
+    second pass, no self-join.  The canonical Q8 plan at 100 TB."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_c = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = """
+    SELECT year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY o_year
+"""
+
+
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted — priority mix per ship class: the synthetic
+    lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the
+    grouping key is l_linestatus and the "late" predicate is a 1995
+    ship-date window; the priority CASE split (URGENT/HIGH vs rest) is
+    verbatim Q12.  One fact join + tiny grouped conditional sums —
+    map-side combinable end-to-end."""
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+_Q12_ORACLE = """
+    SELECT l_linestatus AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    ORDER BY ship_class
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution: LEFT join so
+    zero-order customers appear in the c_count=0 bucket, then a
+    count-of-counts.  Two hash aggregations, both map-side combinable;
+    the second one's input is at most (max orders per customer) rows.
+    (The original's o_comment NOT LIKE filter is dropped — the
+    synthetic orders table has no comment column.)"""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adapted — small-quantity order revenue: average yearly
+    revenue lost if Brand#1 lineitems below 20% of their part's average
+    quantity moved to bulk.  (p_container doesn't exist in the synthetic
+    part table, so the part filter is brand-only.)  The correlated
+    scalar subquery becomes a per-part average joined back to the fact:
+    the per-part agg output is part-table-sized, so the rejoin
+    broadcasts — no window over the fact, no double fact shuffle."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_ORACLE = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted — disjunctive predicate revenue: three
+    brand/size/quantity bands OR-ed together (container/shipmode legs
+    dropped with their missing columns).  The point of Q19 is the
+    PLAN: the disjunction must evaluate after ONE broadcast part join
+    on partkey — not three unioned scans — and the common partkey
+    equi-condition must stay the join key with the OR as a residual
+    filter.  One fact scan, one broadcast hash join, one scalar agg."""
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    bands = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q19_ORACLE = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted — global sales opportunity: per nation (the
+    synthetic customer has no c_phone, so the country code IS the
+    nation), count customers with above-average positive balance and
+    no RECENT orders (none since 2000 — every synthetic customer has
+    some order, so the original's no-orders-ever predicate would be
+    vacuously empty; "lapsed" is the same plan shape).  The scalar
+    average is a broadcast one-row aggregate cross-joined into the
+    filter (never a collect); the lapsed predicate is a LEFT ANTI join
+    against the date-filtered orders fact — the standard decorrelation
+    of Q22's NOT EXISTS, with the date filter pushed below the join."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    na = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cntry")
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(od, "c_custkey", "left_anti")
+        .join(F.broadcast(na), "c_nationkey")
+        .groupBy("cntry")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+_Q22_ORACLE = """
+    SELECT n_name AS cntry, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    ORDER BY cntry
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
@@ -948,6 +1212,12 @@ PYTEST_QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipments": q12_priority_shipments,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
@@ -958,6 +1228,12 @@ PYTEST_ORACLES = {
     "q15_top_supplier": _Q15_ORACLE,
     "q18_large_orders": _Q18_ORACLE,
     "q7_volume_shipping": _Q7_ORACLE,
+    "q8_market_share": _Q8_ORACLE,
+    "q12_priority_shipments": _Q12_ORACLE,
+    "q13_customer_distribution": _Q13_ORACLE,
+    "q17_small_quantity_revenue": _Q17_ORACLE,
+    "q19_disjunctive_revenue": _Q19_ORACLE,
+    "q22_sales_opportunity": _Q22_ORACLE,
 }
 
 QUERIES = {
