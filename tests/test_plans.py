@@ -243,3 +243,39 @@ def test_pack_sequences_no_single_partition_window(spark):
     ps = plan_string(TD.pack_sequences(spark, SF))
     assert "Window" in ps  # the pid-local cumsum is still a window
     assert "SinglePartition" not in ps, ps[:2000]
+
+
+def test_q19_single_join_disjunctive_residual(spark):
+    """Q19's entire point is the PLAN: the three OR-ed brand/size/qty
+    bands must evaluate as a residual filter after ONE broadcast part
+    join on the common partkey equi-condition — never three unioned
+    scans of the fact."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = R.q19_disjunctive_revenue(spark, SF)
+    ps = plan_string(df)
+    assert has_broadcast_hash_join(df)
+    assert "Union" not in ps, ps[:2000]
+    # exactly two scans in the whole plan: lineitem + part, each once
+    assert len(scan_schemas(df)) == 2, ps[:2000]
+
+
+def test_q17_no_fact_window_single_agg_rejoin(spark):
+    """Q17's correlated scalar subquery must decorrelate to a per-part
+    average broadcast-joined back to the brand-filtered fact — not a
+    Window over the fact (which would add a per-part sort of every
+    lineitem row)."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = R.q17_small_quantity_revenue(spark, SF)
+    ps = plan_string(df)
+    assert "Window" not in ps, ps[:2000]
+    assert has_broadcast_hash_join(df)
+
+
+def test_q22_pushes_date_filter_below_anti_join(spark):
+    """Q22's lapsed predicate: the o_orderdate filter must reach the
+    orders parquet scan (PushedFilters), so the anti-join's build side
+    is the filtered fact, not all orders."""
+    df = R.q22_sales_opportunity(spark, SF)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
