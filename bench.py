@@ -181,6 +181,24 @@ def main() -> int:
         clear_pair_cache(spark)
         return jaccard_pair_frame(spark, sf_dir)
 
+    # The persisted MinHash index pair (r6) — same treatment as the IVF
+    # index: the build (corpus signature + partitioned write) is its own
+    # line, the incremental batch-vs-index check reads it back.
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    mh_dir = tempfile.mkdtemp(prefix="bench_mh_index_")
+    mh_path = os.path.join(mh_dir, "index")
+
+    def bench_minhash_index_build(spark, sf_dir):
+        build_minhash_index(spark, sf_dir, mh_path)
+        return None  # the partitioned write already materialized
+
+    def bench_dedup_incremental(spark, sf_dir):
+        return dedup_incremental(spark, sf_dir, mh_path)
+
     registry = dict(entry_mod.queries())
     families: list[tuple[str, dict]] = [
         ("registry", registry),
@@ -191,6 +209,8 @@ def main() -> int:
             "dedup_extra",
             {
                 "jaccard_pair_build": bench_jaccard_pair_build,
+                "minhash_index_build": bench_minhash_index_build,
+                "dedup_incremental": bench_dedup_incremental,
                 **DEDUP_PYTEST_QUERIES,
                 **DEDUP_EXTRA_QUERIES,
             },
@@ -238,6 +258,7 @@ def main() -> int:
         ]
         family_sums[fam_name] = round(sum(fam_finite), 3)
     shutil.rmtree(ivf_dir, ignore_errors=True)
+    shutil.rmtree(mh_dir, ignore_errors=True)
 
     finite = [v for v in timings.values() if v != float("inf")]
     total = round(sum(finite), 3)

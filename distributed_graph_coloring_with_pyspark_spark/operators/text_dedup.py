@@ -204,6 +204,38 @@ _DEDUP_EXACT_ORACLE = """
 # ---------------------------------------------------------------------------
 
 
+def _minhash_band_frame(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys for a (doc_id, shingles)
+    frame — the shared signature core of ``dedup_near_minhash`` and the
+    persisted index pair (``build_minhash_index``).
+
+    signature[i] = min over shingles of xxhash64(shingle, seed=i),
+    shaped as explode → 32 min-aggregates: the partial (map-side)
+    aggregation reduces each partition to 32 longs per doc before the
+    shuffle — this scales to any corpus size, unlike a nested
+    transform-over-transform expression that re-walks the shingle array
+    once per hash function inside a single projection.  Bucket key =
+    xxhash64 over the band's r minhashes."""
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(_NUM_HASHES)]
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"h{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)],
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs at 3-gram-shingle Jaccard ≥ 0.5.
 
@@ -220,32 +252,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whom recompute-from-scan wins (see _doc_shingles' parallel note).
     sh = persist_tracked(spark, _doc_shingles(spark, sf_dir))
 
-    # signature[i] = min over shingles of xxhash64(shingle, seed=i).
-    # Shape: explode shingles → 32 min-aggregates.  The partial (map-side)
-    # aggregation reduces each partition to 32 longs per doc before the
-    # shuffle — this scales to any corpus size, unlike a nested
-    # transform-over-transform expression that re-walks the shingle array
-    # once per hash function inside a single projection.
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(_NUM_HASHES)]
-    )
-
-    # one row per (doc, band); bucket key hashes the band's r minhashes
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col(f"h{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)],
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    bands = _minhash_band_frame(sh)
 
     # drop pathological buckets (see module docstring) before the pair join
     sized = bands.join(
@@ -299,6 +306,124 @@ _NEAR_DUP_ORACLE = f"""
           / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
     ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: persisted MinHash band index — build once over the
+# standing corpus, check every incoming batch against it (the lakehouse
+# dedup SERVING path, mirroring similarity's build_ivf_index pair)
+# ---------------------------------------------------------------------------
+
+_INCR_BATCH_CUT = int(0.2 * 2**32)  # md5 split: ~20% of docs play "incoming"
+
+
+def _incr_is_batch() -> Column:
+    """Engine-reproducible batch membership: md5-derived 32-bit hash of
+    ('incr', doc_id) under the 20% cut — the same no-rand determinism
+    rationale as stratified_sample_split, so the DuckDB oracle can
+    replay the split hash-for-hash."""
+    return _hash32_col(F.concat_ws(":", F.lit("incr"), "doc_id")) < _INCR_BATCH_CUT
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Write the standing corpus's (doc_id, bucket) MinHash band keys as
+    band-partitioned parquet — the expensive half (shingle + 32-hash
+    signature) of near-dedup, paid ONCE per corpus build instead of per
+    incoming batch.  Hot buckets above ``_BUCKET_CAP`` are dropped at
+    build time (same drop semantics as the in-memory path: a bucket
+    that hot means thousands of near-identical docs — exact dedup owns
+    full copies).  At 100 TB this is a per-corpus artifact next to the
+    data: index build is one scan + one partitioned write; each batch
+    check reads only the band files (no text, no signatures)."""
+    sh = _doc_shingles(spark, sf_dir, parallel=True).filter(~_incr_is_batch())
+    bands = _minhash_band_frame(sh)
+    capped = bands.join(
+        bands.groupBy("band", "bucket").count().filter(F.col("count") <= _BUCKET_CAP),
+        ["band", "bucket"],
+    ).select("doc_id", "band", "bucket")
+    capped.write.mode("overwrite").partitionBy("band").parquet(index_path)
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Incremental near-dedup — the query half of the index pair: check
+    the INCOMING batch (the ~20% md5 split) against the persisted
+    corpus index → (batch_doc, corpus_doc, jaccard) for every true
+    near-dup pair at the shared ≥ 0.5 threshold.
+
+    The batch pays its own signature (batch-sized, not corpus-sized),
+    equi-joins the index on (band, bucket) — 8-byte keys, no text —
+    and only the matched candidates are exact-verified: the corpus
+    side's shingles are recomputed AFTER a candidate-keyed semi-join
+    against the documents table, so corpus text is read only for docs
+    an LSH bucket actually flagged.  Oracle: the all-pairs batch ×
+    corpus exact-Jaccard join in DuckDB (tests/test_text_dedup_extra),
+    which also pins that banding loses nothing on this corpus split —
+    the same completeness cross-check dedup_near_minhash carries."""
+    batch_sh = persist_tracked(
+        spark, _doc_shingles(spark, sf_dir).filter(_incr_is_batch())
+    )
+    idx = spark.read.parquet(index_path).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bucket"
+    )
+    cand = (
+        _minhash_band_frame(batch_sh)
+        .withColumnRenamed("doc_id", "batch_doc")
+        .join(idx, ["band", "bucket"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sh = docs.join(
+        cand.select(F.col("corpus_doc").alias("doc_id")).distinct(), "doc_id", "semi"
+    ).select("doc_id", _shingles(_tokens()).alias("shingles"))
+    return (
+        cand.join(
+            batch_sh.select(F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sa")),
+            "batch_doc",
+        )
+        .join(
+            corpus_sh.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sb")),
+            "corpus_doc",
+        )
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("batch_doc", "corpus_doc", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
+def _incremental_oracle() -> str:
+    h = _hash32_sql("'incr:' || doc_id::VARCHAR")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {h} < {_INCR_BATCH_CUT} AS is_batch,
+               string_split(trim(text), ' ') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, is_batch, {SHINGLE_SQL_EXPR} AS sg FROM toks
+    )
+    SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+           round(len(list_intersect(a.sg, b.sg))::DOUBLE
+                 / len(list_distinct(list_concat(a.sg, b.sg))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.is_batch AND NOT b.is_batch
+    WHERE len(a.sg) > 0 AND len(b.sg) > 0
+      AND len(list_intersect(a.sg, b.sg))::DOUBLE
+          / len(list_distinct(list_concat(a.sg, b.sg))) >= {_JACCARD_THRESHOLD}
+    ORDER BY batch_doc, corpus_doc
+"""
+
+
+# (_INCREMENTAL_ORACLE is materialized near the registries at the
+# bottom of the module — _hash32_sql is defined later in the file.)
 
 
 # ---------------------------------------------------------------------------
@@ -1936,6 +2061,9 @@ ORACLES = {
     "winnowing_fingerprints": _WINNOW_ORACLE,
     "chunk_documents": _CHUNK_ORACLE,
 }
+
+_INCREMENTAL_ORACLE = _incremental_oracle()
+
 
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.

@@ -121,3 +121,29 @@ def test_pack_sequences_survives_cache_loss(spark):
     release_session_caches(spark)
     assert after_loss == fresh
     assert after_loss  # non-degenerate fixture
+
+
+def test_dedup_incremental_index_matches_allpairs_oracle(spark, tmp_path):
+    """The persisted MinHash index pair (build_minhash_index /
+    dedup_incremental): incoming-batch-vs-corpus near-dup pairs must
+    equal the DuckDB all-pairs batch × corpus exact-Jaccard join —
+    value-exact AND banding-complete on this corpus split, the same
+    cross-check dedup_near_minhash carries corpus-wide."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _INCREMENTAL_ORACLE,
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(spark, SF, idx)
+    sdf = dedup_incremental(spark, SF, idx)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ddf = con.sql(_INCREMENTAL_ORACLE)
+    drows = ddf.fetchall()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    con.close()
+    assert srows, "degenerate fixture: no cross-split near-dup pairs"
+    assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
