@@ -136,6 +136,7 @@ def main() -> int:
     )
     from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
         EXTRA_QUERIES as EVENTS_EXTRA_QUERIES,
+        SKETCH_QUERIES as EVENTS_SKETCH_QUERIES,
         STREAMING_QUERIES,
     )
 
@@ -219,7 +220,7 @@ def main() -> int:
         ("similarity_extra", dict(SIM_PYTEST_QUERIES)),
         ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
         ("text_rank", dict(RANK_PYTEST_QUERIES)),
-        ("events_extra", dict(EVENTS_EXTRA_QUERIES)),
+        ("events_extra", {**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES}),
         ("relational_extra", dict(REL_PYTEST_QUERIES)),
     ]
 

@@ -70,12 +70,14 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
     their session, so no keying scheme can expire them automatically
     (see cache.py's honesty note).  Returns {cache_name:
     entries_released} for observability."""
+    import gc
+
     from .cache import release_tracked
     from .operators.graph_bridge import clear_customer_graph_cache
     from .operators.similarity import clear_ivf_cache, clear_pq_cache
     from .operators.text_dedup import clear_pair_cache, clear_shingle_cache
 
-    return {
+    released = {
         "customer_graph": clear_customer_graph_cache(spark),
         "ivf_centroids": clear_ivf_cache(spark),
         "pq_codebooks": clear_pq_cache(spark),
@@ -83,3 +85,13 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "jaccard_pairs": clear_pair_cache(spark),
         "tracked_frames": release_tracked(spark),
     }
+    # Long-session hygiene (r6): iterative queries leave localCheckpoint
+    # RDD blocks that Spark's ContextCleaner can only reclaim after the
+    # driver-side py4j references are garbage collected — CPython's
+    # generational GC defers that in a long session, so block storage
+    # ratchets up and later queries pay for earlier ones (measured in
+    # bench.py: the flagship coloring at 7.9 s late-session vs its
+    # 3.9 s isolated floor).  A release point is exactly when a caller
+    # wants the session clean, so drain the ref graph here too.
+    gc.collect()
+    return released

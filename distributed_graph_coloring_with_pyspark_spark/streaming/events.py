@@ -1135,6 +1135,54 @@ _RETENTION_ORACLE = """
 
 # Batch queries outside the 50-entry driver registry, oracle-gated by
 # tests/test_streaming_batch_equivalence.py alongside the streaming set.
+def events_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches as COLUMNS — the fourth sketch family
+    (after t-digest percentiles, Misra-Gries heavy hitters and the
+    built-in approx_count_distinct): per event_type, a Datasketches HLL
+    of the distinct user_ids via ``hll_sketch_agg``, estimated with
+    ``hll_sketch_estimate``, plus a GLOBAL row whose estimate comes
+    from ``hll_union_agg`` over the per-type sketches — the union never
+    rescans the fact, which is the whole point of sketch-as-a-column:
+    at 100 TB the per-partition/per-day sketches are stored next to the
+    rollup and any ad-hoc slice (week, region, all-time) is a tiny
+    union over stored bytes.  Exact distinct counts ride along in the
+    same pass so the error-bound gate (tests/
+    test_streaming_batch_equivalence.py) is self-contained; estimates
+    are engine-specific (DuckDB's HLL differs), so this is bound-gated
+    like heavy_hitter_tokens, not value-oracled."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        "exact_users",
+    )
+    total = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum(F.lit(0)).alias("_z"),  # keep one row even if input empty
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+            )
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+            "exact_users",
+        )
+    )
+    return typed.unionByName(total).orderBy("event_type")
+
+
+# bound-gated (estimates are engine-specific; DuckDB's HLL differs) —
+# excluded from the oracled EXTRA registries, benched alongside them.
+SKETCH_QUERIES = {"events_hll_user_sketches": events_hll_user_sketches}
+
 EXTRA_QUERIES = {
     "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_latest_snapshot": events_latest_snapshot,

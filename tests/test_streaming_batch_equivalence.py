@@ -116,3 +116,24 @@ def test_session_gap_boundary(spark, tmp_path):
     # session_window merges touching windows; lag+cumsum uses `>`
     assert native_max[1] == 0, "session_window must merge at gap == 30 min"
     assert batch_max[1] == 0, "batch sessionization must not split at gap == 30 min"
+
+
+def test_hll_sketch_rollup_error_bound_and_mergeability(spark):
+    """events_hll_user_sketches is bound-gated (HLL estimates are
+    engine-specific): every per-type estimate must sit within the
+    lgK=12 HLL's comfortable 3-sigma envelope (~3%) of the exact count
+    carried in the same row, and the __all__ row — produced by UNIONING
+    the per-type sketches, never rescanning the fact — must estimate
+    the true global distinct count to the same bound, which is the
+    mergeability contract the sketch-as-a-column pattern rests on."""
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        events_hll_user_sketches,
+    )
+
+    rows = events_hll_user_sketches(spark, SF).collect()
+    assert len(rows) >= 2  # at least one type + the __all__ union row
+    assert rows[0].event_type == "__all__"  # orderBy puts it first
+    for r in rows:
+        assert r.exact_users > 0
+        rel = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel <= 0.03, (r.event_type, r.approx_users, r.exact_users)
