@@ -1000,6 +1000,60 @@ _Q8_ORACLE = """
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted — product-type profit by supplier nation and
+    year: the synthetic schema has no partsupp, so the cost side uses
+    half the part's retail price per unit (a deterministic proxy for
+    ps_supplycost); the part filter keeps 'red%' names (no '%green%'
+    tokens in the synthetic vocabulary).  Shape is canonical Q9: the
+    lineitem fact joins part (filtered, broadcast), supplier+nation
+    (broadcast), and orders (fact shuffle) — profit is computed per
+    row, aggregated once on the tiny (nation, year) key."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), "s_nationkey")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_ORACLE = """
+    SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+
 def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 adapted — priority mix per ship class: the synthetic
     lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the
@@ -1213,6 +1267,7 @@ PYTEST_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "q12_priority_shipments": q12_priority_shipments,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1229,6 +1284,7 @@ PYTEST_ORACLES = {
     "q18_large_orders": _Q18_ORACLE,
     "q7_volume_shipping": _Q7_ORACLE,
     "q8_market_share": _Q8_ORACLE,
+    "q9_product_profit": _Q9_ORACLE,
     "q12_priority_shipments": _Q12_ORACLE,
     "q13_customer_distribution": _Q13_ORACLE,
     "q17_small_quantity_revenue": _Q17_ORACLE,

@@ -1063,6 +1063,70 @@ _GAPFILL_ORACLE = """
 """
 
 
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24-hour activity — the time-based RANGE frame
+    the window family was missing (running totals use ROWS frames;
+    gap-fill resamples to a grid): for every event, the count and mean
+    value of the SAME user's events in [ts − 24 h, ts].  A RANGE frame
+    over epoch seconds is the portable formulation (both engines frame
+    by value, so same-second peers are included identically).  One
+    user-keyed window shuffle; at 100 TB the frame is bounded by a
+    user's 24 h activity, not corpus size — state per window position
+    is O(events in frame), the same bound a stream-processing
+    sliding-window operator holds in RocksDB."""
+    ev = load_table(spark, sf_dir, "events")
+    # fractional epoch (cast double), NOT unix_timestamp: the latter
+    # truncates sub-second parts while DuckDB's epoch() keeps them —
+    # truncation would move frame boundaries and same-second peers
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-86_400, 0)
+    )
+    # Exactness discipline, two layers (each caught a real 1-in-10k
+    # divergence at the 4th decimal): (1) sum integer CENTS (value is
+    # exact 2-decimal) so the windowed sum is order-free — the engines
+    # sum RANGE frames in different orders; (2) round half-up in PURE
+    # INTEGER arithmetic ((cents·200 + n) div (2n) = 4-decimal units),
+    # because on an exact half (…125) Spark's ROUND rounds the decimal
+    # string up while DuckDB rounds the underlying double down.  Both
+    # engines then divide identical longs by 10⁴ — bit-identical out.
+    cents = F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+    n = F.count("*").over(w)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        n.cast("long").alias("n_24h"),
+        cents.alias("cents"),
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "n_24h",
+            (
+                F.expr("(cents * 200 + n_24h) div (2 * n_24h)") / F.lit(10_000.0)
+            ).alias("avg_value_24h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLING_24H_ORACLE = """
+    SELECT event_id, user_id, n_24h,
+           ((cents * 200 + n_24h) // (2 * n_24h)) / 10000.0 AS avg_value_24h
+    FROM (
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_24h,
+               sum(round(value * 100)::BIGINT) OVER w AS cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY event_id
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix — the product-analytics staple:
     users grouped by their FIRST activity week (the cohort), counted in
@@ -1189,6 +1253,7 @@ EXTRA_QUERIES = {
     "events_scd2_intervals": events_scd2_intervals,
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_rolling_24h": events_rolling_24h,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
@@ -1196,6 +1261,7 @@ EXTRA_ORACLES = {
     "events_scd2_intervals": _SCD2_ORACLE,
     "events_hourly_gapfill": _GAPFILL_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
+    "events_rolling_24h": _ROLLING_24H_ORACLE,
 }
 
 STREAMING_QUERIES = {
