@@ -1127,6 +1127,73 @@ _ROLLING_24H_ORACLE = """
 """
 
 
+_BIN_JOIN_WINDOW_SEC = 60
+
+
+def events_cooccurrence_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNKEYED interval join via time-bucket BINNING — the pattern the
+    keyed range join's docstring promises for the no-equi-key case
+    (click_purchase_within_hour relies on user_id to bound the join;
+    here ANY two events within 60 s co-occur, across all users): count
+    ordered event-type pairs (a before b, strictly by (ts, event_id),
+    Δt ≤ 60 s).
+
+    A naive theta-join is O(n²) regardless of engine.  Binning makes it
+    an EQUI-join: the left side lands in its own 60 s bucket, the right
+    side explodes into {b, b+1} (a window of length W starting in
+    bucket b ends in b or b+1 — two replicas suffice when the bin width
+    equals the window), the bucket equi-join drives the shuffle, and
+    the exact (0, 60 s] band plus the (ts, event_id) tie-break filter
+    inside each bucket.  Pairs are produced exactly once: the pair's
+    LEFT event names the bucket, so no cross-bucket dedup pass is
+    needed.  At 100 TB the bucket key shuffles ~2× the fact and each
+    task handles one time slice — the interval-join strategy Flink/KDB
+    and Spark's own stream-stream join use internally."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("double").alias("e")
+    )
+    W = _BIN_JOIN_WINDOW_SEC
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("e").alias("e_a"),
+        F.floor(F.col("e") / W).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("e").alias("e_b"),
+        F.explode(
+            F.array(F.floor(F.col("e") / W) - 1, F.floor(F.col("e") / W))
+        ).alias("bucket"),
+    )
+    pairs = left.join(right, "bucket").filter(
+        (F.col("e_b") - F.col("e_a") <= W)
+        & (
+            (F.col("e_b") > F.col("e_a"))
+            | ((F.col("e_b") == F.col("e_a")) & (F.col("id_b") > F.col("id_a")))
+        )
+        & (F.col("id_a") != F.col("id_b"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+_COOCCURRENCE_ORACLE = f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_pairs
+    FROM events a JOIN events b
+      ON epoch(b.ts) - epoch(a.ts) <= {_BIN_JOIN_WINDOW_SEC}
+     AND (epoch(b.ts) > epoch(a.ts)
+          OR (epoch(b.ts) = epoch(a.ts) AND b.event_id > a.event_id))
+    GROUP BY 1, 2
+    ORDER BY type_a, type_b
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention-cohort matrix — the product-analytics staple:
     users grouped by their FIRST activity week (the cohort), counted in
@@ -1254,6 +1321,7 @@ EXTRA_QUERIES = {
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_retention_cohorts": events_retention_cohorts,
     "events_rolling_24h": events_rolling_24h,
+    "events_cooccurrence_60s": events_cooccurrence_60s,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
@@ -1262,6 +1330,7 @@ EXTRA_ORACLES = {
     "events_hourly_gapfill": _GAPFILL_ORACLE,
     "events_retention_cohorts": _RETENTION_ORACLE,
     "events_rolling_24h": _ROLLING_24H_ORACLE,
+    "events_cooccurrence_60s": _COOCCURRENCE_ORACLE,
 }
 
 STREAMING_QUERIES = {
