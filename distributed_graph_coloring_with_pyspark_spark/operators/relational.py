@@ -1255,6 +1255,122 @@ _Q22_ORACLE = """
 """
 
 
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the validation gate a training
+    or warehouse pipeline runs before trusting a load: one row per
+    check → (check_name, n_checked, n_violations, passed).
+
+    Checks: primary-key uniqueness (customer, orders), referential
+    integrity (orders→customer, lineitem→orders — LEFT ANTI joins, the
+    scalable FK check: no fact-sized collect, dim side broadcast when
+    small), domain ranges (l_quantity, l_discount), and NOT-NULL/date
+    sanity on o_orderdate.  Each check is a tiny aggregate over one
+    scan; the suite unions 1-row frames, so the report is
+    checks-count-sized regardless of table size.  At 100 TB the same
+    suite runs per-partition-load with results appended to a quality
+    history table."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, checked: Column, violations: Column, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        ).select(
+            F.lit(name).alias("check_name"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    pk_customer = one(
+        "pk_unique_customer",
+        F.count("*"),
+        F.count("*") - F.countDistinct("c_custkey"),
+        cu,
+    )
+    pk_orders = one(
+        "pk_unique_orders", F.count("*"), F.count("*") - F.countDistinct("o_orderkey"), od
+    )
+    fk_orders_customer = one(
+        "fk_orders_customer",
+        F.count("*") * 0,  # anti-join frame: only violations are counted
+        F.count("*"),
+        od.join(cu.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"),
+    )
+    fk_lineitem_orders = one(
+        "fk_lineitem_orders",
+        F.count("*") * 0,
+        F.count("*"),
+        li.join(od.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"),
+    )
+    rng_quantity = one(
+        "range_l_quantity",
+        F.count("*"),
+        F.count(F.when(~F.col("l_quantity").between(1, 50), 1)),
+        li,
+    )
+    rng_discount = one(
+        "range_l_discount",
+        F.count("*"),
+        F.count(F.when(~F.col("l_discount").between(0.0, 1.0), 1)),
+        li,
+    )
+    nn_orderdate = one(
+        "notnull_o_orderdate",
+        F.count("*"),
+        F.count("*") - F.count("o_orderdate"),
+        od,
+    )
+    out = pk_customer
+    for df in (
+        pk_orders,
+        fk_orders_customer,
+        fk_lineitem_orders,
+        rng_quantity,
+        rng_discount,
+        nn_orderdate,
+    ):
+        out = out.unionByName(df)
+    return out.orderBy("check_name")
+
+
+_DQ_ORACLE = """
+    WITH checks AS (
+        SELECT 'pk_unique_customer' AS check_name,
+               count(*)::BIGINT AS n_checked,
+               (count(*) - count(DISTINCT c_custkey))::BIGINT AS n_violations
+        FROM customer
+        UNION ALL
+        SELECT 'pk_unique_orders', count(*)::BIGINT,
+               (count(*) - count(DISTINCT o_orderkey))::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'fk_orders_customer', 0::BIGINT, count(*)::BIGINT
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'fk_lineitem_orders', 0::BIGINT, count(*)::BIGINT
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'range_l_quantity', count(*)::BIGINT,
+               count(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'range_l_discount', count(*)::BIGINT,
+               count(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'notnull_o_orderdate', count(*)::BIGINT,
+               (count(*) - count(o_orderdate))::BIGINT
+        FROM orders
+    )
+    SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+    FROM checks
+    ORDER BY check_name
+"""
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
@@ -1268,6 +1384,7 @@ PYTEST_QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "dq_expectations": dq_expectations,
     "q12_priority_shipments": q12_priority_shipments,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1285,6 +1402,7 @@ PYTEST_ORACLES = {
     "q7_volume_shipping": _Q7_ORACLE,
     "q8_market_share": _Q8_ORACLE,
     "q9_product_profit": _Q9_ORACLE,
+    "dq_expectations": _DQ_ORACLE,
     "q12_priority_shipments": _Q12_ORACLE,
     "q13_customer_distribution": _Q13_ORACLE,
     "q17_small_quantity_revenue": _Q17_ORACLE,

@@ -1,0 +1,52 @@
+"""Table-maintenance operators — the housekeeping a 100 TB lakehouse
+schedules nightly.  First resident: small-file compaction, the single
+most common Spark-table pathology (streaming sinks, incremental MERGE
+epochs and over-parallel writers all shed kilobyte part files; every
+subsequent scan then pays one task + one footer read per file, and the
+driver pays listing time linear in the file count).
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _part_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession, src_path: str, out_path: str, target_mb: int = 128
+) -> DataFrame:
+    """Rewrite a parquet directory into ~``target_mb``-sized files →
+    1-row report (n_files_in, bytes_in, n_files_out, n_rows).
+
+    The output file count is sized from the ACTUAL byte total
+    (⌈bytes/target⌉), not guessed: ``repartition`` (round-robin
+    shuffle) spreads rows evenly across exactly that many writers, so
+    the rewrite is one scan + one shuffle and the resulting files are
+    uniform — the property ``coalesce`` cannot guarantee (it merges
+    whole input partitions, so skewed inputs stay skewed).  Content is
+    preserved row-for-row (pinned by tests/test_io_formats.py with a
+    full value-hash compare).  File listing uses the local filesystem —
+    on HDFS/S3 the same sizes come from the FileSystem/ListObjects API,
+    and a transactional table format would instead run this as its
+    OPTIMIZE/rewrite-data-files action with a snapshot commit."""
+    files = _part_files(src_path)
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return spark.createDataFrame(
+        [(len(files), int(bytes_in), len(_part_files(out_path)), out.count())],
+        "n_files_in int, bytes_in long, n_files_out int, n_rows long",
+    ).select("n_files_in", "bytes_in", "n_files_out", "n_rows")

@@ -186,3 +186,28 @@ def test_multifile_corpus_layout(spark, tmp_path):
         assert sa and sa == sb
     finally:
         clear_shingle_cache(spark)
+
+
+def test_compact_parquet_preserves_content_and_shrinks_files(spark, tmp_path):
+    """Small-file compaction (sources/maintenance.py): 40 kilobyte part
+    files → size-targeted rewrite must (a) preserve every row (full
+    value compare), (b) cut the file count to the byte-derived target,
+    (c) report consistent numbers."""
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        _part_files,
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df.repartition(40).write.parquet(src)
+    assert len(_part_files(src)) == 40
+
+    report = compact_parquet(spark, src, out, target_mb=128).collect()[0]
+    assert report.n_files_in == 40
+    assert report.n_files_out < 10  # ~6 MB of data: far under one 128 MB target
+    assert report.n_rows == df.count()
+    before = sorted(tuple(r) for r in df.collect())
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert before == after
