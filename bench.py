@@ -79,6 +79,16 @@ released by release_session_caches like every session memo
 4.10).  triangle_count/graph_kcore had no code change and sat within
 ambient noise once the above landed (2.52 / 2.12 s vs r4's 2.96 /
 2.09).
+
+Residual in-session inflation (bounded, documented): even with the
+per-query gc below, an iterative query benched after ~50 others runs
+~1 s above its fresh-session floor (coloring ~5.1 s late-session vs
+3.9 s isolated; reproduced 4× at ±10% ambient noise).  The codegen
+class-cache-thrash hypothesis was tested (spark.sql.codegen.cache
+.maxEntries 100 → 2000 → 5000: one run showed 4.3 s, repeats landed
+back at 5.2-5.4 s — noise, conf not adopted).  The isolated floors in
+this docstring are the numbers to compare plan changes against; the
+bench medians carry the long-session tax uniformly across rounds.
 """
 
 from __future__ import annotations
