@@ -1334,6 +1334,55 @@ _COMPONENTS_ORACLE = f"""
 """
 
 
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the step
+    between clustering and dropping: within each connected component of
+    the pair graph keep the LONGEST doc, ties broken by smallest
+    doc_id (the standard production policy: length is the cheap
+    monotone proxy for information content, and the tie-break keeps
+    the rule a pure function of the cluster).  Output one row per
+    clustered doc: (doc_id, component_id, n_chars, keep).
+
+    Plan: the shared component engine's labels (cached pair frame +
+    min-label/star loop) joined to a 2-column doc projection, then one
+    component-keyed row_number window — the window's partitions are
+    cluster-sized, so no skew beyond the clusters themselves.  The
+    DuckDB oracle replays the recursive-CTE closure plus the same
+    window, value-checking policy AND clustering in one gate."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        comp.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _keep_policy_oracle() -> str:
+    closure = _COMPONENTS_ORACLE.split("SELECT u AS doc_id")[0]
+    return f"""{closure.rstrip().rstrip(')')}),
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS component_id
+        FROM (SELECT u, v FROM reach WHERE u <> v)
+        GROUP BY u
+    )
+    SELECT c.doc_id, c.component_id, d.n_chars::BIGINT AS n_chars,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+    FROM comp c JOIN documents d USING (doc_id)
+    ORDER BY c.doc_id
+"""
+
+
+_KEEP_POLICY_ORACLE = _keep_policy_oracle()
+
+
 # ---------------------------------------------------------------------------
 # end-to-end corpus curation pipeline (composition demo)
 # ---------------------------------------------------------------------------
@@ -2181,6 +2230,7 @@ PYTEST_QUERIES = {
     "source_quality_rollup": source_quality_rollup,
     "token_surprisal": token_surprisal,
     "bigram_collocations": bigram_collocations,
+    "dedup_keep_policy": dedup_keep_policy,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2194,6 +2244,7 @@ PYTEST_ORACLES = {
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,
     "token_surprisal": _SURPRISAL_ORACLE,
     "bigram_collocations": _PMI_ORACLE,
+    "dedup_keep_policy": _KEEP_POLICY_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch
