@@ -1225,8 +1225,15 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
+    # integer-cents average (house exactness rule, events_rolling_24h):
+    # a float avg's value depends on summation order, so the two engines
+    # could disagree in the last ulps and flip customers sitting on the
+    # threshold; identical longs divided identically give a bit-equal cut
     avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("cut")
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("cut")
     )
     return (
         cu.crossJoin(F.broadcast(avg_bal))
@@ -1246,7 +1253,8 @@ _Q22_ORACLE = """
     SELECT n_name AS cntry, count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT sum(round(c_acctbal * 100)::BIGINT) / (100.0 * count(*))
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -1348,10 +1356,15 @@ _DQ_ORACLE = """
         FROM orders
         UNION ALL
         SELECT 'fk_orders_customer', 0::BIGINT, count(*)::BIGINT
-        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        -- NOT EXISTS, not NOT IN: a NULL foreign key must COUNT as a
+        -- violation (matching Spark's LEFT ANTI), while NOT IN's
+        -- three-valued logic would silently pass it
+        FROM orders WHERE NOT EXISTS (
+            SELECT 1 FROM customer WHERE c_custkey = o_custkey)
         UNION ALL
         SELECT 'fk_lineitem_orders', 0::BIGINT, count(*)::BIGINT
-        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         UNION ALL
         SELECT 'range_l_quantity', count(*)::BIGINT,
                count(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)::BIGINT

@@ -850,7 +850,7 @@ def _get_pq_codebooks(
 ) -> list[list[list[float]]]:
     """Trained PQ codebooks for (session, sf_dir) - same
     train-once/serve-many memo discipline as the IVF quantizer;
-    released by ``clear_ivf_cache`` / ``release_session_caches``."""
+    released by ``clear_pq_cache`` / ``release_session_caches``."""
     per_session = _PQ_CODEBOOK_CACHE.setdefault(spark, {})
     books = per_session.get(sf_dir)
     if books is None:

@@ -2154,12 +2154,11 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_tok"))
     )
     n_tok = uni.agg(F.sum("c_tok").cast("double").alias("n_tokens"))
-    bg = (
-        bigrams.groupBy("bigram")
-        .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-    )
-    n_bg = bigrams.agg(F.count("*").cast("double").alias("n_bigrams"))
+    bg_all = bigrams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    bg = bg_all.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    # total bigrams from the ALREADY-aggregated counts (Σ c_ab), not a
+    # second corpus-wide explode — review r6 caught the double scan
+    n_bg = bg_all.agg(F.sum("c_ab").cast("double").alias("n_bigrams"))
     first = F.split(F.col("bigram"), " ").getItem(0)
     second = F.split(F.col("bigram"), " ").getItem(1)
     scored = (

@@ -1292,10 +1292,7 @@ def events_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
     )
     total = (
-        per_type.agg(
-            F.hll_union_agg("sk").alias("sk"),
-            F.sum(F.lit(0)).alias("_z"),  # keep one row even if input empty
-        )
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
         .crossJoin(
             F.broadcast(
                 ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
