@@ -2118,6 +2118,16 @@ _PMI_MIN_COUNT = 5
 _PMI_TOP_K = 50
 
 
+def _bigram_array(tok: Column) -> Column:
+    """Adjacent-bigram strings of a token array — JVM-side `zip_with`
+    of the array with its own tail (no posexplode self-join); shared by
+    the PMI collocations and the bigram-LM surprisal."""
+    n = F.greatest(F.size(tok) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(tok, 1, n), F.slice(tok, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
 def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``_PMI_TOP_K`` bigram collocations by pointwise mutual
     information — the classic corpus-linguistics association measure a
@@ -2138,15 +2148,7 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     reorder the output — the TF-IDF/BM25 discipline."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(_tokens().alias("t"))
-    bigrams = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bigram")
-    )
+    bigrams = toks.select(F.explode(_bigram_array(F.col("t"))).alias("bigram"))
     uni = (
         toks.select(F.explode("t").alias("token"))
         .filter(F.col("token") != "")
@@ -2215,6 +2217,87 @@ _PMI_ORACLE = f"""
 """
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram negative log-likelihood under the
+    corpus's OWN add-1-smoothed bigram LM — the next rung of the
+    perplexity-filtering ladder above ``token_surprisal``'s unigram
+    proxy (CCNet/Gopher filter on a trained LM; a self-trained bigram
+    model already separates formulaic from varied word ORDER, which
+    unigrams cannot see):
+
+        nll(a b) = −ln( (c_ab + 1) / (c_a + V) )
+
+    with c_a = occurrences of a as a bigram-first token and V the
+    unigram vocabulary size (add-1 over the conditional's V outcomes).
+
+    Plan: the shared `_bigram_array` extraction exploded once per need
+    (per-doc stream + corpus counts), counts as map-side-combined hash
+    aggs, the model "served" back onto the stream through two keyed
+    equi-joins (bigram, then first token — the Zipf head lands on AQE),
+    V as a broadcast 1-row aggregate.  At 100 TB this is exactly the
+    n-gram-LM scoring pass data teams run: model = aggregate tables,
+    never driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        "doc_id", F.explode(_bigram_array(_tokens())).alias("bigram")
+    )
+    bg_counts = stream.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    first_counts = (
+        bg_counts.groupBy(
+            F.split(F.col("bigram"), " ").getItem(0).alias("tok_a")
+        )
+        .agg(F.sum("c_ab").alias("c_a"))
+    )
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    return (
+        stream.join(bg_counts, "bigram")
+        .join(
+            first_counts,
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("tok_a"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v")))), 6
+            ).alias("avg_bigram_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_SURPRISAL_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), stream AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ), bg AS (
+        SELECT bigram, count(*) AS c_ab FROM stream GROUP BY bigram
+    ), firsts AS (
+        SELECT string_split(bigram, ' ')[1] AS tok_a, sum(c_ab) AS c_a
+        FROM bg GROUP BY 1
+    ), vocab AS (
+        SELECT count(DISTINCT token) AS v
+        FROM (SELECT unnest(t) AS token FROM toks) WHERE token <> ''
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln((c_ab + 1)::DOUBLE / (c_a + v))), 6) AS avg_bigram_nll
+    FROM stream
+    JOIN bg USING (bigram)
+    JOIN firsts ON string_split(bigram, ' ')[1] = tok_a
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.
 PYTEST_QUERIES = {
@@ -2230,6 +2313,7 @@ PYTEST_QUERIES = {
     "token_surprisal": token_surprisal,
     "bigram_collocations": bigram_collocations,
     "dedup_keep_policy": dedup_keep_policy,
+    "bigram_surprisal": bigram_surprisal,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2244,6 +2328,7 @@ PYTEST_ORACLES = {
     "token_surprisal": _SURPRISAL_ORACLE,
     "bigram_collocations": _PMI_ORACLE,
     "dedup_keep_policy": _KEEP_POLICY_ORACLE,
+    "bigram_surprisal": _BIGRAM_SURPRISAL_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch
