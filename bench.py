@@ -80,6 +80,16 @@ released by release_session_caches like every session memo
 ambient noise once the above landed (2.52 / 2.12 s vs r4's 2.96 /
 2.09).
 
+Round-6 headline decomposition (so the grown total can't read as a
+regression): on the 105 queries shared with round 5 the committed
+medians moved 111.6 → 107.9 s (0.97×; the 50 driver-line registry
+queries alone 38.6 → 34.9 s, 0.90×) — the larger r6 total is entirely
+the ~20 NEW surfaces (~26 s), half of which are deliberately-cold
+artifact builds (jaccard_pair_build rebuilds the pair frame every run
+by design; minhash_index_build writes a fresh index) or late-family
+iterative queries carrying the session tax below (graph_ppr_seeded's
+isolated floor is 4.3 s vs its 6.5 s bench median).
+
 Residual in-session inflation (bounded, documented): even with the
 per-query gc below, an iterative query benched after ~50 others runs
 ~1 s above its fresh-session floor (coloring ~5.1 s late-session vs
