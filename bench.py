@@ -81,14 +81,17 @@ ambient noise once the above landed (2.52 / 2.12 s vs r4's 2.96 /
 2.09).
 
 Round-6 headline decomposition (so the grown total can't read as a
-regression): on the 105 queries shared with round 5 the committed
-medians moved 111.6 → 107.9 s (0.97×; the 50 driver-line registry
-queries alone 38.6 → 34.9 s, 0.90×) — the larger r6 total is entirely
-the ~20 NEW surfaces (~26 s), half of which are deliberately-cold
-artifact builds (jaccard_pair_build rebuilds the pair frame every run
-by design; minhash_index_build writes a fresh index) or late-family
-iterative queries carrying the session tax below (graph_ppr_seeded's
-isolated floor is 4.3 s vs its 6.5 s bench median).
+regression): the r6 suite benches ~20 NEW surfaces (~26 s of the
+total), half of which are deliberately-cold artifact builds
+(jaccard_pair_build rebuilds the pair frame every run by design;
+minhash_index_build writes a fresh index) or late-family iterative
+queries carrying the session tax below (graph_ppr_seeded's isolated
+floor is 4.3 s vs ~6.5 s benched).  On the 105 queries SHARED with
+round 5, two clean r6 runs put the sum at 107.9 s and 115.9 s vs
+r5's 111.6 — i.e. ±4% run-to-run machine noise straddles parity
+(registry-50 line: 34.9 / 40.3 vs 38.6), with the real r6 wins
+(coloring, pagerank, pair-cache transparency) concentrated in the
+isolated floors this docstring records.
 
 Residual in-session inflation (bounded, documented): even with the
 per-query gc below, an iterative query benched after ~50 others runs
