@@ -169,7 +169,9 @@ def decode_media_real(payload: bytes, media_type: str | None = None):
     header+pixel parse can implement from the public specs alone:
 
     - binary PPM (``P6``, netpbm): ASCII header with '#' comments,
-      maxval ≤ 255, row-major RGB payload;
+      maxval exactly 255 (smaller maxvals need sample rescaling — r6
+      review: returning raw bytes would silently darken), row-major
+      RGB payload;
     - uncompressed 24-bit ``BI_RGB`` Windows BMP: BITMAPINFOHEADER,
       bottom-up (or top-down via negative height) padded BGR rows.
 
@@ -180,8 +182,11 @@ def decode_media_real(payload: bytes, media_type: str | None = None):
     codec libraries; callers fall back to ``_fake_decode``)."""
     if payload[:2] == b"P6":
         (w, h, maxval), off = _ppm_header_ints(payload, 2, 3)
-        if maxval <= 0 or maxval > 255:
-            raise ValueError(f"unsupported PPM maxval {maxval}")
+        if maxval != 255:
+            # a smaller maxval would require rescaling sample values to
+            # full range (netpbm semantics); returning raw bytes would
+            # silently darken the image — refuse rather than be wrong
+            raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
         need = w * h * 3
         rgb = payload[off : off + need]
         if w <= 0 or h <= 0 or len(rgb) != need:

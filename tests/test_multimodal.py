@@ -107,3 +107,10 @@ def test_blob_stats_magic_all_ok(spark):
     for r in MM.multimodal_blob_stats(spark, SF).collect():
         assert r.n_magic_ok == r.n_blobs
         assert r.media_type in ("IMG!", "AUD!", "VID!")
+
+
+def test_real_decoder_rejects_nonstandard_ppm_maxval():
+    """maxval < 255 needs sample rescaling (netpbm); raw passthrough
+    would silently darken — the decoder must refuse, not guess."""
+    with pytest.raises(ValueError):
+        MM.decode_media_real(b"P6\n1 1\n127\n\x00\x00\x00")
