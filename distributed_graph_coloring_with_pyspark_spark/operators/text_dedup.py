@@ -2298,6 +2298,59 @@ _BIGRAM_SURPRISAL_ORACLE = """
 """
 
 
+_PII_RULES = [
+    # order matters (applied sequentially, same order in the oracle):
+    # emails first so their digits can't be half-eaten by the number rule
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+    ("longnum", r"\d{6,}", "<NUM>"),
+]
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — the scrub pass an LLM-data pipeline runs
+    before anything ships: emails, phone-shaped digit runs and long
+    numeric identifiers replaced with typed placeholders, counts kept
+    for the removal report.  One projection of chained
+    ``regexp_replace``/``regexp_count`` expressions — pure JVM
+    whole-stage codegen, no Python, embarrassingly parallel at any
+    scale.  Patterns stay in the regex subset Java and RE2 interpret
+    identically (character classes, bounded/unbounded repetition — no
+    backrefs/lookarounds), so the DuckDB oracle replays the exact
+    transformation; the synthetic corpus is mostly clean text, which
+    the md5 over the REDACTED output still pins (a false positive
+    would flip the hash), and planted email/phone fixtures exercise
+    every rule (tests/test_text_dedup_extra.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.col("text")
+    counts = []
+    for name, pat, rep in _PII_RULES:
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, rep)
+    return (
+        docs.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _pii_oracle() -> str:
+    red = "text"
+    cols = []
+    for name, pat, rep in _PII_RULES:
+        cols.append(
+            f"len(regexp_extract_all({red}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+    SELECT doc_id, {', '.join(cols)}, md5({red}) AS redacted_md5
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+_PII_ORACLE = _pii_oracle()
+
+
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.
 PYTEST_QUERIES = {
@@ -2314,6 +2367,7 @@ PYTEST_QUERIES = {
     "bigram_collocations": bigram_collocations,
     "dedup_keep_policy": dedup_keep_policy,
     "bigram_surprisal": bigram_surprisal,
+    "redact_pii": redact_pii,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2329,6 +2383,7 @@ PYTEST_ORACLES = {
     "bigram_collocations": _PMI_ORACLE,
     "dedup_keep_policy": _KEEP_POLICY_ORACLE,
     "bigram_surprisal": _BIGRAM_SURPRISAL_ORACLE,
+    "redact_pii": _PII_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch

@@ -1127,6 +1127,46 @@ _ROLLING_24H_ORACLE = """
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type — the
+    modern replacement for per-row JSON string parsing
+    (``events_json_kv`` keeps the classic ``get_json_object`` path for
+    contrast): ``parse_json`` decodes each props payload ONCE into the
+    binary variant encoding, then typed ``variant_get`` extractions are
+    cheap field reads.  At 100 TB the variant column is stored
+    shredded/binary in the table format and repeated extraction of
+    different fields never re-tokenizes the JSON text — the reason
+    warehouses moved semi-structured columns off strings.  Aggregates
+    chosen to be integer-exact (sum/min/max of a small int field)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_VARIANT_ORACLE = """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           count(props::JSON ->> 'k')::BIGINT AS n_with_k,
+           sum((props::JSON ->> 'k')::BIGINT)::BIGINT AS sum_k,
+           min((props::JSON ->> 'k')::BIGINT)::BIGINT AS min_k,
+           max((props::JSON ->> 'k')::BIGINT)::BIGINT AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 _BIN_JOIN_WINDOW_SEC = 60
 
 
@@ -1319,6 +1359,7 @@ EXTRA_QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_rolling_24h": events_rolling_24h,
     "events_cooccurrence_60s": events_cooccurrence_60s,
+    "events_props_variant": events_props_variant,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
@@ -1328,6 +1369,7 @@ EXTRA_ORACLES = {
     "events_retention_cohorts": _RETENTION_ORACLE,
     "events_rolling_24h": _ROLLING_24H_ORACLE,
     "events_cooccurrence_60s": _COOCCURRENCE_ORACLE,
+    "events_props_variant": _PROPS_VARIANT_ORACLE,
 }
 
 STREAMING_QUERIES = {

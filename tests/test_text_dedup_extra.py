@@ -147,3 +147,36 @@ def test_dedup_incremental_index_matches_allpairs_oracle(spark, tmp_path):
     con.close()
     assert srows, "degenerate fixture: no cross-split near-dup pairs"
     assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
+
+
+def test_redact_pii_planted_fixture(spark, tmp_path):
+    """Planted emails/phones/long ids: every rule must fire, counts
+    must match, and the redacted text must carry the placeholders (the
+    corpus-wide oracle run can't prove this — synthetic text is clean,
+    so only the planted rows exercise actual replacement)."""
+    import hashlib as _hashlib
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        redact_pii,
+    )
+
+    rows = [
+        (0, "contact alice.smith+x@example.co.uk or bob@ex.org today", "src0", "en", 55),
+        (1, "call +1(415)555-0199 now", "src0", "en", 24),
+        (2, "order 123456789 shipped to 987654 dock", "src0", "en", 38),
+        (3, "clean text with no identifiers at all", "src0", "en", 37),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in redact_pii(spark, str(tmp_path)).collect()}
+    assert (got[0].n_email, got[0].n_phone, got[0].n_longnum) == (2, 0, 0)
+    assert got[0].redacted_md5 == _hashlib.md5(
+        b"contact <EMAIL> or <EMAIL> today"
+    ).hexdigest()
+    assert got[1].n_phone == 1
+    assert got[1].redacted_md5 == _hashlib.md5(b"call <PHONE> now").hexdigest()
+    # 123456789 (9 digits) is phone-shaped and consumed by the earlier
+    # phone rule, so longnum only sees the remaining 6-digit id
+    assert (got[2].n_phone, got[2].n_longnum) == (1, 1)
+    assert got[3].redacted_md5 == _hashlib.md5(rows[3][1].encode()).hexdigest()
