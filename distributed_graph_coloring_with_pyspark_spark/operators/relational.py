@@ -1263,6 +1263,80 @@ _Q22_ORACLE = """
 """
 
 
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted — suppliers who kept orders waiting: for
+    finished multi-supplier orders (o_orderstatus = 'F'), count per
+    supplier the orders where THAT supplier's latest shipment is the
+    order's strict latest (it alone held the order open).  The
+    synthetic lineitem has no commit/receipt dates, so "late" is
+    re-expressed through ship dates; the EXISTS/NOT-EXISTS pair of the
+    original decorrelates into per-order window aggregates — count of
+    suppliers, the order-wide max of per-supplier max ship dates, and
+    how many suppliers attain it (strictness = exactly one).  One
+    fact shuffle keyed on (orderkey, suppkey), one on orderkey, then a
+    tiny supplier-keyed count — no correlated subquery, no self-join
+    of the fact."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        F.count("*").over(w).alias("n_supp"),
+        F.max("s_max").over(w).alias("o_max"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)).over(w),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("s_max") == F.col("o_max"))
+            & (F.col("n_at_max") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+_Q21_ORACLE = """
+    WITH per_os AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), staged AS (
+        SELECT l_orderkey, l_suppkey, s_max,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               max(s_max) OVER (PARTITION BY l_orderkey) AS o_max
+        FROM per_os
+    ), flagged AS (
+        SELECT *, sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY l_orderkey) AS n_at_max
+        FROM staged
+    )
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND s_max = o_max AND n_at_max = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite — the validation gate a training
     or warehouse pipeline runs before trusting a load: one row per
@@ -1403,6 +1477,7 @@ PYTEST_QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "q21_waiting_supplier": q21_waiting_supplier,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
@@ -1421,6 +1496,7 @@ PYTEST_ORACLES = {
     "q17_small_quantity_revenue": _Q17_ORACLE,
     "q19_disjunctive_revenue": _Q19_ORACLE,
     "q22_sales_opportunity": _Q22_ORACLE,
+    "q21_waiting_supplier": _Q21_ORACLE,
 }
 
 QUERIES = {
