@@ -54,10 +54,13 @@ def _timed(label, fn, runs=2):
 
 
 def main() -> int:
+    # run a subset with `python tools/scale_probe_graph.py [tenx] [skew]`
+    # (each family alone fits a ~10 min harness timeout; default: both)
+    parts = set(sys.argv[1:]) or {"tenx", "skew"}
     spark = get_spark(app_name="dgc-graph-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for n in (100_000, 1_000_000):
+    for n in (100_000, 1_000_000) if "tenx" in parts else ():
         node_ids, edges = generate_graph_distributed(spark, n, 8, seed=42)
         edges = edges.persist()
         n_edges = edges.count()  # materialize once; probes time the op
@@ -92,6 +95,9 @@ def main() -> int:
         verts.unpersist()
         edges.unpersist()
 
+    if "skew" not in parts:
+        spark.stop()
+        return 0
     # skewed coloring: uniform background + one 10k-degree hub
     n, hub_deg = 100_000, 10_000
     node_ids, bg = generate_graph_distributed(spark, n, 8, seed=42)
