@@ -84,3 +84,81 @@ def test_sessionization_matches_python_oracle(spark, tmp_path):
             for r in events_sessionization(spark, path).collect()
         }
         assert got == _python_sessionize(rows), f"seed={seed}"
+
+
+def test_cooccurrence_binning_exactness_on_planted_boundaries(spark, tmp_path):
+    """The bin-join's exactly-once + boundary claims, pinned on planted
+    data the synthetic corpus never guarantees: pairs exactly 60 s
+    apart (inclusive), 60.000001 s apart (excluded), same-timestamp
+    pairs (id tie-break), bucket-edge pairs straddling a bin boundary,
+    and a triple inside one window — all verified against a brute-force
+    python oracle over the same rows."""
+    import itertools
+    from datetime import datetime, timedelta
+
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        events_cooccurrence_60s,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (event_id, offset_seconds, type)
+        (1, 0.0, "a"), (2, 60.0, "b"),          # exactly 60 s -> pair
+        (3, 200.0, "a"), (4, 260.000001, "b"),  # just over -> no pair
+        (5, 500.0, "a"), (6, 500.0, "b"),       # same ts -> id tie-break
+        (7, 659.9, "a"), (8, 660.1, "b"),       # straddles the 60s bin edge
+        (9, 900.0, "a"), (10, 930.0, "b"), (11, 955.0, "c"),  # triple
+    ]
+    spark.createDataFrame(
+        [
+            (eid, base + timedelta(seconds=off), 1, ty, 1.0, "{}")
+            for eid, off, ty in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r.type_a, r.type_b): r.n_pairs
+        for r in events_cooccurrence_60s(spark, str(tmp_path)).collect()
+    }
+    want: dict = {}
+    for (ia, oa, ta), (ib, ob, tb) in itertools.permutations(rows, 2):
+        if 0 <= ob - oa <= 60 and (ob > oa or (ob == oa and ib > ia)):
+            want[(ta, tb)] = want.get((ta, tb), 0) + 1
+    assert got == want, (got, want)
+    # the planted intent, spelled out
+    assert got[("a", "b")] == 4  # exact-60s, same-ts, bin-edge, triple's a-b
+    assert got[("b", "c")] == 1 and got[("a", "c")] == 1
+
+
+def test_rolling_24h_boundary_inclusive(spark, tmp_path):
+    """RANGE frame boundary: an event exactly 86 400 s earlier is IN
+    the trailing-24h frame (inclusive), one microsecond beyond is OUT —
+    planted, since no synthetic gap lands on the exact boundary."""
+    from datetime import datetime, timedelta
+
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        events_rolling_24h,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 0.0, 1),            # seed for user 1
+        (2, 86400.0, 1),        # exactly 24h later -> frame includes #1
+        (3, 0.0, 2),            # seed for user 2
+        (4, 86400.000001, 2),   # just beyond -> frame excludes #3
+    ]
+    spark.createDataFrame(
+        [
+            (eid, base + timedelta(seconds=off), uid, "click", 2.0, "{}")
+            for eid, off, uid in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {r.event_id: r.n_24h for r in events_rolling_24h(spark, str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
