@@ -1139,7 +1139,11 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouses moved semi-structured columns off strings.  Aggregates
     chosen to be integer-exact (sum/min/max of a small int field)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json, not parse_json: a malformed props payload must
+    # yield NULL (matching the oracle's JSON cast semantics), not kill
+    # the query — pinned with a planted bad row in
+    # tests/test_events_properties.py
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -162,3 +162,28 @@ def test_rolling_24h_boundary_inclusive(spark, tmp_path):
     )
     got = {r.event_id: r.n_24h for r in events_rolling_24h(spark, str(tmp_path)).collect()}
     assert got == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_props_variant_tolerates_malformed_json(spark, tmp_path):
+    """A malformed props payload must contribute NULL (absent k), not
+    fail the query — try_parse_json semantics, matching the oracle's
+    JSON cast behavior on the engines' shared contract."""
+    from datetime import datetime
+
+    from distributed_graph_coloring_with_pyspark_spark.streaming.events import (
+        events_props_variant,
+    )
+
+    rows = [
+        (1, '{"k": 5}'),
+        (2, "{not json at all"),
+        (3, '{"other": 1}'),
+        (4, '{"k": 7}'),
+    ]
+    spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1), 1, "click", 1.0, props) for eid, props in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = events_props_variant(spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.n_with_k, r.sum_k, r.min_k, r.max_k) == (4, 2, 12, 5, 7)
