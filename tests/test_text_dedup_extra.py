@@ -180,3 +180,42 @@ def test_redact_pii_planted_fixture(spark, tmp_path):
     # phone rule, so longnum only sees the remaining 6-digit id
     assert (got[2].n_phone, got[2].n_longnum) == (1, 1)
     assert got[3].redacted_md5 == _hashlib.md5(rows[3][1].encode()).hexdigest()
+
+
+def test_dedup_incremental_planted_cross_split_pair(spark, tmp_path):
+    """Recall by construction for the index pair: plant one batch doc
+    that is a near-copy (Jaccard >= 0.5 on 3-gram shingles) of one
+    corpus doc — ids chosen ON OPPOSITE SIDES of the md5 incoming
+    split — plus unrelated noise docs; the banded index check must
+    surface exactly that pair."""
+    import hashlib as _h
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _INCR_BATCH_CUT,
+        build_minhash_index,
+        dedup_incremental,
+    )
+
+    def h32(s: str) -> int:
+        return int(_h.md5(s.encode()).hexdigest()[:8], 16)
+
+    is_batch = lambda i: h32(f"incr:{i}") < _INCR_BATCH_CUT
+    batch_id = next(i for i in range(1000) if is_batch(i))
+    corpus_id = next(i for i in range(1000) if not is_batch(i))
+    noise_ids = [i for i in range(1000) if i not in (batch_id, corpus_id)][:6]
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one appended token: high shingle overlap
+    rows = [(batch_id, near), (corpus_id, base)] + [
+        (i, f"noise{i} " * 12) for i in noise_ids
+    ]
+    spark.createDataFrame(
+        [(i, t, "src0", "en", len(t)) for i, t in rows],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(spark, str(tmp_path), idx)
+    got = dedup_incremental(spark, str(tmp_path), idx).collect()
+    assert [(r.batch_doc, r.corpus_doc) for r in got] == [(batch_id, corpus_id)]
+    assert got[0].jaccard >= 0.5
