@@ -219,3 +219,26 @@ def test_dedup_incremental_planted_cross_split_pair(spark, tmp_path):
     got = dedup_incremental(spark, str(tmp_path), idx).collect()
     assert [(r.batch_doc, r.corpus_doc) for r in got] == [(batch_id, corpus_id)]
     assert got[0].jaccard >= 0.5
+
+
+def test_keep_policy_tie_breaks_to_min_doc_id(spark, tmp_path):
+    """Planted equal-length near-dup cluster: the canonical pick must
+    fall to the SMALLEST doc_id (the tie-break the synthetic corpus's
+    varied lengths never force)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        dedup_keep_policy,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (7, base), (3, base), (9, base),  # identical -> one cluster, equal n_chars
+        (20, "unrelated words entirely different content here now"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "src0", "en", len(t)) for i, t in rows],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in dedup_keep_policy(spark, str(tmp_path)).collect()}
+    assert set(got) == {3, 7, 9}  # doc 20 touches no pair
+    assert [i for i in got if got[i].keep] == [3]
+    assert all(got[i].component_id == 3 for i in got)
