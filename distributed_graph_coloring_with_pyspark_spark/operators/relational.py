@@ -1337,6 +1337,301 @@ _Q21_ORACLE = """
 """
 
 
+def _supply(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: DataFrame | None = None,
+    suppliers: DataFrame | None = None,
+) -> DataFrame:
+    """Derived supplier-part catalog — the synthetic schema has no
+    partsupp table, so the supplier-part relation (who can supply what,
+    at what cost) is derived from the lineitem fact: one row per
+    observed (partkey, suppkey) pair with the supplier's best unit
+    price as the supply-cost proxy.  ``min`` is order-insensitive over
+    identical per-row doubles, so the derived cost is bit-equal across
+    engines (unlike a float sum).
+
+    ``parts`` / ``suppliers`` are optional broadcast key-frames
+    (p_partkey / s_suppkey) joined BELOW the aggregation: because they
+    restrict only the grouping keys, filtering before the groupBy is
+    semantics-preserving and shrinks the pair-key shuffle to the
+    selected slice — Catalyst can't push a join below an agg on its
+    own, so callers hand the filter down explicitly.  One (filtered)
+    fact shuffle on the pair key; output is catalog-sized, the same
+    cardinality class as TPC-H's real partsupp."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    if parts is not None:
+        li = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).drop(
+            "p_partkey"
+        )
+    if suppliers is not None:
+        li = li.join(F.broadcast(suppliers), li.l_suppkey == suppliers.s_suppkey).drop(
+            "s_suppkey"
+        )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+
+
+_SUPPLY_CTE = """
+    supply AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    )
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted — minimum-cost supplier: for LARGE-type parts of
+    size 15, the EUROPE supplier(s) offering the part at its region-wide
+    minimum supply cost (derived catalog, `_supply`; the original's
+    '%BRASS' type suffix has no synthetic counterpart so the type
+    predicate is equality).  The correlated MIN subquery decorrelates
+    into a per-part window minimum over the already-region-filtered
+    catalog — the canonical rewrite (same machinery as Q21,
+    relational.py Q21 docstring): part + supplier sides broadcast into
+    the catalog, ONE window on the small filtered frame, no
+    re-aggregation join and no second catalog scan.  Cost doubles are
+    bit-identical across engines (min of identical per-row divisions),
+    so the equality-to-minimum filter is exact."""
+    pa = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    euro_supp = su.join(
+        F.broadcast(na.join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)),
+        su.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # both dimension filters restrict only the catalog's grouping keys,
+    # so they ride down below the pair-key aggregation (see _supply)
+    cand = _supply(
+        spark, sf_dir, parts=pa, suppliers=euro_supp.select("s_suppkey")
+    ).join(F.broadcast(euro_supp), F.col("ps_suppkey") == euro_supp.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_ORACLE = f"""
+    WITH {_SUPPLY_CTE.strip()},
+    cand AS (
+        SELECT s_acctbal, s_name, n_name, ps_partkey, ps_supplycost,
+               min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+        FROM supply
+        JOIN part ON ps_partkey = p_partkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+           ps_supplycost AS supplycost
+    FROM cand WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted — important stock: parts whose inventory value
+    held by NATION_7 suppliers exceeds 0.1% of that nation's total.
+    With no partsupp, "inventory value" is the nation's shipped value
+    per part: lineitem rows from NATION_7 suppliers, summed per part.
+    The global-total correlated subquery decorrelates into a broadcast
+    one-row aggregate cross-joined into the filter (same pattern as
+    Q22's threshold) — never a collect.  House exactness rule: float
+    sums are order-sensitive across engines, so both the per-part value
+    and the global total are summed as integer cents
+    (floor(price×100) — floor of identical doubles, engine-exact,
+    unlike round's half-case divergence) and only divided back to
+    currency for display."""
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7").select(
+        "n_nationkey"
+    )
+    su = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(na), F.col("s_nationkey") == na.n_nationkey
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    nat_li = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+    per_part = nat_li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > F.lit(0.001) * F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+_Q11_ORACLE = """
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                   AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1
+    )
+    SELECT l_partkey AS ps_partkey,
+           round(value_cents / 100.0, 2) AS value
+    FROM per_part
+    WHERE value_cents > 0.001 * (SELECT sum(value_cents) FROM per_part)
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted — how many suppliers can furnish each part
+    class: distinct supplier count per (brand, type, size) over the
+    derived supplier-part catalog, excluding Brand#1, PROMO-type parts,
+    non-square sizes, and suppliers with negative account balance (the
+    proxy for the original's complaints-in-comment exclusion — the
+    synthetic supplier has no comment column).  The supplier exclusion
+    is a broadcast LEFT ANTI (NOT EXISTS semantics, never NOT IN — a
+    NULL key must not silently pass); the distinct count is a two-level
+    hash agg on a tiny (brand,type,size) key space."""
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    pa = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        # part predicate pushed below the catalog agg (key-only filter);
+        # the supplier exclusion is key-only too, but LEFT ANTI on the
+        # catalog-sized frame is already cheap and keeps the NOT-EXISTS
+        # shape explicit in the plan
+        _supply(spark, sf_dir, parts=pa.select("p_partkey"))
+        .join(F.broadcast(bad_supp), "ps_suppkey", "left_anti")
+        .join(F.broadcast(pa), F.col("ps_partkey") == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_ORACLE = f"""
+    WITH {_SUPPLY_CTE.strip()}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM supply JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = ps_suppkey AND s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted — potential part promotion: NATION_3 suppliers
+    who DOMINATED some 'old%' part's 1996 supply (shipped more than half
+    of the part's total 1996 quantity).  The original's
+    availqty > 0.5×shipped correlated subquery has no availqty without
+    partsupp; the adaptation keeps the exact decorrelation shape — a
+    per-(part,supplier) aggregate compared against a per-part correlated
+    scalar — as a window sum over the grouped frame (no second fact
+    scan), then a distinct-supplier semi-join into the filtered supplier
+    dimension.  Quantity sums are integral doubles, exact in any order,
+    so the 0.5× threshold is engine-exact."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").like("old%")).select(
+        "p_partkey"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    su = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(na), F.col("s_nationkey") == na.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        su.join(dominant, su.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_ORACLE = """
+    WITH per_ps AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'old%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT l_suppkey, supp_qty,
+               sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per_ps
+    )
+    SELECT s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM flagged
+                  WHERE l_suppkey = s_suppkey AND supp_qty > 0.5 * part_qty)
+    ORDER BY s_name
+"""
+
+
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite — the validation gate a training
     or warehouse pipeline runs before trusting a load: one row per
@@ -1478,6 +1773,10 @@ PYTEST_QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
 }
 PYTEST_ORACLES = {
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
@@ -1497,6 +1796,10 @@ PYTEST_ORACLES = {
     "q19_disjunctive_revenue": _Q19_ORACLE,
     "q22_sales_opportunity": _Q22_ORACLE,
     "q21_waiting_supplier": _Q21_ORACLE,
+    "q2_min_cost_supplier": _Q2_ORACLE,
+    "q11_important_stock": _Q11_ORACLE,
+    "q16_supplier_part_counts": _Q16_ORACLE,
+    "q20_dominant_suppliers": _Q20_ORACLE,
 }
 
 QUERIES = {
