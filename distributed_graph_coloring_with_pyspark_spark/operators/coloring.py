@@ -276,6 +276,14 @@ def minimal_coloring(
       only colors < m behaves identically with palette m (the palette
       size only matters at exhaustion), so intermediate k values cannot
       change the outcome — they are skipped, not decided differently.
+
+    Cache lifetime (ADVICE r6): each call registers one tracked persist
+    of its vertex frame (see the verts0 note below) that lives until
+    ``release_session_caches`` — deliberate for repeated colorings of
+    the SAME graph (the bench/serve pattern).  Callers looping over many
+    DISTINCT graphs (scale probes, library use) should call
+    ``release_session_caches(spark)`` periodically, or each graph's
+    blocks accumulate until Spark's LRU eviction.
     """
     caller_k = start_k is not None
     # persist-ownership discipline (perf regression r5: the bench showed

@@ -875,6 +875,11 @@ def ppr_customers(
         "id", F.coalesce("degree", F.lit(0)).alias("out_deg")
     )
     n_seeds = verts.filter(F.col("id") < _PPR_SEED_CUT).count()
+    if n_seeds == 0:  # same style as color_graph_attempt's k < 1 guard
+        raise ValueError(
+            f"ppr_customers: no seed vertices (no customer id < {_PPR_SEED_CUT}) "
+            "— personalized teleport needs a non-empty seed set"
+        )
     tele = F.when(F.col("id") < _PPR_SEED_CUT, F.lit(1.0 / n_seeds)).otherwise(0.0)
     spark_ = verts.sparkSession
     with scoped_shuffle_partitions(spark_, verts.count()):

@@ -11,6 +11,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 from oracle_util import canon_rows
+from pyspark.sql import functions as F
 
 from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
     PYTEST_ORACLES,
@@ -147,6 +148,36 @@ def test_dedup_incremental_index_matches_allpairs_oracle(spark, tmp_path):
     con.close()
     assert srows, "degenerate fixture: no cross-split near-dup pairs"
     assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
+
+
+def test_minhash_index_has_no_dropped_buckets(spark):
+    """Make the oracle-equality test's corpus-shape dependence explicit
+    (ADVICE r6): build_minhash_index DROPS buckets hotter than
+    _BUCKET_CAP, so dedup_incremental's all-pairs equality above holds
+    only while the sf0.01 corpus split produces no such bucket.  Assert
+    that directly — if a future fixture change ever creates a dropped
+    bucket, THIS test fails with a named reason instead of the
+    equality test failing with a confusing hash mismatch (at which
+    point the equality test needs a planted-drop carve-out like
+    test_prefix_bucket_cap_drop_semantics)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _BUCKET_CAP,
+        _doc_shingles,
+        _incr_is_batch,
+        _minhash_band_frame,
+    )
+
+    bands = _minhash_band_frame(
+        _doc_shingles(spark, SF, parallel=True).filter(~_incr_is_batch())
+    )
+    hottest = (
+        bands.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hottest is not None and hottest <= _BUCKET_CAP, (
+        f"corpus index would drop a bucket (hottest={hottest} > cap="
+        f"{_BUCKET_CAP}) — dedup_incremental's all-pairs oracle equality "
+        "no longer holds by construction on this fixture"
+    )
 
 
 def test_redact_pii_planted_fixture(spark, tmp_path):
