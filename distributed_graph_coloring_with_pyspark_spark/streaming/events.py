@@ -212,6 +212,66 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def events_user_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED fact-to-dimension equi-join — the JOIN-side companion of
+    ``events_type_stats_salted`` (which salts a skewed aggregation):
+    enrich the events fact with the user dimension under a join plan
+    that survives a hot user key.
+
+    The dimension is replicated ×``_N_SALTS`` (posexplode of a literal
+    salt sequence — dim-sized × 16, still dimension-class), the fact
+    takes a DETERMINISTIC salt from ``pmod(xxhash64(event_id), 16)``,
+    and the join key becomes (user_id, salt): every fact row matches
+    exactly ONE replica, so multiplicity — and therefore every
+    downstream aggregate — is identical to the naive join, while a hot
+    user's rows now spread across 16 reducers instead of one.  The
+    ``merge`` hint pins the shuffle (sort-merge) join shape: at 100 TB
+    a user dimension is NOT broadcastable, and that is the regime where
+    salting matters — AQE's skew-join split also covers the
+    sort-merge case, but only when runtime stats flag the partition
+    (OptimizeSkewedJoin), and it cannot help the same-key shuffle a
+    following per-user aggregate would reintroduce; the salt composes
+    with both.  Planted-hot-key equivalence + split-factor +
+    plan-shape pins: tests/test_events_skew_join.py.  Result contract
+    differs from streaming_enrich_static_dim's broadcast path by the
+    per-segment distinct-user count (distinct survives the replica
+    join because multiplicity is 1)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim_rep = dim.select(
+        "user_id",
+        "segment",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))).alias("salt"),
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)).cast("int")
+    )
+    return (
+        fact.hint("merge")
+        .join(dim_rep, ["user_id", "salt"])
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+_USER_JOIN_SALTED_ORACLE = """
+    SELECT c_mktsegment AS segment, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON events.user_id = customer.c_custkey
+    GROUP BY 1
+    ORDER BY segment
+"""
+
+
 def _drive_stream(spark: SparkSession, stream_df: DataFrame, sf_dir: str, configure):
     """THE shared drive loop for every finite streaming pipeline in
     this module (memory-sink harness AND the foreachBatch production
@@ -1364,6 +1424,7 @@ EXTRA_QUERIES = {
     "events_rolling_24h": events_rolling_24h,
     "events_cooccurrence_60s": events_cooccurrence_60s,
     "events_props_variant": events_props_variant,
+    "events_user_join_salted": events_user_join_salted,
 }
 EXTRA_ORACLES = {
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
@@ -1374,6 +1435,7 @@ EXTRA_ORACLES = {
     "events_rolling_24h": _ROLLING_24H_ORACLE,
     "events_cooccurrence_60s": _COOCCURRENCE_ORACLE,
     "events_props_variant": _PROPS_VARIANT_ORACLE,
+    "events_user_join_salted": _USER_JOIN_SALTED_ORACLE,
 }
 
 STREAMING_QUERIES = {
