@@ -2070,3 +2070,14 @@ ORACLES = {
         WHERE event_type = 'purchase'
     """,
 }
+
+# Round-7 registry rotation (VERDICT r6 #7): the driver records at most
+# 50 correctness rows, so promoting the strongest new surfaces
+# (VARIANT props, PII redaction, the incremental dedup index pair) means
+# demoting an equal number of always-green low-information rows to the
+# pytest gate — SAME oracle contract (tests/test_relational_extra.py),
+# still benched in the relational_extra family, just no longer occupying
+# driver rows.
+for _rot in ("window_order_gap_days", "union_balances_by_nation", "orders_per_month"):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

@@ -411,6 +411,33 @@ def dedup_incremental(
     )
 
 
+# index dirs for the self-contained registry entry below, memoized per
+# (session, corpus) — paths only, so cache release costs nothing and a
+# dead session's entry is just a stale temp path
+_INCR_E2E_INDEX: dict[tuple[int, str], str] = {}
+
+
+def dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained (spark, sf_dir) form of the incremental dedup
+    pair for the driver registry (round-7 rotation): build the corpus
+    MinHash index into a session-temp directory on first use, then run
+    ``dedup_incremental`` against it.  The build is memoized per
+    (session, corpus) — steady state is the serving path (index reads
+    only), exactly the amortization bench.py prices separately as
+    ``minhash_index_build`` / ``dedup_incremental`` in the dedup
+    family."""
+    import os
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    path = _INCR_E2E_INDEX.get(key)
+    if path is None or not os.path.isdir(path):
+        path = os.path.join(tempfile.mkdtemp(prefix="mh_index_e2e_"), "index")
+        build_minhash_index(spark, sf_dir, path)
+        _INCR_E2E_INDEX[key] = path
+    return dedup_incremental(spark, sf_dir, path)
+
+
 def _incremental_oracle() -> str:
     h = _hash32_sql("'incr:' || doc_id::VARCHAR")
     return f"""
@@ -2417,3 +2444,14 @@ PYTEST_ORACLES = {
 # boundaries — tests/test_heavy_hitters.py pins the Misra-Gries error
 # contract instead); benched with the dedup family.
 EXTRA_QUERIES = {"heavy_hitter_tokens": heavy_hitter_tokens}
+
+# Round-7 registry rotation (VERDICT r6 #7): promote the PII redaction
+# pass and the incremental-index pair into the driver's 50-row registry
+# (three low-information relational rows moved to the pytest gate in
+# exchange — see operators/relational.py).  redact_pii keeps its planted
+# fixture test; dedup_incremental keeps its recall-by-construction and
+# all-pairs tests plus the standalone benched pair in the dedup family.
+QUERIES["redact_pii"] = PYTEST_QUERIES.pop("redact_pii")
+ORACLES["redact_pii"] = PYTEST_ORACLES.pop("redact_pii")
+QUERIES["dedup_incremental_e2e"] = dedup_incremental_e2e
+ORACLES["dedup_incremental_e2e"] = _INCREMENTAL_ORACLE

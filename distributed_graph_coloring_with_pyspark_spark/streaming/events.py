@@ -1525,6 +1525,14 @@ ORACLES = {
     """,
 }
 
+# Round-7 registry rotation (VERDICT r6 #7): the Spark-4 VARIANT props
+# query is a stronger driver-registry demonstration than the trivial
+# relational rows it displaces — promote it from the pytest gate into
+# the 50-row registry (EXTRA_* are defined above, so the move is here,
+# right after ORACLES exists).
+QUERIES["events_props_variant"] = EXTRA_QUERIES.pop("events_props_variant")
+ORACLES["events_props_variant"] = EXTRA_ORACLES.pop("events_props_variant")
+
 # DuckDB oracles for the pytest-gated streaming pipelines (see the
 # STREAMING_QUERIES note) — identical correctness contract to ORACLES,
 # enforced by tests/test_streaming_batch_equivalence.py instead of the
