@@ -240,6 +240,33 @@ def main() -> int:
     def bench_dedup_incremental(spark, sf_dir):
         return dedup_incremental(spark, sf_dir, mh_path)
 
+    # Maintenance rewrites (r7): both are deliberately-cold artifact
+    # lines — every run re-reads the source table and rewrites the
+    # layout (a nightly-job shape, not a query), into a fresh temp dir.
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        compact_parquet,
+        zorder_layout,
+    )
+
+    maint_dir = tempfile.mkdtemp(prefix="bench_maint_")
+
+    def bench_compact_events(spark, sf_dir):
+        return compact_parquet(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(maint_dir, "compact"),
+            target_mb=32,
+        )
+
+    def bench_zorder_events(spark, sf_dir):
+        return zorder_layout(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(maint_dir, "zorder"),
+            ["user_id", "ts"],
+            n_files=16,
+        )
+
     registry = dict(entry_mod.queries())
     families: list[tuple[str, dict]] = [
         ("registry", registry),
@@ -261,6 +288,13 @@ def main() -> int:
         ("text_rank", dict(RANK_PYTEST_QUERIES)),
         ("events_extra", {**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES}),
         ("relational_extra", dict(REL_PYTEST_QUERIES)),
+        (
+            "maintenance",
+            {
+                "compact_events": bench_compact_events,
+                "zorder_events": bench_zorder_events,
+            },
+        ),
     ]
 
     timings: dict[str, float] = {}
@@ -313,6 +347,7 @@ def main() -> int:
         family_sums[fam_name] = round(sum(fam_finite), 3)
     shutil.rmtree(ivf_dir, ignore_errors=True)
     shutil.rmtree(mh_dir, ignore_errors=True)
+    shutil.rmtree(maint_dir, ignore_errors=True)
 
     finite = [v for v in timings.values() if v != float("inf")]
     total = round(sum(finite), 3)

@@ -1286,6 +1286,91 @@ def _stratified_oracle() -> str:
 _STRATIFIED_ORACLE = _stratified_oracle()
 
 
+# target mixture weights by source tier (a training-data mixture is an
+# EXTERNAL spec — "web 3 : curated 2 : longtail 1" — not derivable from
+# the data; unknown sources default to weight 1)
+_MIXTURE_WEIGHTS = {f"src{i}": (3 if i < 5 else 2 if i < 10 else 1) for i in range(20)}
+_MIXTURE_DEFAULT_WEIGHT = 1
+
+
+def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-mixture balancing — the training-mixture op next
+    to ``stratified_sample_split``'s per-language fixed rates: given
+    target mixture WEIGHTS per source (``_MIXTURE_WEIGHTS``), pick the
+    largest per-weight-unit document budget K the scarcest source
+    supports without upsampling — ``K = min_s(count_s div w_s)`` — and
+    downsample every source toward ``w_s · K`` docs, so surviving
+    shares approximate the target mixture at maximal total size.
+
+    Determinism and engine parity follow the stratified op's rules:
+    membership is a pure function of (salt, source, doc_id) via the
+    md5-derived 32-bit hash against an INTEGER cut, and the cut itself
+    stays in pure integer arithmetic end-to-end — ``K · w_s · 2^32 div
+    count_s`` (≤ 2^32 by construction of K) — so both engines divide
+    identical longs; float rates would diverge in the last ulp.  Plan:
+    one groupBy count (the per-source catalog, dimension-sized), a
+    broadcast 1-row min for K, a broadcast cuts join back onto the
+    scan, and one conditional-count agg — no data-sized shuffle beyond
+    the per-source aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(None).cast("long")
+    for src, wt in sorted(_MIXTURE_WEIGHTS.items()):
+        w = F.when(F.col("src") == src, F.lit(wt)).otherwise(w)
+    w = F.coalesce(w, F.lit(_MIXTURE_DEFAULT_WEIGHT)).cast("long")
+    counts = (
+        docs.groupBy(F.coalesce(F.col("source"), F.lit("")).alias("src"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("w", w)
+    )
+    budget = counts.agg(F.min(F.expr("n_docs div w")).alias("k"))
+    cuts = counts.crossJoin(F.broadcast(budget)).select(
+        "src", "n_docs", F.expr("k * w * 4294967296 div n_docs").alias("cut")
+    )
+    h = _hash32_col(
+        F.concat_ws(":", F.lit("mix"), F.coalesce(F.col("source"), F.lit("")), "doc_id")
+    )
+    tagged = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("src"), h.alias("h")
+    )
+    return (
+        tagged.join(F.broadcast(cuts), "src")
+        .groupBy(F.col("src").alias("source"), "n_docs")
+        .agg(F.count(F.when(F.col("h") < F.col("cut"), 1)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def _mixture_oracle() -> str:
+    h = _hash32_sql("'mix:' || coalesce(source, '') || ':' || doc_id::VARCHAR")
+    w_cases = " ".join(
+        f"WHEN src = '{s}' THEN {wt}" for s, wt in sorted(_MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+    WITH counts AS (
+        SELECT coalesce(source, '') AS src, COUNT(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT src, n_docs,
+               (CASE {w_cases} ELSE {_MIXTURE_DEFAULT_WEIGHT} END)::BIGINT AS w
+        FROM counts
+    ),
+    cuts AS (
+        SELECT src, n_docs,
+               (SELECT MIN(n_docs // w) FROM weighted) * w * 4294967296 // n_docs AS cut
+        FROM weighted
+    )
+    SELECT c.src AS source, c.n_docs,
+           COUNT(CASE WHEN {h} < c.cut THEN 1 END)::BIGINT AS n_kept
+    FROM documents d JOIN cuts c ON coalesce(d.source, '') = c.src
+    GROUP BY c.src, c.n_docs
+    ORDER BY source
+"""
+
+
+_MIXTURE_ORACLE = _mixture_oracle()
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components of the pair graph
 # ---------------------------------------------------------------------------
@@ -2422,6 +2507,7 @@ PYTEST_QUERIES = {
     "dedup_keep_policy": dedup_keep_policy,
     "bigram_surprisal": bigram_surprisal,
     "redact_pii": redact_pii,
+    "mixture_balance_sources": mixture_balance_sources,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2438,6 +2524,7 @@ PYTEST_ORACLES = {
     "dedup_keep_policy": _KEEP_POLICY_ORACLE,
     "bigram_surprisal": _BIGRAM_SURPRISAL_ORACLE,
     "redact_pii": _PII_ORACLE,
+    "mixture_balance_sources": _MIXTURE_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch

@@ -69,3 +69,84 @@ def compact_parquet(
         [(len(files), int(bytes_in), len(_part_files(out_path)), out.count())],
         "n_files_in int, bytes_in long, n_files_out int, n_rows long",
     ).select("n_files_in", "bytes_in", "n_files_out", "n_rows")
+
+
+def zorder_layout(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Rewrite a parquet directory clustered on the Z-order (Morton)
+    curve of ``cols`` → 1-row report (n_files_out, n_rows).
+
+    Linear sort orders cluster ONE column: a table laid out by time
+    prunes time predicates perfectly and user predicates not at all —
+    every file spans the whole user domain.  Interleaving the bits of
+    both dimensions makes file min/max ranges narrow in EVERY
+    interleaved column at once (each file covers ~a square of the
+    value grid, side ~sqrt of the linear span), so parquet
+    footer-stats / data-skipping prune multi-dimensional predicate
+    boxes — the layout story behind Delta/Iceberg OPTIMIZE ZORDER,
+    here as a plain one-shuffle rewrite.
+
+    Mechanics: each column is min-max scaled to ``bits``-bit integers
+    (the min/max agg is the only driver action — 2 scalars per column,
+    bounded model state), the bit-interleave is a pure JVM
+    shift/OR expression tree (whole-stage codegen; no UDF), and the
+    write is ``repartitionByRange`` on the z-value — equal-frequency
+    range splits, so files are uniform even when the value grid is
+    skewed — plus an in-partition sort to tighten per-row-group stats.
+    Content is preserved row-for-row; pruning win and identity are
+    pinned by tests/test_zorder.py."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    # timestamp(_ntz) won't cast to double directly; epoch seconds are a
+    # fine Morton coordinate (the scaling is monotone-invariant)
+    dtypes = dict(df.dtypes)
+    num = {
+        c: (
+            F.unix_timestamp(F.col(c)).cast("double")
+            if dtypes[c].startswith("timestamp")
+            else F.col(c).cast("double")
+        )
+        for c in cols
+    }
+    stats = df.agg(
+        *[F.min(num[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(num[c]).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mx is None or mn is None or mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            v = (num[c] - F.lit(mn)) / F.lit(mx - mn)
+            scaled.append(F.least(F.floor(v * (top + 1)), F.lit(top)).cast("long"))
+    k = len(cols)
+    terms = [
+        F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + (k - 1 - i))
+        for i, s in enumerate(scaled)
+        for b in range(bits)
+    ]
+    z = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    out = spark.read.parquet(out_path)
+    return spark.createDataFrame(
+        [(len(_part_files(out_path)), out.count())],
+        "n_files_out int, n_rows long",
+    ).select("n_files_out", "n_rows")
