@@ -1372,6 +1372,87 @@ _MIXTURE_ORACLE = _mixture_oracle()
 
 
 # ---------------------------------------------------------------------------
+# training-shard export: deterministic global shuffle + sharded write
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def export_training_shards(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Deterministic shard assignment + seeded global shuffle — the
+    EXPORT stage a training-data build runs last (after curation,
+    dedup, mixture balancing, packing): fix the corpus into N shards a
+    data loader can stream round-robin, with document order inside each
+    shard randomized but REPRODUCIBLE.
+
+    Two independent md5-derived 32-bit hashes (same determinism rules
+    as ``stratified_sample_split`` — pure functions of (salt, doc_id),
+    no ``rand()``): ``shard = h('shard:'||id) mod N`` places the doc,
+    ``h('order:'||id)`` orders it within the shard.  Decorrelated salts
+    mean in-shard order carries no shard-assignment bias, and a seeded
+    ORDER column beats an actual global sort-by-random: the write needs
+    only ``repartition(N, shard)`` (each writer task owns WHOLE shards
+    — one output file per shard, the compact_parquet partition_by
+    lesson) + an in-partition sort, never a global ordering shuffle.
+
+    The returned report is the shard manifest: per shard, the doc
+    count, whitespace-token count (loader-side budgeting), and an
+    integer checksum (sum of order hashes — a membership fingerprint
+    both engines compute exactly).  With ``out_path`` set, the shards
+    are also written as ``shard=``-partitioned parquet; round-trip
+    identity and one-file-per-shard ownership are pinned by
+    tests/test_text_dedup_extra.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    h_shard = _hash32_col(F.concat_ws(":", F.lit("shard"), "doc_id"))
+    h_order = _hash32_col(F.concat_ws(":", F.lit("order"), "doc_id"))
+    tagged = docs.select(
+        (h_shard % _N_SHARDS).cast("long").alias("shard"),
+        h_order.alias("h_order"),
+        F.col("doc_id"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+        F.col("text"),
+    )
+    if out_path is not None:
+        (
+            tagged.repartition(_N_SHARDS, "shard")
+            .sortWithinPartitions("shard", "h_order")
+            .select("shard", "h_order", "doc_id", "text")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_path)
+        )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("h_order").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shards_oracle() -> str:
+    hs = _hash32_sql("'shard:' || doc_id::VARCHAR")
+    ho = _hash32_sql("'order:' || doc_id::VARCHAR")
+    return f"""
+    WITH tagged AS (
+        SELECT {hs} % {_N_SHARDS} AS shard, {ho} AS h_order,
+               len(string_split(trim(text), ' '))::BIGINT AS n_toks
+        FROM documents
+    )
+    SELECT shard::BIGINT AS shard, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_toks)::BIGINT AS n_tokens, SUM(h_order)::BIGINT AS id_checksum
+    FROM tagged GROUP BY shard ORDER BY shard
+"""
+
+
+_SHARDS_ORACLE = _shards_oracle()
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components of the pair graph
 # ---------------------------------------------------------------------------
 
@@ -2508,6 +2589,7 @@ PYTEST_QUERIES = {
     "bigram_surprisal": bigram_surprisal,
     "redact_pii": redact_pii,
     "mixture_balance_sources": mixture_balance_sources,
+    "export_training_shards": export_training_shards,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2525,6 +2607,7 @@ PYTEST_ORACLES = {
     "bigram_surprisal": _BIGRAM_SURPRISAL_ORACLE,
     "redact_pii": _PII_ORACLE,
     "mixture_balance_sources": _MIXTURE_ORACLE,
+    "export_training_shards": _SHARDS_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch

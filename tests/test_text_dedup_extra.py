@@ -273,3 +273,47 @@ def test_keep_policy_tie_breaks_to_min_doc_id(spark, tmp_path):
     assert set(got) == {3, 7, 9}  # doc 20 touches no pair
     assert [i for i in got if got[i].keep] == [3]
     assert all(got[i].component_id == 3 for i in got)
+
+
+def test_export_training_shards_write_roundtrip(spark, tmp_path):
+    """The write path: shard=-partitioned parquet where each writer
+    task owns WHOLE shards (exactly one file per shard directory), the
+    read-back agrees with the manifest shard-for-shard, and in-shard
+    row order is the h_order sort (the seeded reproducible shuffle)."""
+    import glob
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _N_SHARDS,
+        export_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    manifest = {
+        r.shard: r for r in export_training_shards(spark, SF, out).collect()
+    }
+    assert set(manifest) == set(range(_N_SHARDS))  # sf0.01: every shard hit
+
+    back = spark.read.parquet(out)
+    counts = {r.shard: r.n for r in back.groupBy("shard").agg(
+        F.count("*").alias("n")).collect()}
+    sums = {r.shard: r.s for r in back.groupBy("shard").agg(
+        F.sum("h_order").cast("long").alias("s")).collect()}
+    assert counts == {s: manifest[s].n_docs for s in manifest}
+    assert sums == {s: manifest[s].id_checksum for s in manifest}
+
+    # whole-shard file ownership: one part file per shard directory
+    for s in manifest:
+        files = [
+            f for f in glob.glob(f"{out}/shard={s}/*.parquet")
+        ]
+        assert len(files) == 1, (s, files)
+
+    # reproducible in-shard order: rows in file order == h_order asc
+    one = spark.read.parquet(f"{out}/shard=0").select("h_order").collect()
+    vals = [r.h_order for r in one]
+    assert vals == sorted(vals) and len(vals) == manifest[0].n_docs
+
+    # no doc lost or duplicated across shards
+    assert back.select("doc_id").distinct().count() == back.count() == sum(
+        r.n_docs for r in manifest.values()
+    )
