@@ -73,6 +73,14 @@ _BUCKET_CAP = 1000  # max docs per LSH bucket before the bucket is dropped
 # prefix gram that hot means thousands of near-identical docs — exact
 # dedup catches full copies, and the MinHash path still covers the rest)
 _PREFIX_BUCKET_CAP = 1000
+# l1 → l2 prefix-scheme escalation (see _prefix_jaccard_pairs): switch
+# to pair-key blocking when the l1 candidate count Σ C(bucket, 2)
+# exceeds max(FLOOR, FACTOR × prefix entries) — i.e. when the l1 join
+# stops being candidate-linear in the index it reads.  sf0.1 sits at
+# 441 k candidates / 135 k entries (l1, under both bounds); the r7 sf1
+# run sat at 52.7 M / 1.35 M (27 M budget → l2).
+_PREFIX_L2_BUDGET_FACTOR = 20
+_PREFIX_L2_BUDGET_FLOOR = 1_000_000
 _SIMHASH_HAMMING_MAX = 3
 
 _STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it"]
@@ -1044,10 +1052,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes track the low tail of the df distribution (a common
     gram enters a prefix only for a doc consisting almost entirely of
     common grams); every shuffle is equi-key (gram-df groupBy, per-doc
-    window sort, doc_id-keyed verify joins).  Versus MinHash at the same
-    threshold: no signature cost and zero misses, in exchange for a
-    corpus-dependent candidate volume — the standard trade, which is why
-    both paths ship."""
+    window sort, doc_id-keyed verify joins).  When gram document
+    frequency grows with the corpus (fixed vocabulary — the regime the
+    r7 sf1 run measured at 99×@10× data), the build escalates to the
+    AdaptJoin 2-prefix pair-key scheme, still lossless (theorem +
+    measured 283 s → 18 s at sf1 in ``_prefix_jaccard_pairs``).  Versus
+    MinHash at the same threshold: no signature cost and zero misses,
+    in exchange for a corpus-dependent candidate volume — the standard
+    trade, which is why both paths ship."""
     return (
         jaccard_pair_frame(spark, sf_dir)
         .select("doc_a", "doc_b", F.round("j", 6).alias("jaccard"))
@@ -1094,14 +1106,120 @@ def clear_pair_cache(spark: SparkSession) -> int:
     return len(dropped)
 
 
-def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
+def _l2_candidate_pairs(ranked: DataFrame, pi1) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs under the l2 (pair-key) prefix
+    scheme — see the theorem in ``_prefix_jaccard_pairs``.  ``ranked``
+    is the (doc_id, n, gram, rk) frame ranked by the global (df, gram)
+    order; ``pi1`` the l1 prefix-length column expression.
+
+    One wide shuffle total: per-doc prefix arrays are built with a
+    single groupBy (the window already co-partitioned by doc_id, so
+    AQE elides that exchange), pair keys expand in codegen
+    (transform × slice — no self-join), and the bucket groupBy carries
+    the hot-bucket cap AND emits candidates straight from the bucket
+    array, replacing l1's count + semi-join + self-join triple."""
+    prefix2 = ranked.filter(F.col("rk") <= pi1 + 1).select("doc_id", "n", "gram", "rk")
+    pg = prefix2.groupBy("doc_id").agg(
+        F.first("n").alias("n"),
+        F.array_sort(F.collect_list(F.struct("rk", "gram"))).alias("pg"),
+    )
+    keyed = pg.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "flatten(transform(pg, (x, i) -> transform("
+                "slice(pg, i + 2, size(pg)), y -> struct(x.gram AS g1, y.gram AS g2))))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "n", F.xxhash64("p.g1", "p.g2").alias("k"))
+    # docs that can qualify on a SINGLE shared gram (J ≥ t with |∩| = 1
+    # forces max(na, nb) ≤ 1/t ... truncated to the n ≤ 2 cases for
+    # t = 0.5, see the docstring) fall back to single-gram keys among
+    # themselves; xxhash64 of one column can collide with a pair key
+    # only at the usual 2⁻⁶⁴ honesty bound (extra candidates at worst).
+    small = prefix2.filter(F.col("n") <= 2).select(
+        "doc_id", "n", F.xxhash64("gram").alias("k")
+    )
+    buckets = (
+        keyed.union(small)
+        .groupBy("k")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _PREFIX_BUCKET_CAP))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)), y -> struct("
+                    "x.doc_id AS da, x.n AS na, y.doc_id AS db, y.n AS nb))))"
+                )
+            ).alias("c")
+        )
+        .filter(
+            (F.col("c.da") != F.col("c.db"))
+            & (
+                F.greatest("c.na", "c.nb") * _JACCARD_THRESHOLD
+                <= F.least("c.na", "c.nb")
+            )
+        )
+        .select(
+            F.least("c.da", "c.db").alias("doc_a"),
+            F.greatest("c.da", "c.db").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _prefix_jaccard_pairs(grams: DataFrame, scheme: str | None = None) -> DataFrame:
     """Exact (doc_a, doc_b, j) pairs with Jaccard ``j`` ≥
-    ``_JACCARD_THRESHOLD`` over a (doc_id, shingles) frame, via the
-    lossless prefix-filter + length-filter candidate join documented in
+    ``_JACCARD_THRESHOLD`` over a (doc_id, shingles) frame, via a
+    lossless prefix-filter candidate join documented in
     ``dedup_ngram_jaccard``.  ``grams`` is scanned for the index AND
     the verify — callers hand in either the session shingle cache
     (already persisted) or their own persisted frame (curate_corpus's
-    survivor set)."""
+    survivor set).
+
+    Two candidate schemes, both lossless, selected per corpus
+    (``scheme=None`` → data-driven; tests force ``"l1"``/``"l2"``):
+
+    - ``l1`` — the classic 1-gram prefix filter (Chaudhuri ICDE'06 /
+      Bayardo WWW'07): index each doc's ``n − ⌊t·n⌋ + 1`` globally
+      rarest grams, join on single grams.  Candidate volume is
+      Σ_g C(bucket_g, 2) — linear while gram document frequency stays
+      flat (the Heaps'-law web-corpus regime), quadratic once df grows
+      with the corpus (fixed vocabulary: the r7 sf1 run measured this
+      path at 99×@10× data — VERDICT r7 #2).
+    - ``l2`` — the 2-prefix scheme of AdaptJoin (Wang et al., SIGMOD
+      2012): lengthen the prefix by one (``+ 2``) and join on unordered
+      PAIRS of prefix grams.  Theorem: J ≥ t ⇒ |∩| ≥ ⌈t·max(na,nb)⌉,
+      and each doc holds at most ``⌊t·n⌋ − 2`` of its shared grams
+      outside the lengthened prefix, so ≥ 2 shared grams sit inside
+      BOTH prefixes; every gram outside a prefix is globally larger
+      than every gram inside it, hence the two globally-smallest
+      shared grams {s1, s2} lie in both prefixes and both docs emit
+      the key (s1, s2) — with the same orientation, because prefix
+      rank order restricts the one global (df, gram) order.  Bucket
+      keys are gram PAIRS, so bucket membership tracks CO-occurrence
+      of two rare grams (≈ df²/N), which stays flat even when single
+      dfs grow linearly — measured at sf1: candidates 52.7 M (l1) →
+      2.6 M (l2), max bucket 88 → 11, index 24 M rows (linear).
+      Exception: a pair can qualify with |∩| = 1 only when
+      max(na, nb) ≤ 2 (J = 1/|∪| ≥ ½ forces |∪| ≤ 2), so docs with
+      n ≤ 2 also emit single-gram keys joined among themselves — the
+      hypothesis suite (tests/test_prefix_join_properties.py) runs the
+      forced-l2 path over exactly these tiny-doc inputs.
+
+    The choice is made from one cheap aggregate over the l1 prefix
+    index (Σ C(bucket, 2) = the exact l1 equi-join output): escalate
+    when it exceeds ``max(_PREFIX_L2_BUDGET_FLOOR,
+    _PREFIX_L2_BUDGET_FACTOR × prefix entries)`` — i.e. when l1 stops
+    being candidate-linear.  At sf0.1 (441 k candidates, 135 k
+    entries) l1 wins on constants and is kept; the sf0.01 oracle
+    fixture never escalates, so oracle equality is scheme-independent
+    by construction (and the forced-l2 run is pinned equal to l1 on
+    the same fixture by tests/test_text_dedup_extra.py)."""
     # grams travel as xxhash64 ints, not strings: the df count, per-doc
     # window sort and candidate equi-join all shuffle 8-byte keys
     # instead of ~20-byte token strings.  Collision honesty (the prefix
@@ -1120,46 +1238,68 @@ def _prefix_jaccard_pairs(grams: DataFrame) -> DataFrame:
     ).select("doc_id", "n", F.xxhash64("g").alias("gram"))
     gram_df = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    prefix = (
-        ex.join(gram_df, "gram")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(
-            F.col("rk")
-            <= F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
+    pi1 = F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
+    ranked = ex.join(gram_df, "gram").withColumn("rk", F.row_number().over(w))
+    if scheme is None:
+        # the decision aggregate (Σ C(bucket, 2) over the l1 index IS
+        # the l1 equi-join's output cardinality — the cost being
+        # bounded) forces an action, so the ranked frame it scans is
+        # persisted first (tracked — release_session_caches reclaims
+        # it between bench families) and the chosen path then reads
+        # the same blocks instead of re-running the df-join + window.
+        ranked = persist_tracked(
+            grams.sparkSession, ranked.filter(F.col("rk") <= pi1 + 1)
         )
-        .select("doc_id", "n", "gram")
-    )
-    # hot-bucket guard (same semantics as the MinHash _BUCKET_CAP): a
-    # degenerate corpus — e.g. one ubiquitous gram tying first in every
-    # doc's rare-first order — would regenerate quadratic candidate
-    # sets; drop any gram indexed by more than _PREFIX_BUCKET_CAP docs
-    # before the self-join.  groupBy+semi-join deliberately, NOT a
-    # gram-partitioned window count: the aggregated side is tiny
-    # (distinct prefix grams) so AQE broadcasts the join, while the
-    # window form sorts the full prefix frame inside each gram
-    # partition (measured 2.3× slower end-to-end at sf0.1).  Exercised
-    # by tests/test_cap_semantics.py.
-    prefix = prefix.join(
-        prefix.groupBy("gram")
-        .count()
-        .filter(F.col("count") <= _PREFIX_BUCKET_CAP)
-        .drop("count"),
-        "gram",
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.greatest("a.n", "b.n") * _JACCARD_THRESHOLD
-                <= F.least("a.n", "b.n")
-            ),
+        stats = (
+            ranked.filter(F.col("rk") <= pi1)
+            .groupBy("gram")
+            .count()
+            .agg(
+                F.sum("count").alias("entries"),
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand"),
+            )
+            .first()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        budget = max(
+            _PREFIX_L2_BUDGET_FLOOR,
+            _PREFIX_L2_BUDGET_FACTOR * int(stats["entries"] or 0),
+        )
+        scheme = "l2" if (stats["cand"] or 0) > budget else "l1"
+    prefix1 = ranked.filter(F.col("rk") <= pi1).select("doc_id", "n", "gram")
+    if scheme == "l1":
+        # hot-bucket guard (same semantics as the MinHash _BUCKET_CAP): a
+        # degenerate corpus — e.g. one ubiquitous gram tying first in every
+        # doc's rare-first order — would regenerate quadratic candidate
+        # sets; drop any gram indexed by more than _PREFIX_BUCKET_CAP docs
+        # before the self-join.  groupBy+semi-join deliberately, NOT a
+        # gram-partitioned window count: the aggregated side is tiny
+        # (distinct prefix grams) so AQE broadcasts the join, while the
+        # window form sorts the full prefix frame inside each gram
+        # partition (measured 2.3× slower end-to-end at sf0.1).  Exercised
+        # by tests/test_cap_semantics.py.
+        prefix = prefix1.join(
+            prefix1.groupBy("gram")
+            .count()
+            .filter(F.col("count") <= _PREFIX_BUCKET_CAP)
+            .drop("count"),
+            "gram",
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (
+                    F.greatest("a.n", "b.n") * _JACCARD_THRESHOLD
+                    <= F.least("a.n", "b.n")
+                ),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        cand = _l2_candidate_pairs(ranked, pi1)
     return (
         cand.join(
             grams.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ga")),

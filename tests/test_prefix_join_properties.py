@@ -42,7 +42,11 @@ def _brute_force(doc_sets):
 
 
 # small vocab (<= 8 symbols) forces shared grams and exact-threshold
-# ties like |∩|/|∪| = 2/4; duplicates are allowed by min_size=1 lists
+# ties like |∩|/|∪| = 2/4; duplicates are allowed by min_size=1 lists.
+# Both candidate schemes are exercised on every example: l1 (the
+# single-gram prefix filter) and the forced l2 pair-key escalation —
+# whose small-doc union path (n ≤ 2 docs qualifying on one shared
+# gram) only these tiny inputs reach.
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     docs=st.lists(
@@ -60,9 +64,11 @@ def test_prefix_join_equals_brute_force(docs):
     doc_sets = {i: set(s) for i, s in enumerate(docs)}
     rows = [(i, sorted(s)) for i, s in doc_sets.items()]
     grams = spark.createDataFrame(rows, "doc_id long, shingles array<string>").persist()
-    got = {
-        (r.doc_a, r.doc_b, round(r.j, 6))
-        for r in _prefix_jaccard_pairs(grams).collect()
-    }
+    want = _brute_force(doc_sets)
+    for scheme in ("l1", "l2"):
+        got = {
+            (r.doc_a, r.doc_b, round(r.j, 6))
+            for r in _prefix_jaccard_pairs(grams, scheme=scheme).collect()
+        }
+        assert got == want, scheme
     grams.unpersist()
-    assert got == _brute_force(doc_sets)
