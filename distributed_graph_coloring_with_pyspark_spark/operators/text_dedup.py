@@ -420,9 +420,40 @@ def dedup_incremental(
 
 
 # index dirs for the self-contained registry entry below, memoized per
-# (session, corpus) — paths only, so cache release costs nothing and a
-# dead session's entry is just a stale temp path
-_INCR_E2E_INDEX: dict[tuple[int, str], str] = {}
+# (session, corpus) with the same WeakKeyDictionary discipline as
+# _PAIR_CACHE (ADVICE r7: an id(spark) key can be recycled after the
+# session is garbage-collected, silently adopting a dead session's
+# index).  Every created temp dir is also registered for process-exit
+# removal, and clear_incremental_e2e_index/release_session_caches
+# reclaim them eagerly.
+_INCR_E2E_INDEX: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+_INCR_E2E_DIRS: list[str] = []
+_INCR_E2E_ATEXIT_ARMED = False
+
+
+def clear_incremental_e2e_index(spark: SparkSession) -> int:
+    """Drop this session's e2e index memo and remove its temp dirs;
+    returns entries released."""
+    import os
+    import shutil
+
+    dropped = _INCR_E2E_INDEX.pop(spark, {})
+    for path in dropped.values():
+        root = os.path.dirname(path)
+        shutil.rmtree(root, ignore_errors=True)
+        if root in _INCR_E2E_DIRS:
+            _INCR_E2E_DIRS.remove(root)
+    return len(dropped)
+
+
+def _remove_e2e_dirs() -> None:
+    import shutil
+
+    for d in _INCR_E2E_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _INCR_E2E_DIRS.clear()
 
 
 def dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,15 +465,22 @@ def dedup_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     only), exactly the amortization bench.py prices separately as
     ``minhash_index_build`` / ``dedup_incremental`` in the dedup
     family."""
+    import atexit
     import os
     import tempfile
 
-    key = (id(spark), sf_dir)
-    path = _INCR_E2E_INDEX.get(key)
+    global _INCR_E2E_ATEXIT_ARMED
+    per_session = _INCR_E2E_INDEX.setdefault(spark, {})
+    path = per_session.get(sf_dir)
     if path is None or not os.path.isdir(path):
-        path = os.path.join(tempfile.mkdtemp(prefix="mh_index_e2e_"), "index")
+        root = tempfile.mkdtemp(prefix="mh_index_e2e_")
+        path = os.path.join(root, "index")
         build_minhash_index(spark, sf_dir, path)
-        _INCR_E2E_INDEX[key] = path
+        per_session[sf_dir] = path
+        _INCR_E2E_DIRS.append(root)
+        if not _INCR_E2E_ATEXIT_ARMED:
+            atexit.register(_remove_e2e_dirs)
+            _INCR_E2E_ATEXIT_ARMED = True
     return dedup_incremental(spark, sf_dir, path)
 
 

@@ -105,6 +105,18 @@ def zorder_layout(
 
     from pyspark.sql import functions as F
 
+    # the Morton key must stay a non-negative long: bit positions reach
+    # len(cols)·bits − 1, and at 63 the sign bit flips (inverting the
+    # top-level curve split) while ≥ 64 silently aliases onto low bits
+    # (JVM shiftleft masks the shift amount mod 64) — auto-reduce the
+    # per-column width instead of degrading the clustering contract
+    # (ADVICE r7).  16 bits × 2 cols = 32 is the default's headroom;
+    # 4+ columns land here and keep ⌊63/k⌋ bits each.
+    if len(cols) * bits > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(f"zorder_layout: too many columns ({len(cols)}) for a 63-bit key")
+
     df = spark.read.parquet(src_path)
     # timestamp(_ntz) won't cast to double directly; epoch seconds are a
     # fine Morton coordinate (the scaling is monotone-invariant)

@@ -92,3 +92,88 @@ def test_covariance_plan_has_no_join(spark):
     df = _covariance_partials(emb, np.zeros(_DIM), _DIM)
     assert "Join" not in plan_string(df)
     assert df.count() == _DIM * (_DIM + 1) // 2
+
+
+def test_lsh_pair_source_recall_and_precision(spark):
+    """The banded LSH pair generator (VERDICT r7 #3) vs the exact
+    blocked-GEMM pair frame, same contract as the ANN top-k gates:
+    precision is EXACTLY 1.0 (every candidate is exact-verified, so the
+    LSH pairs must be a subset of the exact pairs — any extra row is a
+    verify bug), recall ≥ 0.85 at sf0.01 (measured 0.929: 13/14 pairs;
+    deterministic — seeded planes, fixed data).  Candidate volume must
+    be well under all-pairs (measured ~13% — the N^1.62 operating point
+    at this deliberately-hard 3.6σ threshold)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _NEARDUP_THRESHOLD,
+        _lsh_candidate_pairs,
+        _neardup_pair_frame,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in _neardup_pair_frame(emb).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in _neardup_pair_frame(emb, pair_source="lsh").collect()
+    }
+    assert lsh <= exact  # precision 1.0 by construction
+    assert len(lsh & exact) / len(exact) >= 0.85
+    n = emb.count()
+    cand = _lsh_candidate_pairs(emb, _NEARDUP_THRESHOLD).count()
+    assert cand < 0.25 * n * (n - 1) / 2
+
+
+def test_lsh_band_count_tracks_threshold(spark):
+    """The generator is threshold-aware: the repo's hard t=0.45 needs
+    hundreds of bands (LSH physics at 3.6σ), a SemDeDup-realistic
+    t=0.9 needs ~14 — the same wiring spans both regimes."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _PAIR_LSH_MAX_BANDS,
+        _pair_lsh_bands,
+    )
+
+    assert _pair_lsh_bands(0.9) <= 20
+    assert 100 <= _pair_lsh_bands(0.45) <= _PAIR_LSH_MAX_BANDS
+
+
+def test_neardup_clusters_lsh_composition(spark):
+    """embedding_neardup_clusters(pair_source="lsh") runs the identical
+    downstream component engine on the banded pair frame.  Missing
+    edges can only SPLIT components, never merge them or invent
+    members — on this fixture (all exact clusters are 2-vec pairs,
+    deterministic seeded planes) that means the LSH clustering is
+    exactly the exact clustering minus the clusters of missed pairs:
+    a strict subset at ≥ 0.85 of the exact count (measured: 13 of
+    14)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        embedding_neardup_clusters,
+    )
+
+    exact = {
+        (r.cluster_id, r.n_vecs)
+        for r in embedding_neardup_clusters(spark, SF).collect()
+    }
+    lsh = {
+        (r.cluster_id, r.n_vecs)
+        for r in embedding_neardup_clusters(spark, SF, pair_source="lsh").collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= 0.85 * len(exact)
+
+
+def test_modality_agreement_lsh_composition(spark):
+    """dedup_modality_agreement(embed_pair_source="lsh"): the text side
+    is unchanged, the embedding side loses at most the measured LSH
+    misses — n_text_pairs equal, n_embed_pairs within recall of the
+    exact run, and no pair can be embed-flagged that the exact run
+    didn't flag."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        dedup_modality_agreement,
+    )
+
+    ex = dedup_modality_agreement(spark, SF).collect()[0]
+    ls = dedup_modality_agreement(spark, SF, embed_pair_source="lsh").collect()[0]
+    assert ls.n_text_pairs == ex.n_text_pairs
+    assert ls.n_embed_pairs <= ex.n_embed_pairs
+    assert ls.n_embed_pairs >= 0.85 * ex.n_embed_pairs
+    assert ls.n_both <= ex.n_both

@@ -235,6 +235,44 @@ def test_minhash_index_has_no_dropped_buckets(spark):
     )
 
 
+def test_prefix_index_has_no_dropped_buckets(spark):
+    """Prefix-filter twin of the MinHash assertion above (ADVICE r7:
+    curate_corpus consumes the PREFIX pair artifact via semi-joins, and
+    its hot-gram frequencies are computed over the full corpus — so its
+    survivor-pair oracle equality also rests on no prefix bucket being
+    dropped on this fixture).  Assert the hottest l1 prefix bucket sits
+    under _PREFIX_BUCKET_CAP directly, so a fixture change fails HERE
+    with a named reason."""
+    from pyspark.sql.window import Window
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _JACCARD_THRESHOLD,
+        _PREFIX_BUCKET_CAP,
+        shingle_frame,
+    )
+
+    grams = shingle_frame(spark, SF).filter(F.size("shingles") > 0)
+    ex = grams.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
+    ).select("doc_id", "n", F.xxhash64("g").alias("gram"))
+    df = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        ex.join(df, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
+        )
+    )
+    hottest = prefix.groupBy("gram").count().agg(F.max("count")).collect()[0][0]
+    assert hottest is not None and hottest <= _PREFIX_BUCKET_CAP, (
+        f"prefix index would drop a bucket (hottest={hottest} > cap="
+        f"{_PREFIX_BUCKET_CAP}) — curate_corpus's survivor-pair oracle "
+        "equality no longer holds by construction on this fixture"
+    )
+
+
 def test_redact_pii_planted_fixture(spark, tmp_path):
     """Planted emails/phones/long ids: every rule must fire, counts
     must match, and the redacted text must carry the placeholders (the

@@ -197,9 +197,16 @@ def main() -> int:
 
     nv = n["embeddings"]
     labels = rng.integers(0, 10, nv)
-    # 10 separated label centroids + noise, like a clustered corpus
-    cents = rng.normal(0, 1.0, (10, 64))
-    vecs = (cents[labels] + rng.normal(0, 0.35, (nv, 64))).astype(np.float32)
+    # r8 fix: the r7 generator planted 10 strongly-separated centroids
+    # (within-label cos ≈ 0.88), but the DRIVER's embeddings measure as
+    # pure isotropic UNIT vectors with decorative labels (norm exactly
+    # 1.0, within-label and cross-label cos both N(0, 1/64), pairs
+    # ≥ 0.45 a ~7e-5 tail) — the clustered version made 10% of all sf1
+    # pairs "near-dups" (20 M pairs), so the r7 sf1 similarity-family
+    # factors measured output explosion on the wrong data regime, not
+    # scaling (SCALE.md r8 notes).  Match the measurement instead.
+    vecs = rng.normal(0.0, 1.0, (nv, 64))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float32)
     _write(out, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(nv), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
