@@ -106,14 +106,25 @@ def _tokens(col: str = "text") -> Column:
 def _shingles(tok: Column) -> Column:
     """Distinct 3-token shingles, '' -joined with single spaces.
     Matches the oracle's  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2].
-    Docs with < 3 tokens yield an empty shingle set (guarded: Spark's
-    sequence(0, negative) would count *down*)."""
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tok, i + 1), F.element_at(tok, i + 2), F.element_at(tok, i + 3)
-        ),
+    Docs with < 3 tokens yield an empty shingle set (the guard also
+    keeps the slice lengths positive).
+
+    Shape matters ~30× here (r8 sf1 profile): the previous
+    ``transform(sequence(...), i -> concat(element_at(tok, i+1), ...))``
+    referenced ``tok`` three times PER SHINGLE, and when ``tok`` is the
+    inline ``split(text)`` expression (CollapseProject re-inlines it
+    even if a caller projects the tokens first), codegen re-evaluates
+    the full split for every element_at — O(tokens²) splits per doc,
+    measured 14-20 s for one 10 k-doc batch signature at sf1.  This
+    arrays_zip-of-slices form references ``tok`` four times TOTAL
+    (size + 3 slices), so worst-case inlining costs 4 splits per doc:
+    same values, same order, same distinct — 0.5-0.8 s measured."""
+    zipped = F.arrays_zip(
+        F.slice(tok, 1, F.size(tok) - 2),
+        F.slice(tok, 2, F.size(tok) - 2),
+        F.slice(tok, 3, F.size(tok) - 2),
     )
+    make = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
     return F.array_distinct(F.when(F.size(tok) >= 3, make).otherwise(F.array()))
 
 
@@ -379,8 +390,13 @@ def dedup_incremental(
     Oracle: the all-pairs batch × corpus exact-Jaccard join in DuckDB,
     which also pins that banding loses nothing on this corpus split —
     the same completeness cross-check dedup_near_minhash carries."""
+    # parallel=True: the batch signature is this query's first
+    # materialization and the single-file test parquet gives the scan
+    # fewer splits than cores (r8 sf1 profile: 25.7 s → 16.7 s on the
+    # 2-split scan before the _shingles reshape; both fixes together
+    # put the batch signature at ~1 s)
     batch_sh = persist_tracked(
-        spark, _doc_shingles(spark, sf_dir).filter(_incr_is_batch())
+        spark, _doc_shingles(spark, sf_dir, parallel=True).filter(_incr_is_batch())
     )
     idx = spark.read.parquet(index_path).select(
         F.col("doc_id").alias("corpus_doc"), "band", "bucket"
@@ -1940,13 +1956,15 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _grams(n: int) -> Column:
+        # arrays_zip-of-slices, NOT sequence + element_at: CollapseProject
+        # re-inlines `toks` as the raw split() into each element_at, and
+        # codegen then re-splits the text per gram element — the same
+        # O(tokens²) shape fixed in _shingles (r8 sf1 profile)
+        ln = F.col("n_tok") - (n - 1)
+        zipped = F.arrays_zip(*[F.slice(F.col("toks"), k + 1, ln) for k in range(n)])
         make = F.transform(
-            F.sequence(F.lit(0), F.col("n_tok") - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
-            ),
+            zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
         )
-        # guard: sequence(0, negative) counts DOWN in Spark
         return F.when(F.col("n_tok") >= n, make).otherwise(F.array().cast("array<string>"))
 
     def _top_gram(n: int, out: str) -> DataFrame:
