@@ -109,15 +109,19 @@ the jaccard_pair_build line directly above it in this family) instead
 of re-running a survivor-only prefix join per call; phase B re-run:
 2.4 / 1.0 / 0.8 s.
 
-Residual in-session inflation (bounded, documented): even with the
-per-query gc below, an iterative query benched after ~50 others runs
-~1 s above its fresh-session floor (coloring ~5.1 s late-session vs
-3.9 s isolated; reproduced 4× at ±10% ambient noise).  The codegen
-class-cache-thrash hypothesis was tested (spark.sql.codegen.cache
-.maxEntries 100 → 2000 → 5000: one run showed 4.3 s, repeats landed
-back at 5.2-5.4 s — noise, conf not adopted).  The isolated floors in
-this docstring are the numbers to compare plan changes against; the
-bench medians carry the long-session tax uniformly across rounds.
+Residual in-session inflation — RESOLVED in r8 (VERDICT r7 #5): even
+with the per-query gc below, an iterative query benched after ~50
+others ran ~1 s above its fresh-session floor (coloring ~5.1 s
+late-session vs 3.9 s isolated; reproduced 4× at ±10% ambient noise;
+the codegen cache-size hypothesis tested and rejected as noise).  The
+r7 verdict measured the aggregate cost at ~12 s/round of phantom
+regression growing with suite size, so the harness now runs ONE
+SPARKSESSION PER FAMILY: the SparkContext restart (~2-4 s, untimed,
+py4j JVM reused) resets localCheckpoint block state, codegen caches
+and driver ref graphs between families, putting family medians on
+their isolated floors.  Cross-round comparisons against pre-r8
+snapshots should expect late families to read FASTER by the retired
+tax, not by plan changes.
 """
 
 from __future__ import annotations
@@ -131,6 +135,8 @@ import statistics
 import sys
 import tempfile
 import time
+
+from pyspark.sql import SparkSession
 
 _REPEATS = 3
 _REPEAT_CUTOFF_SEC = 15.0
@@ -179,11 +185,24 @@ def main() -> int:
         STREAMING_QUERIES,
     )
 
-    spark = get_spark(app_name="dgc-bench", cpus=int(cpus))
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # JVM + parquet-footer warmup so query 1 isn't charged startup cost
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    def fresh_session(tag: str):
+        """One SparkSession per FAMILY (r8, VERDICT r7 #5): the r6/r7
+        verdicts measured a ~1 s late-session tax on iterative queries
+        (localCheckpoint block ratchet + codegen-cache churn across
+        130+ queries) that read as phantom regression on every shared-
+        surface comparison.  A per-family SparkContext restart resets
+        that state outside the timed runs (~2-4 s per family, py4j JVM
+        reused), so family medians sit on their isolated floors and
+        cross-round comparisons measure plans, not session age."""
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        s = get_spark(app_name=f"dgc-bench-{tag}", cpus=int(cpus))
+        s.sparkContext.setLogLevel("ERROR")
+        # parquet-footer + codegen warmup so query 1 isn't charged
+        # context-startup cost
+        s.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        return s
 
     # The persisted-IVF pair (VERDICT r4 #5): build writes the
     # cell-partitioned index (the write IS the action), the indexed
@@ -301,6 +320,7 @@ def main() -> int:
     cold: dict[str, float] = {}
     family_sums: dict[str, float] = {}
     for fam_name, bench_set in families:
+        spark = fresh_session(fam_name)
         released = release_session_caches(spark)
         if any(released.values()):
             print(f"[{fam_name}] released caches: {released}", file=sys.stderr)
@@ -345,6 +365,9 @@ def main() -> int:
             timings[q] for q in bench_set if timings.get(q, float("inf")) != float("inf")
         ]
         family_sums[fam_name] = round(sum(fam_finite), 3)
+    final = SparkSession.getActiveSession()
+    if final is not None:
+        final.stop()
     shutil.rmtree(ivf_dir, ignore_errors=True)
     shutil.rmtree(mh_dir, ignore_errors=True)
     shutil.rmtree(maint_dir, ignore_errors=True)
@@ -391,7 +414,6 @@ def main() -> int:
         out["queries"] = {}
         line = json.dumps(out, separators=(",", ":"))
     print(line)
-    spark.stop()
     return 0
 
 

@@ -2172,3 +2172,15 @@ ORACLES = {
 for _rot in ("window_order_gap_days", "union_balances_by_nation", "orders_per_month"):
     PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
     PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)
+
+# Round-8 rotation (VERDICT r7 #6): entity_name_match (edit-distance
+# entity resolution, the strongest r7 pytest-gated relational surface)
+# takes a driver row; anti_customers_without_orders (0-row result — its
+# EXCEPT-style hash is trivially equal, the weakness nations_setops was
+# built to avoid) and pivot_status_by_priority (fixed 15-cell grid)
+# move to the pytest gate with their oracles.
+QUERIES["entity_name_match"] = PYTEST_QUERIES.pop("entity_name_match")
+ORACLES["entity_name_match"] = PYTEST_ORACLES.pop("entity_name_match")
+for _rot in ("anti_customers_without_orders", "pivot_status_by_priority"):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

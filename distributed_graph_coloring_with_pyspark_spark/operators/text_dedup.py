@@ -2821,3 +2821,11 @@ QUERIES["redact_pii"] = PYTEST_QUERIES.pop("redact_pii")
 ORACLES["redact_pii"] = PYTEST_ORACLES.pop("redact_pii")
 QUERIES["dedup_incremental_e2e"] = dedup_incremental_e2e
 ORACLES["dedup_incremental_e2e"] = _INCREMENTAL_ORACLE
+
+# Round-8 rotation (VERDICT r7 #6): the two strongest r7 training-data
+# surfaces take driver rows — weighted mixture balancing and the
+# deterministic shard export (both hash-for-hash DuckDB-oracled since
+# r7; the freed rows come from relational.py's demotions).
+for _rot in ("mixture_balance_sources", "export_training_shards"):
+    QUERIES[_rot] = PYTEST_QUERIES.pop(_rot)
+    ORACLES[_rot] = PYTEST_ORACLES.pop(_rot)

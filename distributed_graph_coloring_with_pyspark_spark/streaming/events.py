@@ -1533,6 +1533,14 @@ ORACLES = {
 QUERIES["events_props_variant"] = EXTRA_QUERIES.pop("events_props_variant")
 ORACLES["events_props_variant"] = EXTRA_ORACLES.pop("events_props_variant")
 
+# Round-8 rotation (VERDICT r7 #6): user_funnel (3-row fixed funnel,
+# always green since r2) frees a driver row for text_dedup's promoted
+# training-data surfaces; same oracle now runs in
+# tests/test_streaming_batch_equivalence.py and the bench's
+# events_extra family.
+EXTRA_QUERIES["user_funnel"] = QUERIES.pop("user_funnel")
+EXTRA_ORACLES["user_funnel"] = ORACLES.pop("user_funnel")
+
 # DuckDB oracles for the pytest-gated streaming pipelines (see the
 # STREAMING_QUERIES note) — identical correctness contract to ORACLES,
 # enforced by tests/test_streaming_batch_equivalence.py instead of the

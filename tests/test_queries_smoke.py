@@ -134,6 +134,7 @@ def test_release_session_caches_all_at_once(spark):
     TD.shingle_frame(spark, SF).count()
     TD.jaccard_pair_frame(spark, SF).count()
     TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
+    TD.dedup_incremental_e2e(spark, SF).count()  # temp index dir memo
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -141,6 +142,7 @@ def test_release_session_caches_all_at_once(spark):
         "pq_codebooks",
         "shingles",
         "jaccard_pairs",
+        "e2e_index_dirs",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released
