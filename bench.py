@@ -259,6 +259,32 @@ def main() -> int:
     def bench_dedup_incremental(spark, sf_dir):
         return dedup_incremental(spark, sf_dir, mh_path)
 
+    # The embedding pair artifacts (r8): the sf1 run measured each
+    # un-cached _lsh consumer re-running the ~110 s banded pair build
+    # (3 consumers = 320 s family time for one artifact's work).  Both
+    # tiers are now session-memoized (similarity.neardup_pair_frame_
+    # cached) and priced here exactly like jaccard_pair_build: the memo
+    # is cleared every run so the median IS the build, and the
+    # consumers that follow read the warm cache (amortized and one-off
+    # both first-class).
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        clear_neardup_pair_cache,
+        neardup_pair_frame_cached,
+    )
+
+    def bench_gemm_pair_build(spark, sf_dir):
+        clear_neardup_pair_cache(spark, "exact")
+        return neardup_pair_frame_cached(spark, sf_dir, "exact")
+
+    def bench_lsh_pair_build(spark, sf_dir):
+        clear_neardup_pair_cache(spark, "lsh")
+        return neardup_pair_frame_cached(spark, sf_dir, "lsh")
+
+    sim_build_lines = {
+        "gemm_pair_build": bench_gemm_pair_build,
+        "lsh_pair_build": bench_lsh_pair_build,
+    }
+
     # Maintenance rewrites (r7): both are deliberately-cold artifact
     # lines — every run re-reads the source table and rewrites the
     # layout (a nightly-job shape, not a query), into a fresh temp dir.
@@ -302,7 +328,7 @@ def main() -> int:
                 **DEDUP_EXTRA_QUERIES,
             },
         ),
-        ("similarity_extra", dict(SIM_PYTEST_QUERIES)),
+        ("similarity_extra", {**sim_build_lines, **SIM_PYTEST_QUERIES}),
         ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
         ("text_rank", dict(RANK_PYTEST_QUERIES)),
         ("events_extra", {**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES}),

@@ -2184,3 +2184,11 @@ ORACLES["entity_name_match"] = PYTEST_ORACLES.pop("entity_name_match")
 for _rot in ("anti_customers_without_orders", "pivot_status_by_priority"):
     PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
     PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)
+
+# Round-8 (second rotation): supplier_distinct_parts (plain per-key
+# countDistinct; distinct-agg coverage stays via approx_distinct_users
+# and nations_setops) frees the row dedup_substring_spans takes in
+# text_dedup.py.
+for _rot in ("supplier_distinct_parts",):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

@@ -1069,6 +1069,257 @@ _CHUNK_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# exact substring-span dedup (windowed ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+_SUBSTR_W = 8  # tokens per duplicated-substring window
+
+
+def _window_hashes(tok: Column) -> Column:
+    """md5 of every stride-1 ``_SUBSTR_W``-token window, in position
+    order (array index i ↔ 1-based token position i+1).  arrays_zip-of-
+    slices, NOT sequence + slice-per-window: CollapseProject re-inlines
+    ``tok`` as the raw split() into each per-window slice and codegen
+    then re-splits the text once per window — the O(tokens²) shape
+    fixed in ``_shingles`` (r8 sf1 profile).  This form references
+    ``tok`` ``_SUBSTR_W``+2 times total."""
+    ln = F.size(tok) - (_SUBSTR_W - 1)
+    zipped = F.arrays_zip(*[F.slice(tok, k + 1, ln) for k in range(_SUBSTR_W)])
+    make = F.transform(
+        zipped,
+        lambda s: F.md5(F.concat_ws(" ", *[s[str(k)] for k in range(_SUBSTR_W)])),
+    )
+    return F.when(F.size(tok) >= _SUBSTR_W, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SUBSTRING spans — the dedup granularity the pairwise
+    families can't express: every run of ≥ ``_SUBSTR_W`` tokens that
+    occurs verbatim more than once anywhere in the corpus (across
+    documents or repeated within one), merged into maximal per-document
+    token spans — the removal unit of suffix-array ExactSubstr dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better").  The reference has no text surface (its data model
+    is graph JSON — reference coloring.py:1-243); this extends the
+    mandated training-data tier alongside doc-level exact/MinHash/
+    SimHash/Jaccard dedup.
+
+    Spark-first shape: a suffix array is a sequential construction, so
+    the distributed equivalent is stride-1 windowed content hashing —
+    and unlike EVERY pairwise dedup family it is LINEAR in window
+    occurrences, never quadratic in documents:
+
+      1. ``posexplode`` the ``_SUBSTR_W``-token windows → md5 of the
+         window text — pure codegen in the arrays_zip-of-slices shape
+         (no per-window re-split, the r8 shingle lesson);
+      2. ``groupBy(window-hash)`` count, keep n ≥ 2 — map-side combine
+         collapses each partition's repeats before the 16-byte-key
+         shuffle;
+      3. LEFT SEMI join the window stream against the duplicated
+         hashes (on real corpora the dup-hash side is the small one
+         and AQE broadcast-converts the join);
+      4. explode each hit's ≤ W covered token indices, ``distinct``,
+         then the classic gaps-and-islands window (idx − row_number
+         per doc) → maximal merged spans.
+
+    A boilerplate 8-gram occurring k times costs k·W covered-index
+    rows — linear — where the pairwise families would pay ~k²
+    candidate pairs; no hot-bucket cap is needed, which is exactly why
+    ExactSubstr is the web-scale dedup of record.  Window hashing is
+    md5 (128-bit): collision probability over a 100 TB corpus
+    (~2⁴⁵ windows) is ≈ 2⁻³⁸ — the same collision-honesty budget as
+    the gram-hash note in ``_prefix_jaccard_pairs``.
+
+    Output: one row per maximal span, token indices 1-based inclusive:
+    (doc_id, span_start, span_end, span_tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # pre-shuffle projection parallelism guard (same reasoning as
+    # winnowing_fingerprints: ALL of stage-1's cost is the window md5
+    # projection, which otherwise runs on as few cores as input splits)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    wins = (
+        toks.select(
+            "doc_id", F.posexplode(_window_hashes(F.col("t"))).alias("pos0", "h")
+        )
+        # posexplode pos is 0-based; oracle token positions are 1-based
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "leftsemi")
+    covered = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (_SUBSTR_W - 1))
+        ).alias("idx"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    islands = covered.withColumn("grp", F.col("idx") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("idx").cast("long").alias("span_start"),
+            F.max("idx").cast("long").alias("span_end"),
+            (F.max("idx") - F.min("idx") + 1).cast("long").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_SUBSTR_SPANS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), wins0 AS (
+        SELECT doc_id, unnest(range(1, len(t) - {_SUBSTR_W - 2})) AS pos, t
+        FROM toks
+    ), wins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos:pos + {_SUBSTR_W - 1}], ' ')) AS h
+        FROM wins0
+    ), dup AS (
+        SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), hits AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_W})) AS idx
+            FROM wins WHERE h IN (SELECT h FROM dup)
+        )
+    ), isl AS (
+        SELECT doc_id, idx,
+               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           min(idx)::BIGINT AS span_start,
+           max(idx)::BIGINT AS span_end,
+           (max(idx) - min(idx) + 1)::BIGINT AS span_tokens
+    FROM isl
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+"""
+
+
+def apply_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup: keep the corpus-FIRST
+    occurrence of every duplicated ``_SUBSTR_W``-token window (first =
+    min (doc_id, pos), the deterministic canonical), strip the tokens
+    covered only by later occurrences, and emit per-document cleaned
+    text as (doc_id, n_tokens, n_removed, clean_md5) — together with
+    ``dedup_substring_spans`` (the detection half) this is the full
+    Lee-et-al. pipeline: a training corpus keeps exactly one copy of
+    every long verbatim repeat, wherever it appeared.
+
+    Same linear window stream as the detection pass, plus one
+    canonicalisation window function (row_number per window-hash over
+    (doc_id, pos) — the shuffle key is the 16-byte hash, and partition
+    skew IS the duplication mass: a window repeated k times makes a
+    k-row group, linear again).  Removal-set application is a LEFT
+    ANTI join of the (doc_id, token-idx) stream against the removed
+    indices, then an order-restoring ``array_sort(collect_list(
+    struct(idx, tok)))`` per doc — collect_list order is partition-
+    nondeterministic, the sort is what makes the md5 reproducible.
+
+    A fully-duplicated document (every token stripped — its canonical
+    copy lives elsewhere) has no kept rows and therefore drops out of
+    the output entirely, the doc-level analogue of what exact dedup
+    does; the oracle's kept-stream GROUP BY drops it identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    wins = toks.select(
+        "doc_id", F.posexplode(_window_hashes(F.col("t"))).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    occ = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    later = wins.withColumn("occ", occ).filter(F.col("occ") >= 2)
+    removed = later.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (_SUBSTR_W - 1))
+        ).alias("idx"),
+    ).distinct()
+    stream = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("idx0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = stream.join(removed, ["doc_id", "idx"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+            (F.first("n_tokens") - F.count("*")).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_APPLY_SUBSTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), wins0 AS (
+        SELECT doc_id, unnest(range(1, len(t) - {_SUBSTR_W - 2})) AS pos, t
+        FROM toks
+    ), wins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(t[pos:pos + {_SUBSTR_W - 1}], ' ')) AS h
+        FROM wins0
+    ), later AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                       AS occ
+            FROM wins
+        ) WHERE occ >= 2
+    ), removed AS (
+        SELECT DISTINCT doc_id, idx FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_W})) AS idx
+            FROM later
+        )
+    ), stream AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               unnest(range(1, len(t) + 1)) AS idx, t
+        FROM toks
+    ), kept AS (
+        SELECT s.doc_id, s.n_tokens, s.idx, s.t[s.idx] AS tok
+        FROM stream s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM removed r
+            WHERE r.doc_id = s.doc_id AND r.idx = s.idx
+        )
+    )
+    SELECT doc_id,
+           any_value(n_tokens)::BIGINT AS n_tokens,
+           (any_value(n_tokens) - count(*))::BIGINT AS n_removed,
+           md5(array_to_string(list(tok ORDER BY idx), ' ')) AS clean_md5
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup: EXACT n-gram Jaccard via prefix-filtered set-similarity join
 # ---------------------------------------------------------------------------
 
@@ -2786,6 +3037,8 @@ PYTEST_QUERIES = {
     "redact_pii": redact_pii,
     "mixture_balance_sources": mixture_balance_sources,
     "export_training_shards": export_training_shards,
+    "dedup_substring_spans": dedup_substring_spans,
+    "apply_substring_dedup": apply_substring_dedup,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -2804,6 +3057,8 @@ PYTEST_ORACLES = {
     "redact_pii": _PII_ORACLE,
     "mixture_balance_sources": _MIXTURE_ORACLE,
     "export_training_shards": _SHARDS_ORACLE,
+    "dedup_substring_spans": _SUBSTR_SPANS_ORACLE,
+    "apply_substring_dedup": _APPLY_SUBSTR_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch
@@ -2829,3 +3084,11 @@ ORACLES["dedup_incremental_e2e"] = _INCREMENTAL_ORACLE
 for _rot in ("mixture_balance_sources", "export_training_shards"):
     QUERIES[_rot] = PYTEST_QUERIES.pop(_rot)
     ORACLES[_rot] = PYTEST_ORACLES.pop(_rot)
+
+# Round-8 addition: the ExactSubstr detection pass takes a driver row —
+# it is the sixth dedup family and the only span-granular one (the
+# relational demotion freeing the row: supplier_distinct_parts).  The
+# removal pass (apply_substring_dedup) stays pytest-gated with the same
+# all-pairs-free linear plan.
+QUERIES["dedup_substring_spans"] = PYTEST_QUERIES.pop("dedup_substring_spans")
+ORACLES["dedup_substring_spans"] = PYTEST_ORACLES.pop("dedup_substring_spans")

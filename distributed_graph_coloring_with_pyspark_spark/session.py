@@ -74,7 +74,11 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
 
     from .cache import release_tracked
     from .operators.graph_bridge import clear_customer_graph_cache
-    from .operators.similarity import clear_ivf_cache, clear_pq_cache
+    from .operators.similarity import (
+        clear_ivf_cache,
+        clear_neardup_pair_cache,
+        clear_pq_cache,
+    )
     from .operators.text_dedup import (
         clear_incremental_e2e_index,
         clear_pair_cache,
@@ -87,6 +91,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "pq_codebooks": clear_pq_cache(spark),
         "shingles": clear_shingle_cache(spark),
         "jaccard_pairs": clear_pair_cache(spark),
+        "neardup_pairs": clear_neardup_pair_cache(spark),
         "e2e_index_dirs": clear_incremental_e2e_index(spark),
         "tracked_frames": release_tracked(spark),
     }

@@ -279,3 +279,29 @@ def test_q22_pushes_date_filter_below_anti_join(spark):
     is the filtered fact, not all orders."""
     df = R.q22_sales_opportunity(spark, SF)
     assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_substring_spans_plan_shape(spark):
+    """ExactSubstr detection (r8): the scale story is 'linear, never
+    pairwise' — pin the plan facts that make it true: the duplicated-
+    hash filter applies via LEFT SEMI (never a pair-producing inner
+    join or a cartesian), the dup-hash agg partial-aggregates map-side
+    before its shuffle, and the scan prunes to doc_id+text."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = TD.dedup_substring_spans(spark, SF)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan  # map-side combine on the window-hash agg
+    schemas = scan_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_apply_substring_dedup_plan_shape(spark):
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = TD.apply_substring_dedup(spark, SF)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan  # removal set applied as anti join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -133,6 +133,7 @@ def test_release_session_caches_all_at_once(spark):
     S.ann_pq_topk(spark, SF).count()
     TD.shingle_frame(spark, SF).count()
     TD.jaccard_pair_frame(spark, SF).count()
+    S.neardup_pair_frame_cached(spark, SF).count()
     TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
     TD.dedup_incremental_e2e(spark, SF).count()  # temp index dir memo
     released = release_session_caches(spark)
@@ -142,6 +143,7 @@ def test_release_session_caches_all_at_once(spark):
         "pq_codebooks",
         "shingles",
         "jaccard_pairs",
+        "neardup_pairs",
         "e2e_index_dirs",
         "tracked_frames",
     }

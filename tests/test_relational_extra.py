@@ -30,7 +30,11 @@ def test_relational_extra_matches_oracle(spark, name):
     con.close()
     assert sorted(sdf.columns) == sorted(dcols), name
     assert len(srows) == len(drows), name
-    assert srows, name
+    # anti_customers_without_orders is 0 rows at sf0.01 BY DESIGN (every
+    # customer has orders) — exactly why VERDICT r7 #6 demoted it from
+    # the driver registry (a 0-row hash matches trivially); both engines
+    # must still agree on the emptiness.
+    assert srows or name == "anti_customers_without_orders", name
     assert canon_rows(sdf.columns, srows) == canon_rows(dcols, drows), name
 
 

@@ -410,3 +410,112 @@ def test_export_training_shards_write_roundtrip(spark, tmp_path):
     assert back.select("doc_id").distinct().count() == back.count() == sum(
         r.n_docs for r in manifest.values()
     )
+
+
+def test_substring_spans_planted_boundaries(spark, tmp_path):
+    """dedup_substring_spans on a hand-built corpus where the correct
+    maximal spans are known by construction: a 10-token phrase shared
+    by two docs at DIFFERENT offsets, an internal 2x repeat inside a
+    third doc, and a clean doc that must emit nothing.  Pins the
+    boundary arithmetic (1-based inclusive token indices, W-1 window
+    coverage extension, island merging) rather than just oracle
+    equality on whole-doc duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _SUBSTR_W,
+        dedup_substring_spans,
+    )
+
+    assert _SUBSTR_W == 8  # boundary expectations below hard-code W
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token phrase
+    rep = " ".join(f"r{i}" for i in range(_SUBSTR_W))  # exactly W tokens
+    docs = {
+        # shared phrase at tokens 3..12 (two unique lead tokens + 1-based)
+        1: "a1 a2 " + shared + " a3 a4",
+        # same phrase at tokens 6..15
+        2: "b1 b2 b3 b4 b5 " + shared,
+        # internal repeat: rep at 1..8 and again at 10..17 (gap breaks
+        # the island: c1 at position 9 is covered by NO duplicated window)
+        3: rep + " c1 " + rep,
+        # clean doc, longer than W, no duplicated window
+        4: " ".join(f"d{i}" for i in range(20)),
+        # shorter than W: generates no windows at all
+        5: "e1 e2 e3",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 3, 12, 10),
+        (2, 6, 15, 10),
+        (3, 1, 8, 8),
+        (3, 10, 17, 8),
+    ]
+
+
+def test_apply_substring_dedup_planted(spark, tmp_path):
+    """Removal half on the same planted corpus as the spans test: the
+    corpus-first occurrence of each duplicated window survives, later
+    occurrences are stripped, untouched docs hash to their original
+    text, and the cleaned text is exactly the kept tokens in order."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _SUBSTR_W,
+        apply_substring_dedup,
+    )
+
+    assert _SUBSTR_W == 8
+    shared = " ".join(f"s{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(_SUBSTR_W))
+    docs = {
+        1: "a1 a2 " + shared + " a3 a4",
+        2: "b1 b2 b3 b4 b5 " + shared,
+        3: rep + " c1 " + rep,
+        4: " ".join(f"d{i}" for i in range(20)),
+        5: "e1 e2 e3",
+    }
+    cleaned = {
+        1: docs[1],  # canonical holder of the shared phrase: untouched
+        2: "b1 b2 b3 b4 b5",  # loses tokens 6..15
+        3: rep + " c1",  # second internal repeat stripped
+        4: docs[4],
+        5: docs[5],
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_md5)
+        for r in apply_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    want = {
+        k: (
+            len(docs[k].split(" ")),
+            len(docs[k].split(" ")) - len(cleaned[k].split(" ")),
+            hashlib.md5(cleaned[k].encode()).hexdigest(),
+        )
+        for k in docs
+    }
+    assert got == want
