@@ -199,9 +199,28 @@ def main() -> int:
             active.stop()
         s = get_spark(app_name=f"dgc-bench-{tag}", cpus=int(cpus))
         s.sparkContext.setLogLevel("ERROR")
-        # parquet-footer + codegen warmup so query 1 isn't charged
-        # context-startup cost
-        s.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        # Shared-infra warmup (untimed): the r8 sf0.1 run showed each
+        # family's FIRST queries still on a warmup slope (q1 runs
+        # 6.5/2.4/1.7 — declining through run 3) because a bare
+        # region.count() exercises neither whole-stage codegen, the
+        # shuffle machinery, AQE re-planning, nor the join paths the
+        # real queries hit; one tiny mixed pipeline (scan → broadcast
+        # join → hash agg → window → explode) compiles and JITs that
+        # shared infrastructure once per session, outside any timed
+        # run.  Per-query codegen still compiles per plan (cheap); the
+        # session-level slope is what this retires.
+        from pyspark.sql import functions as _F
+        from pyspark.sql.window import Window as _W
+
+        nat = s.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        reg = s.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        (
+            nat.join(_F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name")
+            .agg(_F.count("*").alias("n"), _F.collect_list("n_name").alias("ns"))
+            .withColumn("rk", _F.row_number().over(_W.orderBy("r_name")))
+            .select(_F.explode("ns"), "n", "rk")
+        ).write.format("noop").mode("overwrite").save()
         return s
 
     # The persisted-IVF pair (VERDICT r4 #5): build writes the
