@@ -331,6 +331,26 @@ def main() -> int:
             n_files=16,
         )
 
+    # The trained BPE model (r8) — same artifact treatment as the IVF
+    # index and the pair frames: the 16-merge training loop is its own
+    # build line with the memo cleared per run (the median IS the
+    # train), the merge-table and tokenize-stats consumers read it warm.
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        PYTEST_QUERIES as CLS_PYTEST_QUERIES,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
+        PYTEST_QUERIES as TOKENIZER_QUERIES,
+        bpe_model_cached,
+        clear_bpe_cache,
+    )
+
+    def bench_bpe_train_build(spark, sf_dir):
+        clear_bpe_cache(spark)
+        bpe_model_cached(spark, sf_dir)[1].write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return None
+
     registry = dict(entry_mod.queries())
     families: list[tuple[str, dict]] = [
         ("registry", registry),
@@ -350,6 +370,11 @@ def main() -> int:
         ("similarity_extra", {**sim_build_lines, **SIM_PYTEST_QUERIES}),
         ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
         ("text_rank", dict(RANK_PYTEST_QUERIES)),
+        (
+            "tokenizer",
+            {"bpe_train_build": bench_bpe_train_build, **TOKENIZER_QUERIES},
+        ),
+        ("classifier", dict(CLS_PYTEST_QUERIES)),
         ("events_extra", {**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES}),
         ("relational_extra", dict(REL_PYTEST_QUERIES)),
         (
@@ -360,6 +385,23 @@ def main() -> int:
             },
         ),
     ]
+
+    # Targeted scale probes (r8): SPARK_GRAFT_FAMILIES=tokenizer,ann
+    # runs only the named families — the sf1 suite costs ~50 min, so
+    # measuring one new family's scaling shouldn't re-pay the rest.
+    # The driver's per-round run leaves this unset and benches all.
+    fam_filter = os.environ.get("SPARK_GRAFT_FAMILIES")
+    if fam_filter:
+        wanted = {f.strip() for f in fam_filter.split(",") if f.strip()}
+        unknown = wanted - {name for name, _ in families}
+        if unknown:
+            print(f"unknown families ignored: {sorted(unknown)}", file=sys.stderr)
+        families = [(n, q) for n, q in families if n in wanted]
+        print(
+            f"family filter active: {[n for n, _ in families]} "
+            "(BENCH_LOCAL/BENCH_COLD will contain ONLY these)",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -3018,6 +3018,175 @@ def _pii_oracle() -> str:
 _PII_ORACLE = _pii_oracle()
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection toward a target domain)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024  # hashed n-gram feature buckets (paper uses 10^4)
+_DSIR_ALPHA_NUM, _DSIR_ALPHA_DEN = 1, 2  # add-1/2 smoothing as a ratio
+_DSIR_FRACTION_NUM, _DSIR_FRACTION_DEN = 1, 5  # select top 20% of docs
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampled data selection toward a target domain —
+    the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", public arXiv 2302.03169):
+    featurize every document as HASHED N-GRAM bucket counts, fit
+    bag-of-buckets unigram models for the TARGET domain (here: the
+    ``lang = 'en'`` slice, standing in for "looks like my curated
+    set") and the RAW corpus, score each doc by its target-vs-raw
+    log-likelihood ratio, and keep the top 20%.
+
+    Determinism and engine parity: buckets come from the md5-derived
+    32-bit hash (``_hash32_col``/``_hash32_sql``, the same pair the
+    stratified split replays hash-for-hash) mod ``_DSIR_BUCKETS``;
+    smoothing is the exact rational α=1/2 so both engines divide
+    identical integers; the per-doc score is rounded to 6 dp BEFORE
+    ranking, with doc_id as the tie-break, so a last-ulp ``ln`` or
+    float-sum-order divergence (|Δ| ~1e-12 against a 1e-6 grid) cannot
+    flip the selection; k = ceil(n/5) in integer arithmetic.
+
+    Scale shape (100 TB): grams explode → (doc, bucket) count is ONE
+    corpus-scale shuffle with map-side combine; the two domain models
+    are B-row aggregates OF THAT FRAME (no second corpus pass); the
+    λ-table join back is a broadcast (B = 1024 rows); scoring is one
+    more doc-keyed agg; the final top-k is Spark's distributed
+    TakeOrdered.  At a petabyte the exact top-k cut would move to an
+    approx-quantile threshold — documented trade, same contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", _tokens().alias("t"))
+    n = F.size("t")
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.transform(F.col("t"), lambda x: F.concat(F.lit("u:"), x)),
+                F.zip_with(
+                    F.slice(F.col("t"), 1, n - 1),
+                    F.slice(F.col("t"), 2, n - 1),
+                    lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b),
+                ),
+            )
+        ).alias("g"),
+    )
+    doc_buckets = grams.groupBy(
+        "doc_id",
+        "lang",
+        (_hash32_col(F.col("g")) % _DSIR_BUCKETS).alias("bucket"),
+    ).agg(F.count("*").cast("long").alias("c"))
+
+    raw = doc_buckets.groupBy("bucket").agg(F.sum("c").alias("r_b"))
+    tgt = (
+        doc_buckets.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t_b"))
+    )
+    # 1-row totals, broadcast onto the B-row model (the repo's standing
+    # broadcast-1-row-aggregate crossJoin pattern)
+    totals = raw.crossJoin(
+        F.broadcast(
+            doc_buckets.agg(
+                F.sum("c").alias("r_tot"),
+                F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t_tot"),
+            )
+        )
+    )
+    a_num, a_den = _DSIR_ALPHA_NUM, _DSIR_ALPHA_DEN
+    b_cnt = _DSIR_BUCKETS
+
+    def _logp(cnt, tot):
+        # ln((cnt + α) / (tot + α·B)) with α = a_num/a_den kept rational:
+        # ln(cnt·den + num) - ln(tot·den + num·B) — integer numerators,
+        # so both engines take ln of identical values
+        return F.log(cnt * a_den + a_num) - F.log(tot * a_den + a_num * b_cnt)
+
+    lam = (
+        totals.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                _logp(F.coalesce(F.col("t_b"), F.lit(0)), F.col("t_tot"))
+                - _logp(F.col("r_b"), F.col("r_tot"))
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("log_weight"),
+        )
+    )
+    # k as a plan literal so the cut compiles to TakeOrderedAndProject
+    # (distributed per-partition top-k + driver merge, NO global sort or
+    # single-partition window over the doc-count frame); the count is a
+    # parquet-metadata action, the same bounded-model-state class as the
+    # iterative engines' round stats
+    n_docs = docs.count()
+    k = -(-n_docs * _DSIR_FRACTION_NUM // _DSIR_FRACTION_DEN)
+    top = scored.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(int(k))
+    # rank assignment runs on the k-row (output-sized) result only
+    return top.withColumn(
+        "sel_rank",
+        F.row_number().over(Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))),
+    ).select("doc_id", "lang", "n_grams", "log_weight", "sel_rank")
+
+
+def _dsir_oracle() -> str:
+    h = _hash32_sql("g")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, 'u:' || unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, lang, 'b:' || t[i] || ' ' || t[i+1] AS g
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ), db AS (
+        SELECT doc_id, lang, {h} % {_DSIR_BUCKETS} AS bucket,
+               count(*)::BIGINT AS c
+        FROM grams GROUP BY 1, 2, 3
+    ), raw AS (
+        SELECT bucket, sum(c) AS r_b FROM db GROUP BY bucket
+    ), tgt AS (
+        SELECT bucket, sum(c) AS t_b FROM db WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+        SELECT sum(c) AS r_tot,
+               sum(CASE WHEN lang = 'en' THEN c END) AS t_tot
+        FROM db
+    ), lam AS (
+        SELECT raw.bucket,
+               (ln(coalesce(t_b, 0) * {_DSIR_ALPHA_DEN} + {_DSIR_ALPHA_NUM})
+                - ln(t_tot * {_DSIR_ALPHA_DEN}
+                     + {_DSIR_ALPHA_NUM * _DSIR_BUCKETS})
+                - ln(r_b * {_DSIR_ALPHA_DEN} + {_DSIR_ALPHA_NUM})
+                + ln(r_tot * {_DSIR_ALPHA_DEN}
+                     + {_DSIR_ALPHA_NUM * _DSIR_BUCKETS})) AS lam
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ), scored AS (
+        SELECT doc_id, lang, sum(c)::BIGINT AS n_grams,
+               round(sum(c * lam), 6) AS log_weight
+        FROM db JOIN lam USING (bucket)
+        GROUP BY doc_id, lang
+    ), k AS (
+        SELECT ceil(count(*) * {_DSIR_FRACTION_NUM}
+                    / {_DSIR_FRACTION_DEN}) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang, n_grams, log_weight,
+           row_number() OVER (ORDER BY log_weight DESC, doc_id) AS sel_rank
+    FROM scored CROSS JOIN k
+    QUALIFY sel_rank <= k.k
+    ORDER BY sel_rank
+"""
+
+
+_DSIR_ORACLE = _dsir_oracle()
+
+
 # Oracle-checked via pytest (tests/test_text_dedup_extra.py) rather than
 # the driver registry, which is shaped to the 50-row correctness cap.
 PYTEST_QUERIES = {
@@ -3039,6 +3208,7 @@ PYTEST_QUERIES = {
     "export_training_shards": export_training_shards,
     "dedup_substring_spans": dedup_substring_spans,
     "apply_substring_dedup": apply_substring_dedup,
+    "dsir_select": dsir_select,
 }
 PYTEST_ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
@@ -3059,6 +3229,7 @@ PYTEST_ORACLES = {
     "export_training_shards": _SHARDS_ORACLE,
     "dedup_substring_spans": _SUBSTR_SPANS_ORACLE,
     "apply_substring_dedup": _APPLY_SUBSTR_ORACLE,
+    "dsir_select": _DSIR_ORACLE,
 }
 
 # Bound-gated rather than oracle-gated (estimates depend on Arrow batch

@@ -136,6 +136,11 @@ def test_release_session_caches_all_at_once(spark):
     S.neardup_pair_frame_cached(spark, SF).count()
     TD.QUERIES["dedup_near_minhash"](spark, SF).count()  # tracked persist
     TD.dedup_incremental_e2e(spark, SF).count()  # temp index dir memo
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        tokenizer as TK,
+    )
+
+    TK.bpe_model_cached(spark, "/root/testdata/sf0.001")  # trained-model memo
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -145,6 +150,7 @@ def test_release_session_caches_all_at_once(spark):
         "jaccard_pairs",
         "neardup_pairs",
         "e2e_index_dirs",
+        "bpe_models",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released
