@@ -128,6 +128,47 @@ def test_classifier_separates_planted_domains(spark, tmp_path):
     assert out["fr"]["mean_p_target"] < 0.4
 
 
+def test_classifier_gradient_plan_has_one_exchange(spark):
+    """Pin the step's structural claim: scoring is map-side (literal
+    weight array + fold), so the gradient plan contains exactly ONE
+    Exchange — the B+1-row hash agg — over the persisted feature frame.
+    A reintroduced weight JOIN or doc-keyed score shuffle would add
+    exchanges and double per-step cost at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        _feature_frame,
+        _resid_cols,
+        _scored_frame,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    feats = _feature_frame(spark, SF0001).persist()
+    try:
+        feats.count()
+        resid = _resid_cols(_scored_frame(feats, {b: 0.0 for b in range(-1, _CLS_BUCKETS)}))
+        grad = (
+            resid.select(
+                F.explode(
+                    F.zip_with(
+                        "bs",
+                        "xs",
+                        lambda b, x: F.struct(
+                            b.alias("bucket"), (x * F.col("r")).alias("gx")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.bucket").alias("bucket"))
+            .agg(F.sum("e.gx").alias("g"))
+        )
+        p = plan_string(grad, "simple")  # one tree line per operator
+        assert p.count("Exchange") == 1, p
+        assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+    finally:
+        feats.unpersist(False)
+
+
 def test_classifier_one_action_per_step(spark, monkeypatch):
     """T steps ⇒ exactly T unioned gradient collects + the single
     feature-frame count; a stray action inside the loop multiplies
