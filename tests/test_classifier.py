@@ -163,8 +163,12 @@ def test_classifier_gradient_plan_has_one_exchange(spark):
             .agg(F.sum("e.gx").alias("g"))
         )
         p = plan_string(grad, "simple")  # one tree line per operator
-        assert p.count("Exchange") == 1, p
-        assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+        assert "InMemoryTableScan" in p, p
+        # explain() also prints the cached relation's BUILD plan below
+        # the InMemoryTableScan boundary; the step's own cost is only
+        # what sits above it
+        step_plan = p.split("InMemoryTableScan")[0]
+        assert step_plan.count("Exchange") == 1, p
     finally:
         feats.unpersist(False)
 
