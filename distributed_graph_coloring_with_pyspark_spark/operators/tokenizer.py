@@ -282,7 +282,87 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token_id, symbol): the trained vocabulary — every distinct final
+    symbol (single chars + merged units), ids assigned by sorted symbol
+    order so the mapping is a pure function of the trained model (no
+    partition-order dependence).  Vocabulary-sized; at 100 TB it is the
+    broadcast side of the encode join."""
+    _, vocab = bpe_model_cached(spark, sf_dir)
+    from pyspark.sql import Window
+
+    syms = (
+        vocab.select(F.explode("segs").alias("symbol"))
+        .distinct()
+    )
+    return syms.select(
+        (F.row_number().over(Window.orderBy("symbol")) - 1).alias("token_id"),
+        "symbol",
+    )
+
+
+def bpe_encode_export(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Encode the corpus to token-id arrays — THE artifact an LLM
+    trainer consumes — and (optionally) write it as parquet.
+
+    Plan: docs → pre-token stream with position (posexplode keeps word
+    order) → join the word-type segmentation table (vocabulary-sized)
+    → explode symbols with position → join the symbol table → regroup
+    by doc with (word_pos, sym_pos) sort keys so the id sequence is
+    exactly the document's token stream.  Two corpus-scale shuffles
+    (the regroup, the write); both lookup joins are vocab-sized
+    broadcasts at any corpus size.  Returns (doc_id, n_tokens,
+    token_ids array<int>); the round-trip decode test
+    (tests/test_tokenizer.py) proves concat(decode(ids)) equals the
+    document's pre-token stream byte-for-byte."""
+    _, vocab = bpe_model_cached(spark, sf_dir)
+    vocab_ids = bpe_vocabulary(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+        ).alias("wpos", "word"),
+    )
+    syms = (
+        words.join(F.broadcast(vocab.select("word", "segs")), "word")
+        .select("doc_id", "wpos", F.posexplode("segs").alias("spos", "symbol"))
+        .join(F.broadcast(vocab_ids), "symbol")
+    )
+    encoded = syms.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wpos", "spos", "token_id"))),
+            lambda s: s.token_id.cast("int"),
+        ).alias("token_ids")
+    )
+    out = encoded.select(
+        "doc_id", F.size("token_ids").alias("n_tokens"), "token_ids"
+    )
+    if out_path is not None:
+        out.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    return out
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/registry surface over the encode path: corpus-level token
+    accounting under the trained vocabulary (docs, tokens, distinct ids
+    used, max id) — integers only, robust to any float divergence."""
+    enc = bpe_encode_export(spark, sf_dir)
+    return enc.select(
+        F.explode("token_ids").alias("tid"), "doc_id"
+    ).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("total_tokens"),
+        F.countDistinct("tid").cast("long").alias("vocab_used"),
+        F.max("tid").cast("long").alias("max_token_id"),
+    )
+
+
 PYTEST_QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_tokenize_stats": bpe_tokenize_stats,
+    "bpe_encode_stats": bpe_encode_stats,
 }

@@ -177,6 +177,38 @@ def test_tokenize_stats_match_python_reference(spark):
         assert abs(gr - ch / t) <= 1e-4, lang
 
 
+def test_bpe_encode_round_trip(spark, tmp_path):
+    """Encode → decode is lossless: concatenating each document's
+    decoded symbols reproduces its pre-token stream byte-for-byte, and
+    the parquet export reads back identically."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
+        bpe_encode_export,
+        bpe_vocabulary,
+    )
+
+    out = str(tmp_path / "enc")
+    enc = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in bpe_encode_export(spark, SF0001, out).collect()
+    }
+    id2sym = {
+        r["token_id"]: r["symbol"]
+        for r in bpe_vocabulary(spark, SF0001).collect()
+    }
+    texts = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM '{SF0001}/documents.parquet'"
+    ).fetchall()
+    assert enc, "no documents encoded"
+    for doc_id, text in texts:
+        want = "".join(re.findall(_BPE_PATTERN, text))
+        if not want:
+            assert doc_id not in enc  # zero pre-tokens → no row, by contract
+            continue
+        n, ids = enc[doc_id]
+        assert n == len(ids)
+        assert "".join(id2sym[t] for t in ids) == want, doc_id
+
+
 def test_bpe_one_action_per_round(spark, monkeypatch):
     """Perf contract, same pin as the coloring engine's: each merge
     round issues exactly ONE collect (the argmax pair) and zero counts —
