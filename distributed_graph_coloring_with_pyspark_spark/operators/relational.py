@@ -2192,3 +2192,10 @@ for _rot in ("anti_customers_without_orders", "pivot_status_by_priority"):
 for _rot in ("supplier_distinct_parts",):
     PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
     PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)
+
+# Round-8 (third rotation): semi_customers_with_big_orders (plain LEFT
+# SEMI over a HAVING subquery) frees the row dsir_select takes in
+# text_dedup.py — same oracle contract at the pytest gate.
+for _rot in ("semi_customers_with_big_orders",):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

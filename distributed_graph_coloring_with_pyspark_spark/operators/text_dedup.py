@@ -3263,3 +3263,12 @@ for _rot in ("mixture_balance_sources", "export_training_shards"):
 # all-pairs-free linear plan.
 QUERIES["dedup_substring_spans"] = PYTEST_QUERIES.pop("dedup_substring_spans")
 ORACLES["dedup_substring_spans"] = PYTEST_ORACLES.pop("dedup_substring_spans")
+
+# Round-8 (third rotation): dsir_select — DSIR importance resampling,
+# the strongest new r8 training-data surface with a full DuckDB oracle
+# — takes the driver row freed by semi_customers_with_big_orders
+# (plain LEFT SEMI with a HAVING subquery; semi-join coverage stays via
+# the curation funnel's survivor semi-joins and the incremental index's
+# candidate semi-join, both oracle-checked).
+QUERIES["dsir_select"] = PYTEST_QUERIES.pop("dsir_select")
+ORACLES["dsir_select"] = PYTEST_ORACLES.pop("dsir_select")
