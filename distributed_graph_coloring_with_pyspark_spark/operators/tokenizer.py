@@ -154,7 +154,6 @@ def train_bpe(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
-    prev: DataFrame | None = None
     for rank in range(num_merges):
         # ONE action per round: the arg-max pair.  greatest-count then
         # lexicographically-least tie-break via a min_by over a struct
@@ -186,9 +185,11 @@ def train_bpe(
             .otherwise(F.col("segs"))
             .alias("segs"),
         ).localCheckpoint(eager=False)
-        if prev is not None:
-            prev.unpersist(False)
-        prev = vocab
+        # prior rounds' checkpoint blocks are reclaimed by the
+        # ContextCleaner once their driver refs are gc'd (the bench
+        # harness gc-collects between queries; release_session_caches
+        # covers long sessions) — same lifetime story as the coloring
+        # loop's round states
     return merges, vocab
 
 
