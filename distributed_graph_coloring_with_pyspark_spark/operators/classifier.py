@@ -204,6 +204,8 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner actually reads.  Integer counts make the surface
     robust to last-ulp float divergence; the probability is rounded."""
     weights, _ = train_quality_classifier(spark, sf_dir)
+    if not weights:  # empty corpus: nothing trained, nothing to score
+        weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
     scored = _scored_frame(_feature_frame(spark, sf_dir), weights)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (

@@ -173,6 +173,21 @@ def test_classifier_gradient_plan_has_one_exchange(spark):
         feats.unpersist(False)
 
 
+def test_classifier_empty_corpus(spark, tmp_path):
+    """Zero documents: train returns ({}, []) and eval returns an empty
+    frame instead of raising (the weight-array fallback covers the
+    untrained-model path)."""
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    w, losses = train_quality_classifier(spark, str(tmp_path))
+    assert (w, losses) == ({}, [])
+    assert classifier_eval(spark, str(tmp_path)).count() == 0
+
+
 def test_classifier_one_action_per_step(spark, monkeypatch):
     """T steps ⇒ exactly T unioned gradient collects + the single
     feature-frame count; a stray action inside the loop multiplies
