@@ -203,13 +203,209 @@ def _bm25_oracle(query_terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ embedding-cosine fused with reciprocal-rank
+# fusion (RRF, Cormack/Clarke/Buettcher 2009 — the standard public
+# score-free fusion rule: score(d) = Σ_lists 1/(k + rank_list(d))).
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF constant from the paper
+_HYBRID_PROBE = 7  # probe document; vec_id == doc_id (the repo-wide
+# doc/vec convention dedup_modality_agreement's join already encodes)
+_HYBRID_LIST_K = 20  # depth of each per-modality candidate list
+_HYBRID_TOP_K = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval for one probe document, fusing a
+    LEXICAL list (Okapi BM25 over the probe's own distinct tokens as
+    the query) with a VECTOR list (embedding cosine to the probe's
+    vector) via reciprocal-rank fusion →
+    (rank, doc_id, rank_lex, rank_vec, rrf_score).
+
+    This is the first-stage retrieval shape real curation/eval-set
+    builders run (lexical recall + semantic recall, rank-fused so
+    neither scorer's scale dominates).  Every stage reuses an
+    already-oracle-checked computation: the BM25 formula/constants from
+    ``bm25_rank`` (query terms arrive as a broadcast semi-join instead
+    of a literal IN-list — data-dependent queries can't be plan
+    literals), the sequential-fold cosine from operators/similarity
+    (same expression the KNN oracle matches), and the rounded-score-
+    then-id ranking discipline shared by every window in this module.
+
+    Scale shape: the probe row is a broadcast; the lexical side's
+    postings are filtered to probe terms BEFORE stats (semi-join
+    pushdown); the vector side is one corpus scan × 1 probe; both lists
+    end in TakeOrdered-style windows over rounded scores; the fusion
+    join touches 2·K rows.  RRF arithmetic (1/(k+rank)) is exact
+    rational-on-integers in doubles — identical in both engines."""
+    from .similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    probe_terms = (
+        docs.filter(F.col("doc_id") == _HYBRID_PROBE)
+        .select(F.explode(_tokens()).alias("term"))
+        .distinct()
+    )
+    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    toks = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .join(F.broadcast(probe_terms), "term", "left_semi")
+        .filter(F.col("doc_id") != _HYBRID_PROBE)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored_lex = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("s_lex"),
+        )
+    )
+    w_lex = Window.orderBy(F.col("s_lex").desc(), F.col("doc_id").asc())
+    ranked_lex = (
+        scored_lex.withColumn("rank_lex", F.row_number().over(w_lex))
+        .filter(F.col("rank_lex") <= _HYBRID_LIST_K)
+        .select("doc_id", "rank_lex")
+    )
+
+    probe_vec = emb.filter(F.col("vec_id") == _HYBRID_PROBE).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    scored_vec = (
+        emb.filter(F.col("vec_id") != _HYBRID_PROBE)
+        .crossJoin(F.broadcast(probe_vec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("probe_emb")), 6).alias(
+                "s_vec"
+            ),
+        )
+    )
+    w_vec = Window.orderBy(F.col("s_vec").desc(), F.col("doc_id").asc())
+    ranked_vec = (
+        scored_vec.withColumn("rank_vec", F.row_number().over(w_vec))
+        .filter(F.col("rank_vec") <= _HYBRID_LIST_K)
+        .select("doc_id", "rank_vec")
+    )
+
+    fused = ranked_lex.join(ranked_vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HYBRID_TOP_K)
+        .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf_score")
+    )
+
+
+_HYBRID_ORACLE = f"""
+    WITH probe_terms AS (
+        SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS term
+        FROM documents WHERE doc_id = {_HYBRID_PROBE}
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents WHERE doc_id <> {_HYBRID_PROBE}
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM probe_terms) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+               avgdl
+        FROM df CROSS JOIN stats
+    ),
+    scored_lex AS (
+        SELECT tf.doc_id,
+               round(sum(idf * (tf * ({BM25_K1} + 1.0))
+                         / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                              + {BM25_B} * dl.dl / avgdl))), 6)
+                   AS s_lex
+        FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        GROUP BY tf.doc_id
+    ),
+    ranked_lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s_lex DESC, doc_id) AS rank_lex
+        FROM scored_lex QUALIFY rank_lex <= {_HYBRID_LIST_K}
+    ),
+    scored_vec AS (
+        SELECT a.vec_id AS doc_id, round({{cos}}, 6) AS s_vec
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id = {_HYBRID_PROBE} AND a.vec_id <> {_HYBRID_PROBE}
+    ),
+    ranked_vec AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s_vec DESC, doc_id) AS rank_vec
+        FROM scored_vec QUALIFY rank_vec <= {_HYBRID_LIST_K}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, rank_lex, rank_vec,
+               round(coalesce(1.0 / ({_RRF_K} + rank_lex), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + rank_vec), 0.0), 6)
+                   AS rrf_score
+        FROM ranked_lex l FULL JOIN ranked_vec v ON l.doc_id = v.doc_id
+    )
+    SELECT rank, doc_id, rank_lex, rank_vec, rrf_score
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    )
+    WHERE rank <= {_HYBRID_TOP_K}
+    ORDER BY rank
+"""
+
+
+def _hybrid_oracle() -> str:
+    from .similarity import _COS_SQL
+
+    return _HYBRID_ORACLE.replace("{cos}", _COS_SQL)
+
+
 # pytest-gated (driver registry is shaped to the 50-row cap):
-# tests/test_text_rank.py runs both against their DuckDB oracles.
+# tests/test_text_rank.py runs all three against their DuckDB oracles.
 PYTEST_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_rank": bm25_rank,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 PYTEST_ORACLES = {
     "tfidf_top_terms": _TFIDF_ORACLE,
     "bm25_rank": _bm25_oracle(),
+    "hybrid_search_rrf": _hybrid_oracle(),
 }

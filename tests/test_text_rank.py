@@ -26,6 +26,7 @@ def test_text_rank_matches_oracle(spark, name):
     srows = [tuple(r) for r in sdf.collect()]
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
     ddf = con.sql(PYTEST_ORACLES[name])
     assert sorted(sdf.columns) == sorted(ddf.columns), name
     drows = ddf.fetchall()
