@@ -319,6 +319,7 @@ def main() -> int:
     # layout (a nightly-job shape, not a query), into a fresh temp dir.
     from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
         compact_parquet,
+        delete_rows_partitioned,
         zorder_layout,
     )
 
@@ -340,6 +341,29 @@ def main() -> int:
             ["user_id", "ts"],
             n_files=16,
         )
+
+    # Selective delete (r8): each run re-materializes the partitioned
+    # table (a fresh copy — the delete mutates it) then purges one
+    # user from two partitions; the median prices materialize+delete,
+    # the honest cost of the purge job shape.
+    def bench_delete_user_rows(spark, sf_dir):
+        from pyspark.sql import functions as _F
+
+        tbl = os.path.join(maint_dir, "delete_tbl")
+        shutil.rmtree(tbl, ignore_errors=True)
+        compact_parquet(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            tbl,
+            target_mb=32,
+            partition_by=["event_type"],
+        )
+        types = sorted(
+            r[0]
+            for r in spark.read.parquet(tbl).select("event_type").distinct().collect()
+        )[:2]
+        pred = (_F.col("user_id") % 97 == 0) & _F.col("event_type").isin(*types)
+        return delete_rows_partitioned(spark, tbl, pred, "event_type")
 
     # The trained BPE model (r8) — same artifact treatment as the IVF
     # index and the pair frames: the 16-merge training loop is its own
@@ -392,6 +416,7 @@ def main() -> int:
             {
                 "compact_events": bench_compact_events,
                 "zorder_events": bench_zorder_events,
+                "delete_user_rows": bench_delete_user_rows,
             },
         ),
     ]

@@ -162,3 +162,115 @@ def zorder_layout(
         [(len(_part_files(out_path)), out.count())],
         "n_files_out int, n_rows long",
     ).select("n_files_out", "n_rows")
+
+
+def delete_rows_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    predicate,
+    partition_col: str,
+) -> DataFrame:
+    """Selective row deletion from a Hive-partitioned parquet table —
+    the right-to-be-forgotten / retention-purge maintenance op — that
+    rewrites ONLY the partitions containing matching rows → 1-row
+    report (n_partitions_total, n_partitions_rewritten,
+    n_partitions_dropped, rows_deleted, rows_kept).
+
+    Mechanics (the third maintenance resident, after compaction and
+    z-order):
+    1. the affected partition VALUES come from one pushed-filter scan
+       (bounded driver state — there are at most |partitions| of them,
+       the same class as the IVF centroid collect);
+    2. survivors of those partitions are staged to a scratch dir (the
+       write is partition-pruned to affected data only — untouched
+       partitions are never read past their footers, never rewritten,
+       and keep their exact files, which the lifecycle test pins by
+       path+size+mtime);
+    3. the staged survivors re-enter under dynamic partition overwrite
+       (``partitionOverwriteMode=dynamic``), replacing exactly the
+       partitions they carry — the same two-phase shape a
+       transactional table format commits as a DELETE snapshot, spelled
+       out on plain parquet;
+    4. a partition whose rows ALL matched writes no survivor data, so
+       dynamic overwrite cannot touch it — those directories are
+       dropped explicitly (on HDFS/S3 the FileSystem delete a format's
+       metadata commit would perform).
+
+    At 100 TB the cost is proportional to the AFFECTED partitions'
+    bytes (twice: stage + overwrite), never the table; the common
+    purge (one user, one day, one source) touches a sliver."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path)
+    total_parts = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]
+    hit_stats = (
+        df.filter(predicate)
+        .groupBy(partition_col)
+        .agg(F.count("*").alias("n_del"))
+        .collect()
+    )
+    affected = {r[0]: r["n_del"] for r in hit_stats}
+    if not affected:
+        return spark.createDataFrame(
+            [(len(total_parts), 0, 0, 0, 0)],
+            "n_partitions_total int, n_partitions_rewritten int, "
+            "n_partitions_dropped int, rows_deleted long, rows_kept long",
+        )
+    survivors = df.filter(
+        F.col(partition_col).isin(*affected.keys()) & ~predicate
+    )
+    kept_stats = {
+        r[0]: r["n"]
+        for r in survivors.groupBy(partition_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rewritten = [p for p in affected if kept_stats.get(p, 0) > 0]
+    dropped = [p for p in affected if kept_stats.get(p, 0) == 0]
+    stage_dir = tempfile.mkdtemp(prefix="delete_stage_")
+    try:
+        if rewritten:
+            survivors.filter(
+                F.col(partition_col).isin(*rewritten)
+            ).write.mode("overwrite").partitionBy(partition_col).parquet(
+                stage_dir
+            )
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                spark.read.parquet(stage_dir).write.mode(
+                    "overwrite"
+                ).partitionBy(partition_col).parquet(table_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        for p in dropped:
+            shutil.rmtree(
+                os.path.join(table_path, f"{partition_col}={p}"),
+                ignore_errors=True,
+            )
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(total_parts),
+                len(rewritten),
+                len(dropped),
+                int(sum(affected.values())),
+                int(sum(kept_stats.values())),
+            )
+        ],
+        "n_partitions_total int, n_partitions_rewritten int, "
+        "n_partitions_dropped int, rows_deleted long, rows_kept long",
+    )
