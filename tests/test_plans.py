@@ -305,3 +305,36 @@ def test_apply_substring_dedup_plan_shape(spark):
     plan = plan_string(df)
     assert "LeftAnti" in plan  # removal set applied as anti join
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_select_plan_shape(spark):
+    """The DSIR selector's scale contract, structurally: the B-row
+    λ-model and the 1-row totals rejoin the doc-bucket frame as
+    BROADCASTS (no corpus-keyed shuffle for the model), and the
+    top-20% cut compiles to TakeOrdered (per-partition heap + driver
+    merge), never a global sort or single-partition window."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = TD.dsir_select(spark, SF)
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # λ + bucket joins
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # no corpus-keyed model join
+
+
+def test_hybrid_search_plan_shape(spark):
+    """Hybrid retrieval's first-stage contracts: the probe's query
+    terms reach the token stream as a broadcast LEFT SEMI (an IN-list
+    can't hold data-dependent terms), the probe vector and BM25
+    scalars enter as broadcasts, and nothing degenerates to a
+    cartesian join."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_rank import (
+        hybrid_search_rrf,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = hybrid_search_rrf(spark, SF)
+    plan = plan_string(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
