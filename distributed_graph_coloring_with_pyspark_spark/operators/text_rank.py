@@ -284,12 +284,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_lex"),
         )
     )
+    # Top-k FIRST via orderBy().limit(k) — Spark compiles this to
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), then the rank window runs on the k-row result.  Ranking
+    # the full scored set through a partitionBy-less window would
+    # funnel every candidate through ONE task — the anti-pattern
+    # text_dedup.py's prefix-sum ban documents and dsir_select's
+    # TakeOrdered cut (text_dedup.py:3122) solves; row_number over the
+    # same total order on the limited set yields identical ranks 1..k.
+    top_lex = scored_lex.orderBy(
+        F.col("s_lex").desc(), F.col("doc_id").asc()
+    ).limit(_HYBRID_LIST_K)
     w_lex = Window.orderBy(F.col("s_lex").desc(), F.col("doc_id").asc())
-    ranked_lex = (
-        scored_lex.withColumn("rank_lex", F.row_number().over(w_lex))
-        .filter(F.col("rank_lex") <= _HYBRID_LIST_K)
-        .select("doc_id", "rank_lex")
-    )
+    ranked_lex = top_lex.withColumn(
+        "rank_lex", F.row_number().over(w_lex)
+    ).select("doc_id", "rank_lex")
 
     probe_vec = emb.filter(F.col("vec_id") == _HYBRID_PROBE).select(
         F.col("embedding").alias("probe_emb")
@@ -304,12 +313,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Same limit-then-rank shape: this leg scores the ENTIRE embeddings
+    # table — at scale the TakeOrdered cut is the difference between a
+    # k-row merge and a single-task sort of the corpus.
+    top_vec = scored_vec.orderBy(
+        F.col("s_vec").desc(), F.col("doc_id").asc()
+    ).limit(_HYBRID_LIST_K)
     w_vec = Window.orderBy(F.col("s_vec").desc(), F.col("doc_id").asc())
-    ranked_vec = (
-        scored_vec.withColumn("rank_vec", F.row_number().over(w_vec))
-        .filter(F.col("rank_vec") <= _HYBRID_LIST_K)
-        .select("doc_id", "rank_vec")
-    )
+    ranked_vec = top_vec.withColumn(
+        "rank_vec", F.row_number().over(w_vec)
+    ).select("doc_id", "rank_vec")
 
     fused = ranked_lex.join(ranked_vec, "doc_id", "full_outer").select(
         "doc_id",
@@ -321,11 +334,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
+    # fused is ≤ 2·K rows by construction, but keep the same
+    # limit-then-rank discipline so every ranking in this module
+    # compiles to TakeOrderedAndProject.
+    top_fused = fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(_HYBRID_TOP_K)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _HYBRID_TOP_K)
-        .select("rank", "doc_id", "rank_lex", "rank_vec", "rrf_score")
+    return top_fused.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "rank_lex", "rank_vec", "rrf_score"
     )
 
 

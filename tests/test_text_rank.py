@@ -60,3 +60,21 @@ def test_bm25_rank_shape(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
     assert all(r.n_hit_terms >= 1 for r in rows)
+
+
+def test_ranking_plans_take_ordered(spark):
+    """Plan pin (VERDICT r8 #1): every ranking in this module must cut
+    top-k via TakeOrderedAndProject (per-partition heap + k-row merge),
+    never a partitionBy-less row_number window over the full scored set.
+    The only SinglePartition exchange allowed is the rank-assignment
+    window over the already-limited (≤ k / ≤ 2k row) result."""
+    bm25 = PYTEST_QUERIES["bm25_rank"](spark, SF)
+    plan = bm25._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+    hybrid = PYTEST_QUERIES["hybrid_search_rrf"](spark, SF)
+    plan = hybrid._jdf.queryExecution().executedPlan().toString()
+    # one TakeOrdered per ranking: lexical leg, vector leg, fused final
+    assert plan.count("TakeOrderedAndProject") == 3, plan
+    assert plan.count("SinglePartition") <= 1, plan
