@@ -198,69 +198,123 @@ def delete_rows_partitioned(
 
     At 100 TB the cost is proportional to the AFFECTED partitions'
     bytes (twice: stage + overwrite), never the table; the common
-    purge (one user, one day, one source) touches a sliver."""
+    purge (one user, one day, one source) touches a sliver.
+
+    DELETE semantics are standard three-valued SQL: rows are deleted
+    only where the predicate is TRUE; FALSE **and NULL** rows are kept
+    (a ``user_id % 97 == 0`` purge must not silently drop NULL
+    user_ids).  Partition handling is path-faithful: partition-column
+    type inference is disabled for the duration (a ``part='01'``
+    directory must rewrite as ``part=01``, not ``part=1`` — inference
+    would rewrite under a DIFFERENT directory and leave the original,
+    deleted rows included, in place), NULL / ``__HIVE_DEFAULT_PARTITION__``
+    partitions match null-safely, and directories to drop are derived
+    from the table's ACTUAL listed partition paths (unescaping Hive's
+    %XX encoding), never re-formatted from values."""
     import shutil
     import tempfile
+    from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(table_path)
-    total_parts = [
-        r[0] for r in df.select(partition_col).distinct().collect()
-    ]
-    hit_stats = (
-        df.filter(predicate)
-        .groupBy(partition_col)
-        .agg(F.count("*").alias("n_del"))
-        .collect()
-    )
-    affected = {r[0]: r["n_del"] for r in hit_stats}
-    if not affected:
-        return spark.createDataFrame(
-            [(len(total_parts), 0, 0, 0, 0)],
-            "n_partitions_total int, n_partitions_rewritten int, "
-            "n_partitions_dropped int, rows_deleted long, rows_kept long",
+    def _partition_dirs() -> dict:
+        # actual on-disk partition directories, keyed by the decoded
+        # value (None for Hive's null sentinel) — the ground truth the
+        # drop step deletes from
+        prefix = f"{partition_col}="
+        dirs: dict = {}
+        for name in os.listdir(table_path):
+            full = os.path.join(table_path, name)
+            if os.path.isdir(full) and name.startswith(prefix):
+                raw = name[len(prefix) :]
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+                dirs.setdefault(val, []).append(full)
+        return dirs
+
+    def _part_match(values):
+        # isin() never matches NULL — a NULL partition needs an
+        # explicit isNull branch
+        non_null = [p for p in values if p is not None]
+        cond = (
+            F.col(partition_col).isin(*non_null)
+            if non_null
+            else F.lit(False)
         )
-    survivors = df.filter(
-        F.col(partition_col).isin(*affected.keys()) & ~predicate
-    )
-    kept_stats = {
-        r[0]: r["n"]
-        for r in survivors.groupBy(partition_col)
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    rewritten = [p for p in affected if kept_stats.get(p, 0) > 0]
-    dropped = [p for p in affected if kept_stats.get(p, 0) == 0]
-    stage_dir = tempfile.mkdtemp(prefix="delete_stage_")
+        if any(p is None for p in values):
+            cond = cond | F.col(partition_col).isNull()
+        return cond
+
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
     try:
-        if rewritten:
-            survivors.filter(
-                F.col(partition_col).isin(*rewritten)
-            ).write.mode("overwrite").partitionBy(partition_col).parquet(
-                stage_dir
+        df = spark.read.parquet(table_path)
+        total_parts = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+        pred_true = F.coalesce(predicate, F.lit(False))
+        hit_stats = (
+            df.filter(pred_true)
+            .groupBy(partition_col)
+            .agg(F.count("*").alias("n_del"))
+            .collect()
+        )
+        affected = {r[0]: r["n_del"] for r in hit_stats}
+        if not affected:
+            return spark.createDataFrame(
+                [(len(total_parts), 0, 0, 0, 0)],
+                "n_partitions_total int, n_partitions_rewritten int, "
+                "n_partitions_dropped int, rows_deleted long, rows_kept long",
             )
-            prev_mode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            try:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                spark.read.parquet(stage_dir).write.mode(
+        survivors = df.filter(_part_match(affected.keys()) & ~pred_true)
+        kept_stats = {
+            r[0]: r["n"]
+            for r in survivors.groupBy(partition_col)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rewritten = [p for p in affected if kept_stats.get(p, 0) > 0]
+        dropped = [p for p in affected if kept_stats.get(p, 0) == 0]
+        stage_dir = tempfile.mkdtemp(prefix="delete_stage_")
+        try:
+            if rewritten:
+                survivors.filter(_part_match(rewritten)).write.mode(
                     "overwrite"
-                ).partitionBy(partition_col).parquet(table_path)
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                ).partitionBy(partition_col).parquet(stage_dir)
+                prev_mode = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
                 )
-        for p in dropped:
-            shutil.rmtree(
-                os.path.join(table_path, f"{partition_col}={p}"),
-                ignore_errors=True,
-            )
+                try:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                    # pin the partition column to the source table's
+                    # type: a stage dir whose only partition is the
+                    # null sentinel would otherwise infer VOID, which
+                    # partitionBy rejects
+                    part_type = df.schema[partition_col].dataType
+                    spark.read.parquet(stage_dir).withColumn(
+                        partition_col,
+                        F.col(partition_col).cast(part_type),
+                    ).write.mode("overwrite").partitionBy(
+                        partition_col
+                    ).parquet(table_path)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode
+                    )
+            dir_map = _partition_dirs()
+            for p in dropped:
+                for d in dir_map.get(p, ()):
+                    shutil.rmtree(d, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
     finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.conf.set(_INFER, prev_infer)
     return spark.createDataFrame(
         [
             (

@@ -115,3 +115,95 @@ def test_delete_no_matches_is_a_noop(spark, tmp_path):
     assert stats["n_partitions_rewritten"] == 0
     assert stats["n_partitions_dropped"] == 0
     assert _files(table) == before
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """ADVICE r8: predicate-NULL rows (three-valued logic) must be KEPT,
+    not silently dropped from the rewrite."""
+    table = os.path.join(str(tmp_path), "null_pred")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "a"), (3, 97, "a"), (4, None, "b"), (5, 5, "b")],
+        "id int, val int, part string",
+    ).write.partitionBy("part").parquet(table)
+    stats = delete_rows_partitioned(
+        spark, table, F.col("val") % 97 == 0, "part"
+    ).collect()[0]
+    # only id=3 (val=97) matches TRUE; NULL-val rows in the affected
+    # partition survive the rewrite
+    assert stats["rows_deleted"] == 1
+    after = spark.read.parquet(table)
+    assert sorted(r["id"] for r in after.collect()) == [1, 2, 4, 5]
+
+
+def test_delete_null_partition_value(spark, tmp_path):
+    """A NULL partition (__HIVE_DEFAULT_PARTITION__) must match
+    null-safely — rewritten when it has survivors, dropped when fully
+    matched, never silently lost."""
+    table = os.path.join(str(tmp_path), "null_part")
+    spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", None), (3, "z", None)],
+        "id int, v string, part string",
+    ).write.partitionBy("part").parquet(table)
+    assert os.path.isdir(os.path.join(table, "part=__HIVE_DEFAULT_PARTITION__"))
+    # partial delete inside the NULL partition → rewrite, survivor kept
+    stats = delete_rows_partitioned(
+        spark, table, F.col("id") == 2, "part"
+    ).collect()[0]
+    assert stats["rows_deleted"] == 1
+    assert stats["n_partitions_rewritten"] == 1
+    assert stats["n_partitions_dropped"] == 0
+    after = spark.read.parquet(table)
+    assert sorted(r["id"] for r in after.collect()) == [1, 3]
+    assert after.filter(F.col("part").isNull()).count() == 1
+    # now fully delete the NULL partition → directory dropped
+    stats = delete_rows_partitioned(
+        spark, table, F.col("id") == 3, "part"
+    ).collect()[0]
+    assert stats["n_partitions_dropped"] == 1
+    assert not os.path.isdir(
+        os.path.join(table, "part=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert [r["id"] for r in spark.read.parquet(table).collect()] == [1]
+
+
+def test_delete_pins_partition_value_type(spark, tmp_path):
+    """ADVICE r8: a part='01' directory must rewrite as part=01 — type
+    inference would rewrite under part=1 and leave the original
+    directory (deleted rows included) in place."""
+    table = os.path.join(str(tmp_path), "zero_pad")
+    spark.createDataFrame(
+        [(1, "01"), (2, "01"), (3, "2")], "id int, part string"
+    ).write.partitionBy("part").parquet(table)
+    assert os.path.isdir(os.path.join(table, "part=01"))
+    stats = delete_rows_partitioned(
+        spark, table, F.col("id") == 1, "part"
+    ).collect()[0]
+    assert stats["rows_deleted"] == 1
+    assert stats["n_partitions_rewritten"] == 1
+    assert os.path.isdir(os.path.join(table, "part=01"))
+    assert not os.path.isdir(os.path.join(table, "part=1"))
+    got = duckdb.sql(
+        f"""SELECT id, part FROM read_parquet('{table}/*/*.parquet',
+            hive_partitioning=true, hive_types={{'part': VARCHAR}})
+            ORDER BY id"""
+    ).fetchall()
+    assert got == [(2, "01"), (3, "2")]
+
+
+def test_delete_escaped_partition_value(spark, tmp_path):
+    """Partition values Hive %XX-escapes in paths (':' etc.) must drop
+    via the actual listed directory, not an f-string guess."""
+    table = os.path.join(str(tmp_path), "escaped")
+    spark.createDataFrame(
+        [(1, "a:b"), (2, "plain")], "id int, part string"
+    ).write.partitionBy("part").parquet(table)
+    escaped = [
+        d for d in os.listdir(table) if d.startswith("part=") and "%" in d
+    ]
+    assert escaped, os.listdir(table)  # ':' is escaped to %3A
+    stats = delete_rows_partitioned(
+        spark, table, F.col("part") == "a:b", "part"
+    ).collect()[0]
+    assert stats["n_partitions_dropped"] == 1
+    assert not any("%" in d for d in os.listdir(table)), os.listdir(table)
+    assert [r["id"] for r in spark.read.parquet(table).collect()] == [2]
