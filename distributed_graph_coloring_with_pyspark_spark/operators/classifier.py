@@ -63,32 +63,37 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature mass at 1 regardless of length, so the learning rate is
     length-invariant; the bias term is bucket -1 with x = 1, kept
     inside the arrays so the gradient agg covers it uniformly.
-    Entries are bucket-sorted for deterministic fold order."""
+    Entries are bucket-sorted for deterministic fold order.
+
+    Documents that tokenize to ZERO tokens still get a row (bias-only
+    features, via a left join back onto the documents table) — explode
+    would otherwise drop them, undercounting n_docs during training
+    and vanishing an all-empty lang from classifier_eval's confusion
+    table (ADVICE r8)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        (F.col("lang") == _TARGET_LANG).cast("int").alias("y"),
-        F.explode(_tokens()).alias("tok"),
+    base = docs.select(
+        "doc_id", (F.col("lang") == _TARGET_LANG).cast("int").alias("y")
     )
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     counts = toks.groupBy(
         "doc_id",
-        "y",
         (_hash32_col(F.col("tok")) % _CLS_BUCKETS).cast("int").alias("bucket"),
     ).agg(F.count("*").cast("double").alias("c"))
-    per_doc = counts.groupBy("doc_id", "y").agg(
+    per_doc = counts.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("bucket", "c"))
         ).alias("ent"),
         F.sum("c").alias("tot"),
     )
     bias = F.struct(F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"))
-    return per_doc.select(
+    no_ent = F.array().cast("array<struct<bucket:int,c:double>>")
+    return base.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "y",
         F.concat(
             F.array(bias),
             F.transform(
-                "ent",
+                F.coalesce("ent", no_ent),
                 lambda e: F.struct(
                     e.bucket.alias("bucket"), (e.c / F.col("tot")).alias("x")
                 ),
@@ -146,13 +151,21 @@ def train_quality_classifier(
     sf_dir: str,
     steps: int = _CLS_STEPS,
     lr: float = _CLS_LR,
+    feats: DataFrame | None = None,
 ) -> tuple[dict[int, float], list[float]]:
     """Full-batch logistic-regression GD; returns (weights, losses).
 
     weights: {bucket: w} with -1 the bias — bounded model state (B+1
     floats).  losses[t]: mean log-loss under the weights BEFORE step
-    t's update, so a decreasing list certifies the descent."""
-    feats = _feature_frame(spark, sf_dir).persist()
+    t's update, so a decreasing list certifies the descent.
+
+    ``feats``: an already-persisted feature frame to reuse (the caller
+    keeps ownership — classifier_eval passes one so train + eval share
+    a single corpus pass); when None this function builds, persists
+    and releases its own."""
+    owns_feats = feats is None
+    if owns_feats:
+        feats = _feature_frame(spark, sf_dir).persist()
     try:
         n_docs = feats.count()  # one row per document
         if n_docs == 0:
@@ -194,7 +207,8 @@ def train_quality_classifier(
             losses.append(float(step_loss))
         return weights, losses
     finally:
-        feats.unpersist(False)
+        if owns_feats:
+            feats.unpersist(False)
 
 
 def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,13 +216,24 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang confusion summary: docs, predicted-target count, and the
     mean target probability — the quality-filter calibration table a
     pipeline owner actually reads.  Integer counts make the surface
-    robust to last-ulp float divergence; the probability is rounded."""
-    weights, _ = train_quality_classifier(spark, sf_dir)
+    robust to last-ulp float divergence; the probability is rounded.
+
+    ONE persisted feature frame serves both train and eval scoring —
+    one corpus pass, not two (ADVICE r8); rows survive for empty
+    documents (bias-only features), so every lang appears in the
+    table."""
+    from ..cache import persist_tracked
+
+    # tracked persist: the returned (lazy) DataFrame still reads the
+    # cached frame when the caller collects; release_session_caches
+    # reclaims it between bench families
+    feats = persist_tracked(spark, _feature_frame(spark, sf_dir))
+    weights, _ = train_quality_classifier(spark, sf_dir, feats=feats)
     if not weights:  # empty corpus: nothing trained, nothing to score
         weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
-    scored = _scored_frame(_feature_frame(spark, sf_dir), weights)
+    scored = _scored_frame(feats, weights)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return (
+    result = (
         scored.join(docs, "doc_id")
         .groupBy("lang")
         .agg(
@@ -220,6 +245,7 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    return result
 
 
 PYTEST_QUERIES = {"classifier_eval": classifier_eval}

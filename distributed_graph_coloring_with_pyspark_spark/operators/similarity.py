@@ -247,11 +247,32 @@ _PAIR_LSH_SEED = 11
 
 
 def _pair_lsh_bands(threshold: float) -> int:
-    """Band count for the target at-threshold recall (capped)."""
-    p1 = 1.0 - math.acos(threshold) / math.pi
-    q1 = p1**_PAIR_LSH_BAND_BITS
+    """Band count for the target at-threshold recall (capped).
+
+    q₁ is clamped away from {0, 1}: at threshold ≥ 1.0 every band
+    collides (q₁ = 1 → ln 0 domain error; one band suffices), at
+    threshold = −1 no band does.  When the derived count exceeds
+    ``_PAIR_LSH_MAX_BANDS`` the cap silently LOWERS at-threshold recall
+    below the design target — that truncation is surfaced as a
+    ``RuntimeWarning`` carrying the achieved recall so callers see the
+    degraded guarantee instead of assuming 0.9 (ADVICE r8)."""
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    q1 = min(max(p1**_PAIR_LSH_BAND_BITS, 1e-12), 1.0 - 1e-12)
     r = math.ceil(math.log(1.0 - _PAIR_LSH_TARGET_RECALL) / math.log(1.0 - q1))
-    return min(r, _PAIR_LSH_MAX_BANDS)
+    r = max(r, 1)
+    if r > _PAIR_LSH_MAX_BANDS:
+        import warnings
+
+        achieved = 1.0 - (1.0 - q1) ** _PAIR_LSH_MAX_BANDS
+        warnings.warn(
+            f"banded-LSH pair tier: threshold={threshold} needs {r} bands "
+            f"for recall {_PAIR_LSH_TARGET_RECALL}; capped at "
+            f"{_PAIR_LSH_MAX_BANDS} → at-threshold recall ≈ {achieved:.3f}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _PAIR_LSH_MAX_BANDS
+    return r
 
 
 def _lsh_candidate_pairs(emb: DataFrame, threshold: float) -> DataFrame:

@@ -317,7 +317,12 @@ def bpe_encode_export(
     broadcasts at any corpus size.  Returns (doc_id, n_tokens,
     token_ids array<int>); the round-trip decode test
     (tests/test_tokenizer.py) proves concat(decode(ids)) equals the
-    document's pre-token stream byte-for-byte."""
+    document's pre-token stream byte-for-byte.
+
+    Documents with NO pre-tokens still emit a (doc_id, 0, []) row —
+    the exported artifact covers every document, not just the
+    non-empty ones (a trainer counting docs against the source table
+    must reconcile; ADVICE r8)."""
     _, vocab = bpe_model_cached(spark, sf_dir)
     vocab_ids = bpe_vocabulary(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -338,8 +343,9 @@ def bpe_encode_export(
             lambda s: s.token_id.cast("int"),
         ).alias("token_ids")
     )
-    out = encoded.select(
-        "doc_id", F.size("token_ids").alias("n_tokens"), "token_ids"
+    ids = F.coalesce("token_ids", F.array().cast("array<int>"))
+    out = docs.select("doc_id").join(encoded, "doc_id", "left").select(
+        "doc_id", F.size(ids).alias("n_tokens"), ids.alias("token_ids")
     )
     if out_path is not None:
         out.write.mode("overwrite").parquet(out_path)
@@ -350,13 +356,16 @@ def bpe_encode_export(
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench/registry surface over the encode path: corpus-level token
     accounting under the trained vocabulary (docs, tokens, distinct ids
-    used, max id) — integers only, robust to any float divergence."""
+    used, max id) — integers only, robust to any float divergence.
+    ``explode_outer`` keeps zero-token documents as a NULL-tid row, so
+    n_docs counts EVERY exported document (ADVICE r8); the token/vocab
+    aggregates ignore the NULL."""
     enc = bpe_encode_export(spark, sf_dir)
     return enc.select(
-        F.explode("token_ids").alias("tid"), "doc_id"
+        "doc_id", F.explode_outer("token_ids").alias("tid")
     ).agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("total_tokens"),
+        F.count("tid").cast("long").alias("total_tokens"),
         F.countDistinct("tid").cast("long").alias("vocab_used"),
         F.max("tid").cast("long").alias("max_token_id"),
     )

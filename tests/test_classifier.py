@@ -216,3 +216,24 @@ def test_classifier_one_action_per_step(spark, monkeypatch):
     assert len(losses) == 4
     assert calls["collect"] == 4, calls
     assert calls["count"] == 1, calls
+
+
+def test_classifier_eval_covers_empty_docs(spark, tmp_path):
+    """ADVICE r8: zero-token documents get a bias-only feature row, so
+    they count in training n_docs and a lang whose docs are ALL empty
+    still appears in the confusion table."""
+    rows = [(i, f"alpha beta tag{i % 2}", "en") for i in range(8)]
+    rows += [(50 + i, f"omega psi tag{i % 2}", "fr") for i in range(8)]
+    rows += [(90, "", "zz"), (91, "   ", "zz")]  # all-empty lang
+    spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r["lang"]: r for r in classifier_eval(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "fr", "zz"}
+    assert out["zz"]["n_docs"] == 2
+    assert out["en"]["n_docs"] == 8
+    # the empty docs carry only the bias feature — scored, not dropped
+    assert out["zz"]["pred_target"] in (0, 2)

@@ -134,6 +134,21 @@ def test_lsh_band_count_tracks_threshold(spark):
 
     assert _pair_lsh_bands(0.9) <= 20
     assert 100 <= _pair_lsh_bands(0.45) <= _PAIR_LSH_MAX_BANDS
+    # ADVICE r8 edge cases: t >= 1.0 must not raise (ln 0) — every band
+    # collides, one suffices; sub-cap thresholds warn nothing; a
+    # cap-truncated threshold surfaces the degraded recall
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _pair_lsh_bands(1.0) == 1
+        assert _pair_lsh_bands(0.45) >= 100
+        assert not caught
+        assert _pair_lsh_bands(-1.0) == _PAIR_LSH_MAX_BANDS
+        assert len(caught) == 1 and issubclass(
+            caught[0].category, RuntimeWarning
+        )
+        assert "recall" in str(caught[0].message)
 
 
 def test_neardup_clusters_lsh_composition(spark):

@@ -199,13 +199,14 @@ def test_bpe_encode_round_trip(spark, tmp_path):
         f"SELECT doc_id, lower(text) FROM '{SF0001}/documents.parquet'"
     ).fetchall()
     assert enc, "no documents encoded"
+    assert set(enc) == {d for d, _ in texts}  # EVERY document has a row
     for doc_id, text in texts:
         want = "".join(re.findall(_BPE_PATTERN, text))
-        if not want:
-            assert doc_id not in enc  # zero pre-tokens → no row, by contract
-            continue
         n, ids = enc[doc_id]
         assert n == len(ids)
+        if not want:
+            assert (n, ids) == (0, [])  # zero pre-tokens → explicit empty row
+            continue
         assert "".join(id2sym[t] for t in ids) == want, doc_id
 
 
@@ -239,3 +240,39 @@ def test_bpe_one_action_per_round(spark, monkeypatch):
     assert len(merges) == 6
     assert calls["collect"] == 6, calls
     assert calls["count"] == 0, calls
+
+
+def test_bpe_empty_docs_emit_rows(spark, tmp_path):
+    """ADVICE r8: documents with zero pre-tokens must appear in the
+    exported artifact as (doc_id, 0, []) and count toward
+    bpe_encode_stats.n_docs."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
+        bpe_encode_export,
+        bpe_encode_stats,
+        clear_bpe_cache,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "low lower lowest low low", "en", "s", 24),
+            (2, "", "en", "s", 0),
+            (3, "   ", "zz", "s", 3),  # whitespace-only: no pre-tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    clear_bpe_cache(spark)
+    try:
+        rows = {
+            r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+            for r in bpe_encode_export(spark, sf).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[2] == (0, [])
+        assert rows[3] == (0, [])
+        assert rows[1][0] > 0
+        stats = bpe_encode_stats(spark, sf).collect()[0]
+        assert stats["n_docs"] == 3
+        assert stats["total_tokens"] == rows[1][0]
+    finally:
+        clear_bpe_cache(spark)
