@@ -28,10 +28,21 @@ from distributed_graph_coloring_with_pyspark_spark.operators import (
     relational,
     similarity,
     text_dedup,
+    text_rank,
+    tokenizer,
 )
 from distributed_graph_coloring_with_pyspark_spark.streaming import events as streaming_events
 
-_MODULES = [relational, graph_bridge, streaming_events, text_dedup, similarity, multimodal]
+_MODULES = [
+    relational,
+    graph_bridge,
+    streaming_events,
+    text_dedup,
+    similarity,
+    multimodal,
+    text_rank,
+    tokenizer,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

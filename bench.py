@@ -386,31 +386,38 @@ def main() -> int:
         return None
 
     registry = dict(entry_mod.queries())
+
+    def _not_in_registry(fam: dict) -> dict:
+        # registry-promoted surfaces are benched once, in the registry
+        # family — a duplicate name in a later family would silently
+        # OVERWRITE the registry timing in the flat result dict
+        return {k: v for k, v in fam.items() if k not in registry}
+
     families: list[tuple[str, dict]] = [
         ("registry", registry),
-        ("streaming", dict(STREAMING_QUERIES)),
-        ("ann", ann_family),
-        ("multimodal", dict(MM_PYTEST_QUERIES)),
+        ("streaming", _not_in_registry(dict(STREAMING_QUERIES))),
+        ("ann", _not_in_registry(ann_family)),
+        ("multimodal", _not_in_registry(dict(MM_PYTEST_QUERIES))),
         (
             "dedup_extra",
-            {
+            _not_in_registry({
                 "jaccard_pair_build": bench_jaccard_pair_build,
                 "minhash_index_build": bench_minhash_index_build,
                 "dedup_incremental": bench_dedup_incremental,
                 **DEDUP_PYTEST_QUERIES,
                 **DEDUP_EXTRA_QUERIES,
-            },
+            }),
         ),
-        ("similarity_extra", {**sim_build_lines, **SIM_PYTEST_QUERIES}),
-        ("graph_analytics", dict(GRAPH_PYTEST_QUERIES)),
-        ("text_rank", dict(RANK_PYTEST_QUERIES)),
+        ("similarity_extra", _not_in_registry({**sim_build_lines, **SIM_PYTEST_QUERIES})),
+        ("graph_analytics", _not_in_registry(dict(GRAPH_PYTEST_QUERIES))),
+        ("text_rank", _not_in_registry(dict(RANK_PYTEST_QUERIES))),
         (
             "tokenizer",
-            {"bpe_train_build": bench_bpe_train_build, **TOKENIZER_QUERIES},
+            _not_in_registry({"bpe_train_build": bench_bpe_train_build, **TOKENIZER_QUERIES}),
         ),
-        ("classifier", dict(CLS_PYTEST_QUERIES)),
-        ("events_extra", {**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES}),
-        ("relational_extra", dict(REL_PYTEST_QUERIES)),
+        ("classifier", _not_in_registry(dict(CLS_PYTEST_QUERIES))),
+        ("events_extra", _not_in_registry({**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES})),
+        ("relational_extra", _not_in_registry(dict(REL_PYTEST_QUERIES))),
         (
             "maintenance",
             {
@@ -439,6 +446,7 @@ def main() -> int:
         )
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     cold: dict[str, float] = {}
     family_sums: dict[str, float] = {}
     for fam_name, bench_set in families:
@@ -461,6 +469,7 @@ def main() -> int:
                 # the median (docstring: cold-spike vs truly-heavy)
                 steady = runs[1:] if len(runs) == 2 else runs
                 timings[name] = round(statistics.median(steady), 3)
+                mins[name] = round(min(runs), 3)
                 cold[name] = round(runs[0], 3)
                 detail = "/".join(f"{r:.2f}" for r in runs)
                 print(f"{name}: {timings[name]}s (runs {detail})", file=sys.stderr)
@@ -480,9 +489,10 @@ def main() -> int:
             except Exception as exc:  # keep benching; a broken query scores inf
                 print(f"{name}: FAILED {exc}", file=sys.stderr)
                 timings[name] = float("inf")
-                # keep the cold map key-symmetric with queries (a failure
-                # after run 1 still has a valid cold measurement)
+                # keep the cold/min maps key-symmetric with queries (a
+                # failure after run 1 still has a valid cold measurement)
                 cold[name] = round(runs[0], 3) if runs else None
+                mins[name] = round(min(runs), 3) if runs else None
         fam_finite = [
             timings[q] for q in bench_set if timings.get(q, float("inf")) != float("inf")
         ]
@@ -501,6 +511,11 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": {k: (v if v != float("inf") else None) for k, v in timings.items()},
+        # per-query minimum over the raw runs (VERDICT r8 #3): the
+        # isolated floor, so round-over-round comparisons can separate
+        # plan regressions (floor moves) from ambient variance (median
+        # moves, floor doesn't) without manual noise attribution
+        "min_sec": mins,
         "families": family_sums,
         "sf": sf,
     }

@@ -1513,3 +1513,9 @@ PYTEST_ORACLES = {
     "embedding_neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
     "dedup_modality_agreement": _MODALITY_AGREEMENT_ORACLE,
 }
+
+# Round-9 rotation (VERDICT r8 #2): embedding_norm_stats (single-scan
+# aggregate, long-green) moves to the pytest gate; its driver row goes
+# to the promoted hybrid_search_rrf (text_rank.py).
+PYTEST_QUERIES["embedding_norm_stats"] = QUERIES.pop("embedding_norm_stats")
+PYTEST_ORACLES["embedding_norm_stats"] = ORACLES.pop("embedding_norm_stats")

@@ -1581,7 +1581,11 @@ def _prefix_jaccard_pairs(grams: DataFrame, scheme: str | None = None) -> DataFr
         # (distinct prefix grams) so AQE broadcasts the join, while the
         # window form sorts the full prefix frame inside each gram
         # partition (measured 2.3× slower end-to-end at sf0.1).  Exercised
-        # by tests/test_cap_semantics.py.
+        # by tests/test_cap_semantics.py.  The lossless claim (and the
+        # oracle equality of every jaccard_pair_frame consumer, curate
+        # included) therefore REQUIRES no bucket above the cap — asserted
+        # on the fixture corpus by tests/test_text_dedup_extra.py::
+        # test_prefix_index_has_no_dropped_buckets.
         prefix = prefix1.join(
             prefix1.groupBy("gram")
             .count()
@@ -3272,3 +3276,10 @@ ORACLES["dedup_substring_spans"] = PYTEST_ORACLES.pop("dedup_substring_spans")
 # candidate semi-join, both oracle-checked).
 QUERIES["dsir_select"] = PYTEST_QUERIES.pop("dsir_select")
 ORACLES["dsir_select"] = PYTEST_ORACLES.pop("dsir_select")
+
+# Round-9 rotation (VERDICT r8 #2): token_frequencies (plain
+# explode→groupBy→top-k, long-green since r2) moves to the pytest
+# gate, freeing its driver row for the promoted bpe_encode_stats
+# (tokenizer.py, hash-checked against a train-in-SQL DuckDB oracle).
+PYTEST_QUERIES["token_frequencies"] = QUERIES.pop("token_frequencies")
+PYTEST_ORACLES["token_frequencies"] = ORACLES.pop("token_frequencies")

@@ -426,3 +426,10 @@ PYTEST_ORACLES = {
     "bm25_rank": _bm25_oracle(),
     "hybrid_search_rrf": _hybrid_oracle(),
 }
+
+
+# driver-registry surface (promoted r9 — VERDICT r8 #2, after the
+# limit-then-rank fix): hybrid RRF retrieval with its full DuckDB
+# oracle.  tfidf/bm25 stay pytest-gated under the same contract.
+QUERIES = {"hybrid_search_rrf": hybrid_search_rrf}
+ORACLES = {"hybrid_search_rrf": _hybrid_oracle()}

@@ -371,6 +371,104 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_stats_oracle(
+    num_merges: int = _DEFAULT_MERGES,
+    min_pair_count: int = _MIN_PAIR_COUNT,
+) -> str:
+    """Fully-independent DuckDB oracle for ``bpe_encode_stats``: trains
+    the SAME ``num_merges``-round BPE in pure SQL — no literals from
+    the Spark model cross over.
+
+    Each round is three chained CTEs: pair counts from the current
+    segmentation (list_zip of a list with its own tail), the argmax
+    merge (max count, lexicographically least (left, right) — the
+    trainer's min_by tie-break), and the re-segmentation.  Symbol
+    lists ride as a wrapped string — every symbol as ␟sym␟,
+    concatenated — so applying a merge is ONE standard left-to-right
+    non-overlapping ``replace`` of ␟a␟␟b␟ with ␟ab␟, which has exactly
+    the BPE scan semantics ([a,a,a] + (a,a) → [aa, a]: the first match
+    consumes its wrapper, leaving no leading separator for an
+    overlapping second).  A round whose best pair falls below
+    ``min_pair_count`` leaves the vocabulary unchanged (and therefore
+    every later round too — the trainer's permanent stop).  CTEs
+    referenced more than once are MATERIALIZED so DuckDB cannot inline
+    the v-chain exponentially."""
+    sep = "chr(31)"
+    sep2 = "(chr(31)||chr(31))"
+    pat = _BPE_PATTERN
+    parts = [
+        f"""WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+        FROM documents
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS cnt,
+               regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g') AS s
+        FROM words GROUP BY word
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"v{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS (
+        SELECT z[1] AS a, z[2] AS b, sum(cnt)::BIGINT AS pc
+        FROM (SELECT cnt, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+              FROM (SELECT cnt,
+                           string_split(substr(s, 2, length(s)-2), {sep2}) AS l
+                    FROM {prev}))
+        GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT a, b FROM p{i} WHERE pc >= {min_pair_count}
+        ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT word, cnt,
+               CASE WHEN NOT EXISTS (SELECT 1 FROM m{i}) THEN s
+                    ELSE replace(s,
+                        {sep}||(SELECT a FROM m{i})||{sep}||{sep}||(SELECT b FROM m{i})||{sep},
+                        {sep}||(SELECT a FROM m{i})||(SELECT b FROM m{i})||{sep})
+               END AS s
+        FROM {prev}
+    )"""
+        )
+    parts.append(
+        f""",
+    final AS MATERIALIZED (
+        SELECT word, string_split(substr(s, 2, length(s)-2), {sep2}) AS segs
+        FROM v{num_merges}
+    ),
+    ids AS (
+        SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS tid
+        FROM (SELECT DISTINCT unnest(segs) AS sym FROM final)
+    ),
+    docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+        FROM documents
+    ),
+    used AS (
+        SELECT i.tid
+        FROM (SELECT unnest(f.segs) AS sym
+              FROM docw JOIN final f USING (word)) d
+        JOIN ids i ON d.sym = i.sym
+    )
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           count(*)::BIGINT AS total_tokens,
+           count(DISTINCT tid)::BIGINT AS vocab_used,
+           max(tid)::BIGINT AS max_token_id
+    FROM used"""
+    )
+    return "".join(parts)
+
+
+# driver-registry surface (promoted r9 — VERDICT r8 #2): the encode
+# path's integer-only token accounting, hash-checked against the
+# train-in-SQL oracle above.  The rest of the module stays pytest-gated
+# (tests/test_tokenizer.py) under the same correctness contract.
+QUERIES = {"bpe_encode_stats": bpe_encode_stats}
+ORACLES = {"bpe_encode_stats": _encode_stats_oracle()}
+
 PYTEST_QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_tokenize_stats": bpe_tokenize_stats,

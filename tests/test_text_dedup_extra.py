@@ -519,3 +519,45 @@ def test_apply_substring_dedup_planted(spark, tmp_path):
         for k in docs
     }
     assert got == want
+
+
+def test_prefix_index_has_no_dropped_buckets(spark):
+    """Mirror of test_minhash_index_has_no_dropped_buckets for the
+    l1 prefix index (ADVICE r7 #3 / VERDICT r8 #4): the l1 path drops
+    prefix grams hotter than _PREFIX_BUCKET_CAP, so the oracle
+    equality of dedup_ngram_jaccard — and of everything consuming
+    jaccard_pair_frame (curate_corpus's survivor semi-joins,
+    dedup_modality_agreement's text tier) — holds only while the
+    sf0.01 corpus produces no such bucket.  Assert that directly, so a
+    fixture change surfaces here with a named reason instead of as a
+    hash mismatch downstream.  Drop semantics under a planted trigger
+    are pinned separately (test_cap_semantics.py::
+    test_prefix_bucket_cap_drops_hot_cluster)."""
+    from pyspark.sql import Window
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _JACCARD_THRESHOLD,
+        _PREFIX_BUCKET_CAP,
+        shingle_frame,
+    )
+
+    grams = shingle_frame(spark, SF).filter(F.size("shingles") > 0)
+    ex = grams.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("g")
+    ).select("doc_id", "n", F.xxhash64("g").alias("gram"))
+    gram_df = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pi1 = F.col("n") - F.floor(F.lit(_JACCARD_THRESHOLD) * F.col("n")) + 1
+    hottest = (
+        ex.join(gram_df, "gram")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pi1)
+        .groupBy("gram")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hottest is not None and hottest <= _PREFIX_BUCKET_CAP, (
+        f"corpus prefix index would drop a bucket (hottest={hottest} > "
+        f"cap={_PREFIX_BUCKET_CAP}) — the lossless-prefix-join claim (and "
+        "curate_corpus's oracle equality) no longer holds on this fixture"
+    )
