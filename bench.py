@@ -372,6 +372,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
         PYTEST_QUERIES as CLS_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        PYTEST_QUERIES as CURATION_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
         PYTEST_QUERIES as TOKENIZER_QUERIES,
         bpe_model_cached,
@@ -416,6 +419,10 @@ def main() -> int:
             _not_in_registry({"bpe_train_build": bench_bpe_train_build, **TOKENIZER_QUERIES}),
         ),
         ("classifier", _not_in_registry(dict(CLS_PYTEST_QUERIES))),
+        # the end-to-end funnel (r9): classifier gate → DSIR → exact +
+        # ExactSubstr dedup → pack → shard, one lazy-plan surface; its
+        # cost is dominated by the 15-step GD train it runs per call
+        ("curation", _not_in_registry(dict(CURATION_QUERIES))),
         ("events_extra", _not_in_registry({**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES})),
         ("relational_extra", _not_in_registry(dict(REL_PYTEST_QUERIES))),
         (

@@ -2471,8 +2471,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join, one agg — and the manifest is ~corpus_tokens/L rows,
     itself distributed."""
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     toks = docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tok"))
+    return _pack_manifest(spark, toks)
+
+
+def _pack_manifest(spark: SparkSession, toks: DataFrame) -> DataFrame:
+    """The packing core of ``pack_sequences`` over any (doc_id, n_tok)
+    frame — shared with the end-to-end curation funnel
+    (operators/curation.py), which packs its CLEANED survivor stream
+    with the same two-pass prefix-sum scan."""
+    par = spark.sparkContext.defaultParallelism
     # the persist is now a pure scan-saver (3 tiny actions + the final
     # plan read it); correctness no longer depends on it — bucket ids
     # below are literal-derived, recompute-safe

@@ -1,0 +1,97 @@
+"""End-to-end curation funnel (operators/curation.py): chained DuckDB
+oracle equality — gradient descent, DSIR, both dedups, packing and
+sharding all recomputed in SQL — plus structural funnel invariants and
+the plan pin on the rank gate."""
+
+from __future__ import annotations
+
+import duckdb
+from oracle_util import canon_rows
+from pyspark.sql import functions as F
+
+from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+    _FUNNEL_SHARDS,
+    _GATE_FRACTION_DEN,
+    _GATE_FRACTION_NUM,
+    PYTEST_ORACLES,
+    PYTEST_QUERIES,
+    _dsir_selected_ids,
+    _gated_ids,
+    curation_pipeline_e2e,
+)
+from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+    _DSIR_FRACTION_DEN,
+    _DSIR_FRACTION_NUM,
+    _PACK_SEQ_LEN,
+)
+from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_curation_pipeline_matches_oracle(spark):
+    """The chained equality covers every stage boundary: a single doc
+    flipping across the gate, the DSIR cut, either dedup, or a packing
+    offset moves at least one manifest row."""
+    assert set(PYTEST_QUERIES) == set(PYTEST_ORACLES)
+    sdf = PYTEST_QUERIES["curation_pipeline_e2e"](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ddf = con.sql(PYTEST_ORACLES["curation_pipeline_e2e"])
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    drows = ddf.fetchall()
+    con.close()
+    assert srows, "funnel produced no packed sequences"
+    assert len(srows) == len(drows)
+    assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
+
+
+def test_funnel_stage_monotonicity(spark):
+    """Each stage narrows (or preserves) the corpus, by the documented
+    fractions; the manifest's token total equals the cleaned stream."""
+    n_docs = load_table(spark, SF, "documents").count()
+    gated = _gated_ids(spark, SF)
+    n_gated = gated.count()
+    assert n_gated == -(-n_docs * _GATE_FRACTION_NUM // _GATE_FRACTION_DEN)
+
+    docs = load_table(spark, SF, "documents")
+    src = docs.join(gated, "doc_id").select("doc_id", "lang", "text")
+    n_sel = _dsir_selected_ids(src, n_gated).count()
+    assert n_sel == -(-n_gated * _DSIR_FRACTION_NUM // _DSIR_FRACTION_DEN)
+
+    manifest = curation_pipeline_e2e(spark, SF).collect()
+    assert manifest
+    # every sequence is exactly L tokens except possibly the last tail
+    sizes = [r["n_tokens"] for r in sorted(manifest, key=lambda r: r["seq_id"])]
+    assert all(s == _PACK_SEQ_LEN for s in sizes[:-1])
+    assert 0 < sizes[-1] <= _PACK_SEQ_LEN
+    # seq ids dense from 0; shards round-robin
+    assert [r["seq_id"] for r in sorted(manifest, key=lambda r: r["seq_id"])] == list(
+        range(len(manifest))
+    )
+    assert all(r["shard"] == r["seq_id"] % _FUNNEL_SHARDS for r in manifest)
+    # the packed stream is much smaller than the corpus (the funnel
+    # narrowed) but non-trivial
+    assert sum(sizes) < n_docs * 10  # far below corpus token count
+    assert sum(r["n_docs"] for r in manifest) >= len(manifest)
+
+
+def test_gate_plan_take_ordered(spark):
+    """The rank gate must cut via TakeOrderedAndProject (the module-wide
+    limit-then-rank discipline), never a partitionBy-less window."""
+    plan = (
+        _gated_ids(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("SinglePartition") == 0, plan
+
+
+def test_gate_selects_target_enriched_slice(spark):
+    """The classifier gate must actually concentrate the target domain:
+    the en fraction among gated docs exceeds the corpus base rate."""
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    gated = docs.join(_gated_ids(spark, SF), "doc_id")
+    got = gated.filter(F.col("lang") == "en").count() / gated.count()
+    assert got > base, (got, base)
