@@ -276,3 +276,30 @@ def test_bpe_empty_docs_emit_rows(spark, tmp_path):
         assert stats["total_tokens"] == rows[1][0]
     finally:
         clear_bpe_cache(spark)
+
+
+def test_tokenize_join_broadcasts(spark):
+    """VERDICT r8 #7: both tokenize-path joins must put the vocab side
+    on a BroadcastExchange — the corpus side never shuffles for the
+    lookup (the bucketed-join fallback for web-scale type tables is
+    documented in the bpe_tokenize_stats docstring)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
+        bpe_encode_export,
+        clear_bpe_cache,
+    )
+
+    clear_bpe_cache(spark)
+    try:
+        # (query, required broadcast joins, allowed non-broadcast joins)
+        # — encode's single allowed SMJ is the DOC-keyed left join that
+        # re-attaches empty documents (corpus-sized on both sides, not
+        # a vocab lookup)
+        for df, n_bcast, n_smj in (
+            (bpe_tokenize_stats(spark, SF0001), 1, 0),
+            (bpe_encode_export(spark, SF0001), 2, 1),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("BroadcastHashJoin") >= n_bcast, plan
+            assert plan.count("SortMergeJoin") <= n_smj, plan
+    finally:
+        clear_bpe_cache(spark)
