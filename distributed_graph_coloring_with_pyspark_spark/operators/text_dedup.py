@@ -1524,7 +1524,27 @@ def _prefix_jaccard_pairs(grams: DataFrame, scheme: str | None = None) -> DataFr
     entries) l1 wins on constants and is kept; the sf0.01 oracle
     fixture never escalates, so oracle equality is scheme-independent
     by construction (and the forced-l2 run is pinned equal to l1 on
-    the same fixture by tests/test_text_dedup_extra.py)."""
+    the same fixture by tests/test_text_dedup_extra.py).
+
+    l2's OWN envelope and the l3/PassJoin criterion (VERDICT r8 #5,
+    measured by ``tools/pair_scaling_probe.py --l2`` at sf1→sf2 — a
+    2× step where 2-gram dfs also double, the fixed-vocabulary worst
+    case): l2 candidates 1.96 M → 8.12 M (4.1× at 2× data) vs l1's
+    52.7 M → 214 M (4.07×) — the pair keys buy a stable ~27×
+    constant-factor reduction but co-occurrence df² ALSO grows
+    quadratically once single dfs grow linearly, so on a vocabulary
+    that does NOT grow with the corpus l2 delays, not removes, the
+    quadratic regime.  The escalation criterion when that regime is
+    reached is the same decision-aggregate pattern one level up:
+    compute Σ C(bucket₂, 2) over the l2 pair-key index and, when it
+    exceeds the same factor×entries budget, lengthen to l3 (3-prefix,
+    triple keys ≈ df³/N² co-occurrence) or switch family to PassJoin
+    length-partitioning (Li et al., VLDB 2011), whose partition count
+    is token-length-bounded rather than df-driven.  Real web corpora
+    sit in the Heaps'-law regime (vocabulary ∝ corpusᵝ, β≈0.5, dfs
+    sublinear), where the sf1 measurement — candidates linear, max
+    bucket 11 — is the operative one; the l3 path is therefore
+    documented-not-built, exactly like the 50k-merge BPE handover."""
     # grams travel as xxhash64 ints, not strings: the df count, per-doc
     # window sort and candidate equi-join all shuffle 8-byte keys
     # instead of ~20-byte token strings.  Collision honesty (the prefix
