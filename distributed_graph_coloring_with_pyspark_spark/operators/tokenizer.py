@@ -307,6 +307,11 @@ def bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.select(F.explode("segs").alias("symbol"))
         .distinct()
     )
+    # partitionBy-less window: deliberate and BOUNDED — its input is
+    # the distinct final-symbol set (≤ chars + num_merges rows, i.e.
+    # vocabulary-sized by construction), not a corpus-scale frame, so
+    # the single-partition sort is model-state work (the same class as
+    # the trainer's one-row argmax), not the banned global ranking.
     return syms.select(
         (F.row_number().over(Window.orderBy("symbol")) - 1).alias("token_id"),
         "symbol",

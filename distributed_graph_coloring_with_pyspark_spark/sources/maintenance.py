@@ -257,6 +257,9 @@ def delete_rows_partitioned(
             r[0] for r in df.select(partition_col).distinct().collect()
         ]
         pred_true = F.coalesce(predicate, F.lit(False))
+        # bounded model state: one row per AFFECTED partition value
+        # (≤ |partitions| — the same class as the IVF centroid collect),
+        # never per row
         hit_stats = (
             df.filter(pred_true)
             .groupBy(partition_col)
