@@ -248,4 +248,22 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _eval_oracle(steps: int = _CLS_STEPS, lr: float = _CLS_LR) -> str:
+    """Full DuckDB oracle for ``classifier_eval``: re-trains the same
+    ``steps``-round gradient descent in generated SQL (the shared
+    ``_gd_chain`` — deferred import, curation.py imports this module)
+    and rebuilds the per-lang confusion table from the final weights.
+    Complements the numpy oracle: engine-independent, value-hashed."""
+    from .curation import _gd_chain  # deferred: avoids the import cycle
+
+    return f"""
+    WITH {_gd_chain(steps, lr)}
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN s.s > 0 THEN 1 ELSE 0 END)::BIGINT AS pred_target,
+           round(avg(1.0 / (1.0 + exp(-s.s))), 4) AS mean_p_target
+    FROM sfin s JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 PYTEST_QUERIES = {"classifier_eval": classifier_eval}

@@ -237,3 +237,21 @@ def test_classifier_eval_covers_empty_docs(spark, tmp_path):
     assert out["en"]["n_docs"] == 8
     # the empty docs carry only the bias feature — scored, not dropped
     assert out["zz"]["pred_target"] in (0, 2)
+
+
+def test_classifier_eval_matches_duckdb_gd_oracle(spark):
+    """r9: classifier_eval vs the train-in-SQL DuckDB oracle — the
+    whole 15-step gradient descent re-run in generated CTEs (shared
+    with the curation funnel's gate), value-for-value per lang."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        _eval_oracle,
+    )
+
+    srows = [tuple(r) for r in classifier_eval(spark, SF0001).collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF0001}/documents.parquet'"
+    )
+    drows = con.sql(_eval_oracle()).fetchall()
+    con.close()
+    assert srows == drows
