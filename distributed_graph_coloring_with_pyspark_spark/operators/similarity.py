@@ -1500,6 +1500,107 @@ def dedup_modality_agreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_modality_agreement(spark, sf_dir, embed_pair_source="lsh")
 
 
+# --------------------------------------------------------------------------
+# Semantic train→eval decontamination (r9): the embedding-space twin of
+# text_dedup's n-gram contamination_check.  Modern pipelines run BOTH —
+# lexical overlap misses paraphrased eval leakage, which lands here.
+# --------------------------------------------------------------------------
+
+_DECON_EVAL_MOD = 10  # eval holdout = vec_id % 10 == 0 (deterministic)
+_DECON_THRESHOLD = _NEARDUP_THRESHOLD  # same similarity regime as the
+# near-dup pair tier: pairs at 0.45 are ~3.6σ events in this fixture,
+# so flagged rows are real planted/structural matches, not noise
+_DECON_EPS = 1e-6  # GEMM reassociation + 6-dp rounding slack, the same
+# margin _blocked_candidate_pairs uses before its exact re-score
+
+
+def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval SEMANTIC contamination scan over the embeddings
+    table → (train_vec_id, eval_vec_id, cos_sim): every train vector
+    whose max cosine to the eval holdout (vec_id % 10 == 0) reaches
+    ``_DECON_THRESHOLD``, with its best-matching eval vector
+    (ties on the 6-dp score break to the smallest eval id).
+
+    Scale shape — the decontamination pass an LLM trainer runs against
+    a FIXED eval suite: the eval matrix is bounded model state (eval
+    benchmarks are thousands of rows, not corpus-sized), collected once
+    and shipped inside the Arrow-batch closure exactly like the IVF
+    centroid grid; the corpus makes ONE mapInPandas pass, each batch a
+    single float64 GEMM against the eval matrix emitting only candidate
+    train ids at threshold − ε.  Candidates (a vanishing fraction) are
+    re-scored with the sequential Catalyst ``cosine`` expression so
+    BLAS summation order never leaks into results — the committed
+    prefilter-then-exact-rescore discipline of
+    ``_blocked_candidate_pairs``.  No shuffle touches the corpus; the
+    only shuffle is the per-candidate top-1 window over
+    |candidates| × |eval| rows."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("x")
+    )
+    is_eval = F.pmod(F.col("vec_id"), F.lit(_DECON_EVAL_MOD)) == 0
+    train = emb.filter(~is_eval)
+    eval_rows = emb.filter(is_eval).collect()  # bounded: the eval suite
+    eval_rows.sort(key=lambda r: r.vec_id)  # ascending ids → np.argmax
+    # (first max) realizes the min-eval-id tie-break for free
+    E = np.array([r.x for r in eval_rows], dtype=np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    cut = _DECON_THRESHOLD - _DECON_EPS
+
+    def prefilter(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            hit = (X @ E.T).max(axis=1) >= cut
+            if hit.any():
+                yield pd.DataFrame({"train_vec_id": pdf["vec_id"].to_numpy()[hit]})
+
+    cand_ids = train.mapInPandas(prefilter, "train_vec_id long")
+    cand = train.join(
+        cand_ids, F.col("vec_id") == F.col("train_vec_id")
+    ).select("train_vec_id", F.col("x").alias("tx"))
+    eval_frame = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_vec_id"), F.col("x").alias("ex")
+    )
+    scored = cand.crossJoin(F.broadcast(eval_frame)).select(
+        "train_vec_id",
+        "eval_vec_id",
+        F.round(cosine(F.col("tx"), F.col("ex")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("train_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("eval_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos_sim") >= _DECON_THRESHOLD))
+        .select("train_vec_id", "eval_vec_id", "cos_sim")
+        .orderBy("train_vec_id")
+    )
+
+
+_CONTAMINATION_EMB_ORACLE = f"""
+    WITH scored AS (
+        SELECT a.vec_id AS train_vec_id, b.vec_id AS eval_vec_id,
+               round({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id % {_DECON_EVAL_MOD} = 0
+         AND a.vec_id % {_DECON_EVAL_MOD} <> 0
+    ), best AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY train_vec_id
+                   ORDER BY cos_sim DESC, eval_vec_id) AS rn
+        FROM scored
+    )
+    SELECT train_vec_id, eval_vec_id, cos_sim
+    FROM best WHERE rn = 1 AND cos_sim >= {_DECON_THRESHOLD}
+    ORDER BY train_vec_id
+"""
+
+
 # embedding_pca_top carries a numpy oracle (eigensolve — not
 # SQL-expressible), so it appears in PYTEST_QUERIES without a DuckDB
 # entry, like the graph module's pagerank/SSSP; the three _lsh tiers
@@ -1514,8 +1615,10 @@ PYTEST_QUERIES = {
     "cosine_neardup_pairs_lsh": cosine_neardup_pairs_lsh,
     "embedding_neardup_clusters_lsh": embedding_neardup_clusters_lsh,
     "dedup_modality_agreement_lsh": dedup_modality_agreement_lsh,
+    "embedding_contamination": embedding_contamination,
 }
 PYTEST_ORACLES = {
+    "embedding_contamination": _CONTAMINATION_EMB_ORACLE,
     "quantize_embeddings_int8": _QUANTIZE_ORACLE,
     "embedding_centroid_stats": _CENTROID_STATS_ORACLE,
     "embedding_neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,

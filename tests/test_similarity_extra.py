@@ -192,3 +192,38 @@ def test_modality_agreement_lsh_composition(spark):
     assert ls.n_embed_pairs <= ex.n_embed_pairs
     assert ls.n_embed_pairs >= 0.85 * ex.n_embed_pairs
     assert ls.n_both <= ex.n_both
+
+
+def test_contamination_flags_planted_eval_clone(spark, tmp_path):
+    """embedding_contamination must flag a train vector that is a
+    byte-copy of an eval vector (cos 1.0, matched to that eval id) and
+    must NOT flag orthogonal background vectors.  Fixture: one-hot-ish
+    disjoint basis vectors (pairwise cosine 0) + one planted copy, so
+    the expected report is exactly one row."""
+    import random
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        embedding_contamination,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        v[(i + 7) % 64] = 0.1 * (1 + (i % 3))  # break exact symmetry
+        rows.append((i, v, 0))
+    # vec_id 30 (eval: 30 % 10 == 0) cloned into train id 33
+    rows[33] = (33, list(rows[30][1]), 0)
+    # noise dims so norms differ slightly from 1
+    rows = [
+        (i, [x + 0.0 for x in v], lbl) for i, v, lbl in rows
+    ]
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    got = embedding_contamination(spark, str(tmp_path)).collect()
+    assert [(r.train_vec_id, r.eval_vec_id) for r in got] == [(33, 30)]
+    assert got[0].cos_sim == 1.0
