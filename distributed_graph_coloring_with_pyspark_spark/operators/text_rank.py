@@ -414,17 +414,271 @@ def _hybrid_oracle() -> str:
     return _HYBRID_ORACLE.replace("{cos}", _COS_SQL)
 
 
+# --------------------------------------------------------------------------
+# Retrieval evaluation (r9): precision@k / recall@k / MRR / nDCG@k for a
+# batch of more-like-this BM25 queries — the metrics harness that turns
+# the retrieval family from "runs" into "measurably good", the same way
+# the ANN paths carry recall gates.  Relevance labels are deterministic
+# corpus structure: a candidate is relevant to a probe iff it shares the
+# probe's language — the labeling provenance metadata gives for free,
+# and the one a lexical ranker can actually recover (the synthetic
+# corpus draws each language from its own vocabulary, so same-lang docs
+# share tokens; (lang, source) groups are 2-5 docs and lexically
+# indistinguishable from the rest of the language — measured all-zero
+# metrics, a degenerate gate).
+# --------------------------------------------------------------------------
+
+_EVAL_PROBES = (3, 7, 11, 19, 23)  # fixed probe docs (exist at every sf)
+_EVAL_K = 10
+_EVAL_REL_JACCARD = 0.65  # relevance cut: distinct-token-set Jaccard
+
+
+def retrieval_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 retrieval eval → one row per probe:
+    (probe_id, n_rel, n_retrieved, hits, precision_k, recall_k, mrr,
+    ndcg).  Query = the probe doc's distinct tokens (more-like-this);
+    ranking = the bm25_rank formula; binary relevance = distinct-token
+    Jaccard(doc, probe) ≥ ``_EVAL_REL_JACCARD``, probe excluded.  nDCG uses the binary-gain form
+    DCG = Σ_hits 1/log2(rank+1), IDCG = Σ_{i≤min(k, n_rel)} 1/log2(i+1).
+
+    Scale shape: the probe batch is a broadcast (an eval suite is
+    bounded); postings are semi-join-filtered to probe terms BEFORE any
+    stats; per-probe ranking is a window PARTITIONED by probe_id (a
+    per-partition heap per probe — never a global sort); relevance
+    labels come from one corpus scan against the broadcast probe
+    attributes.  Everything downstream of the rank filter is
+    |probes| × k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe_list = list(_EVAL_PROBES)
+    probes = docs.filter(F.col("doc_id").isin(probe_list)).select(
+        F.col("doc_id").alias("probe_id"), "lang", "source", _tokens().alias("ptoks")
+    )
+    probe_terms = probes.select(
+        "probe_id", F.explode("ptoks").alias("term")
+    ).distinct()
+    term_set = probe_terms.select("term").distinct()
+
+    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term")).join(
+        F.broadcast(term_set), "term", "left_semi"
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "avgdl",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(probe_terms), "term")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("probe_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _EVAL_K
+    )
+
+    psets = probes.select(
+        "probe_id", F.array_distinct("ptoks").alias("pset")
+    )
+    jac = F.size(F.array_intersect(F.col("dset"), F.col("pset"))) / F.size(
+        F.array_union(F.col("dset"), F.col("pset"))
+    )
+    rel = (
+        docs.select("doc_id", F.array_distinct(_tokens()).alias("dset"))
+        .crossJoin(F.broadcast(psets))
+        .filter(
+            (F.col("doc_id") != F.col("probe_id"))
+            & (jac >= _EVAL_REL_JACCARD)
+        )
+        .select("probe_id", "doc_id")
+    )
+    n_rel = rel.groupBy("probe_id").agg(F.count("*").cast("long").alias("n_rel"))
+
+    per_probe = (
+        ranked.join(
+            rel.withColumn("is_rel", F.lit(1)), ["probe_id", "doc_id"], "left"
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("long").alias("n_retrieved"),
+            F.coalesce(F.sum("is_rel"), F.lit(0)).cast("long").alias("hits"),
+            F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rel"),
+            F.sum(
+                F.when(F.col("is_rel") == 1, 1.0 / F.log2(F.col("rank") + 1.0))
+            ).alias("dcg"),
+        )
+    )
+    m = F.least(F.lit(_EVAL_K), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        probes.select("probe_id")
+        .join(n_rel, "probe_id", "left")
+        .join(per_probe, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("long").alias(
+                "n_retrieved"
+            ),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.lit(_EVAL_K), 6).alias(
+                "precision_k"
+            ),
+            F.when(F.coalesce(F.col("n_rel"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_rel"), 6))
+            .alias("recall_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.when(F.coalesce(F.col("n_rel"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6))
+            .alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    in_list = ", ".join(str(p) for p in _EVAL_PROBES)
+    return f"""
+    WITH probes AS (
+        SELECT doc_id AS probe_id, lang, source,
+               string_split(trim(text), ' ') AS ptoks
+        FROM documents WHERE doc_id IN ({in_list})
+    ),
+    probe_terms AS (
+        SELECT DISTINCT probe_id, unnest(ptoks) AS term FROM probes
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN (SELECT DISTINCT term FROM probe_terms)
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+               avgdl
+        FROM df CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT pt.probe_id, tf.doc_id,
+               round(sum(idf * (tf * ({BM25_K1} + 1.0))
+                         / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                              + {BM25_B} * dl.dl / avgdl))), 6)
+                   AS score
+        FROM tf
+        JOIN probe_terms pt USING (term)
+        JOIN idf USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        WHERE tf.doc_id <> pt.probe_id
+        GROUP BY pt.probe_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT probe_id, doc_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored QUALIFY rank <= {_EVAL_K}
+    ),
+    psets AS (
+        SELECT probe_id, list_distinct(ptoks) AS pset FROM probes
+    ),
+    dsets AS (
+        SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS dset
+        FROM documents
+    ),
+    rel AS (
+        SELECT p.probe_id, d.doc_id
+        FROM dsets d CROSS JOIN psets p
+        WHERE d.doc_id <> p.probe_id
+          AND len(list_intersect(d.dset, p.pset))::DOUBLE
+              / len(list_distinct(list_concat(d.dset, p.pset)))
+              >= {_EVAL_REL_JACCARD}
+    ),
+    n_rel AS (
+        SELECT probe_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1
+    ),
+    per_probe AS (
+        SELECT r.probe_id,
+               count(*)::BIGINT AS n_retrieved,
+               count(rl.doc_id)::BIGINT AS hits,
+               min(CASE WHEN rl.doc_id IS NOT NULL THEN r.rank END) AS first_rel,
+               sum(CASE WHEN rl.doc_id IS NOT NULL
+                        THEN 1.0 / log2(r.rank + 1.0) END) AS dcg
+        FROM ranked r
+        LEFT JOIN rel rl ON r.probe_id = rl.probe_id AND r.doc_id = rl.doc_id
+        GROUP BY r.probe_id
+    )
+    SELECT p.probe_id,
+           coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+           coalesce(pp.n_retrieved, 0)::BIGINT AS n_retrieved,
+           coalesce(pp.hits, 0)::BIGINT AS hits,
+           round(coalesce(pp.hits, 0) / {_EVAL_K}.0, 6) AS precision_k,
+           CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+                ELSE round(coalesce(pp.hits, 0)::DOUBLE / n.n_rel, 6)
+           END AS recall_k,
+           round(coalesce(1.0 / pp.first_rel, 0.0), 6) AS mrr,
+           CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+                ELSE round(
+                    coalesce(pp.dcg, 0.0)
+                    / list_sum(list_transform(
+                          generate_series(1, greatest(least({_EVAL_K}, n.n_rel), 1)),
+                          i -> 1.0 / log2(i + 1.0))), 6)
+           END AS ndcg
+    FROM probes p
+    LEFT JOIN n_rel n USING (probe_id)
+    LEFT JOIN per_probe pp USING (probe_id)
+    ORDER BY p.probe_id
+"""
+
+
 # pytest-gated (driver registry is shaped to the 50-row cap):
-# tests/test_text_rank.py runs all three against their DuckDB oracles.
+# tests/test_text_rank.py runs all four against their DuckDB oracles.
 PYTEST_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_rank": bm25_rank,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "retrieval_eval_bm25": retrieval_eval_bm25,
 }
 PYTEST_ORACLES = {
     "tfidf_top_terms": _TFIDF_ORACLE,
     "bm25_rank": _bm25_oracle(),
     "hybrid_search_rrf": _hybrid_oracle(),
+    "retrieval_eval_bm25": _retrieval_eval_oracle(),
 }
 
 

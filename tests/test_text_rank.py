@@ -78,3 +78,27 @@ def test_ranking_plans_take_ordered(spark):
     # one TakeOrdered per ranking: lexical leg, vector leg, fused final
     assert plan.count("TakeOrderedAndProject") == 3, plan
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_retrieval_eval_metric_invariants(spark):
+    """Beyond hash equality: the metric algebra must hold row-wise —
+    bounds, hits ≤ min(k, n_rel), precision = hits/k, MRR/nDCG zero iff
+    hits zero — and the fixture must exercise every branch (a partial
+    probe with 0 < ndcg < 1, a saturated probe, and an n_rel = 0 probe;
+    the degenerate labelings this op replaced measured all-zero)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_rank import (
+        _EVAL_K,
+        retrieval_eval_bm25,
+    )
+
+    rows = retrieval_eval_bm25(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r.precision_k <= 1.0 and 0.0 <= r.recall_k <= 1.0
+        assert 0.0 <= r.mrr <= 1.0 and 0.0 <= r.ndcg <= 1.0
+        assert r.hits <= min(_EVAL_K, r.n_rel)
+        assert r.precision_k == round(r.hits / _EVAL_K, 6)
+        assert (r.mrr == 0.0) == (r.hits == 0)
+        assert (r.ndcg == 0.0) == (r.hits == 0)
+    assert any(0.0 < r.ndcg < 1.0 for r in rows), "partial branch"
+    assert any(r.ndcg == 1.0 and r.hits == _EVAL_K for r in rows), "saturated"
+    assert any(r.n_rel == 0 for r in rows), "empty-relevant branch"
