@@ -377,10 +377,11 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
-    # the fixed round count is what makes this oracle possible: unroll
-    # each synchronous round as its own CTE (recursive CTEs cannot
-    # aggregate over the working table)
+def _lpa_label_ctes(rounds: int = LPA_ROUNDS) -> list[str]:
+    # the fixed round count is what makes these oracles possible:
+    # unroll each synchronous round as its own CTE (recursive CTEs
+    # cannot aggregate over the working table); shared by the
+    # communities and modularity oracles so both replay THE SAME rounds
     ctes = ["lab0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"]
     for r in range(1, rounds + 1):
         ctes.append(
@@ -395,9 +396,13 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
         WHERE rk = 1
     )"""
         )
+    return ctes
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     return f"""
     WITH {EDGES_CTE},
-    {', '.join(ctes)},
+    {', '.join(_lpa_label_ctes(rounds))},
     full_lab AS (
         SELECT c.c_custkey AS id,
                coalesce(l.label, c.c_custkey) AS community_id
@@ -414,6 +419,110 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
 
 
 _LPA_ORACLE = _lpa_oracle()
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community assignment — the quality
+    scalar that turns ``graph_communities`` from "labels converged"
+    into "the partition is measurably better than random" →
+    one row (n_communities, n_intra_edges, modularity).
+
+    Q = Σ_c [ E_c/2m − (deg_c/2m)² ] over the SYMMETRIC edge list
+    (2m = directed edge count, E_c = directed intra-community edges,
+    deg_c = degree mass of c) — Newman & Girvan 2004, eq. 5.  Zero-
+    degree singleton communities contribute exactly 0, so they are
+    counted in n_communities but need no term.
+
+    Scale shape: two id-keyed joins of the |V|-row label frame onto the
+    edges (NO broadcast hint — labels scale with the graph, AQE decides,
+    same rationale as graph_assortativity), two map-side-combinable
+    label aggs, and a broadcast one-row 2m aggregate; the final Q is a
+    sum over the bounded community table.  LPA rounds themselves are
+    the shared ``lpa_labels`` loop (one shuffle per round)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    cu = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    n = cu.count()
+    with scoped_shuffle_partitions(spark, n):
+        labels = _materialize(lpa_labels(edges))
+        full = cu.join(labels, "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("community_id")
+        )
+        m2 = edges.agg(F.count("*").cast("double").alias("m2"))
+        lab_src = full.select(F.col("id").alias("src"), F.col("community_id").alias("c_src"))
+        lab_dst = full.select(F.col("id").alias("dst"), F.col("community_id").alias("c_dst"))
+        intra = (
+            edges.join(lab_src, "src")
+            .join(lab_dst, "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .groupBy(F.col("c_src").alias("community_id"))
+            .agg(F.count("*").cast("long").alias("e_c"))
+        )
+        deg_c = (
+            degrees(edges)
+            .join(full, "id")
+            .groupBy("community_id")
+            .agg(F.sum("degree").cast("double").alias("deg_c"))
+        )
+        contrib = (
+            deg_c.join(intra, "community_id", "left")
+            .select(
+                F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+                "deg_c",
+            )
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "e_c",
+                (F.col("e_c") / F.col("m2") - (F.col("deg_c") / F.col("m2")) ** 2).alias("q"),
+            )
+        )
+        n_comm = full.agg(
+            F.countDistinct("community_id").cast("long").alias("n_communities")
+        )
+        return contrib.agg(
+            F.sum("e_c").cast("long").alias("n_intra_edges"),
+            F.round(F.sum("q"), 6).alias("modularity"),
+        ).crossJoin(F.broadcast(n_comm)).select(
+            "n_communities", "n_intra_edges", "modularity"
+        )
+
+
+def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return f"""
+    WITH {EDGES_CTE},
+    {', '.join(_lpa_label_ctes(rounds))},
+    full_lab AS (
+        SELECT c.c_custkey AS id,
+               coalesce(l.label, c.c_custkey) AS community_id
+        FROM customer c LEFT JOIN lab{rounds} l ON l.id = c.c_custkey
+    ),
+    m2 AS (SELECT count(*)::DOUBLE AS m2 FROM e),
+    intra AS (
+        SELECT ls.community_id, count(*)::BIGINT AS e_c
+        FROM e
+        JOIN full_lab ls ON e.src = ls.id
+        JOIN full_lab ld ON e.dst = ld.id
+        WHERE ls.community_id = ld.community_id
+        GROUP BY 1
+    ),
+    deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+    deg_c AS (
+        SELECT f.community_id, sum(deg.degree)::DOUBLE AS deg_c
+        FROM deg JOIN full_lab f USING (id) GROUP BY 1
+    ),
+    contrib AS (
+        SELECT coalesce(i.e_c, 0) AS e_c,
+               coalesce(i.e_c, 0) / m2.m2 - (d.deg_c / m2.m2) ^ 2 AS q
+        FROM deg_c d LEFT JOIN intra i USING (community_id) CROSS JOIN m2
+    )
+    SELECT (SELECT count(DISTINCT community_id) FROM full_lab)::BIGINT
+               AS n_communities,
+           sum(e_c)::BIGINT AS n_intra_edges,
+           round(sum(q), 6) AS modularity
+    FROM contrib
+"""
+
+
+_MODULARITY_ORACLE = _modularity_oracle()
 
 
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,6 +1089,7 @@ PYTEST_QUERIES = {
     "graph_ppr_seeded": ppr_customers,
     "graph_components": graph_components,
     "graph_communities": graph_communities,
+    "graph_modularity": graph_modularity,
     "graph_bfs_distances": graph_bfs_distances,
     "graph_kcore": graph_kcore,
     "graph_sssp_weighted": graph_sssp_weighted,
@@ -990,6 +1100,7 @@ PYTEST_ORACLES = {
     "triangle_count": _TRIANGLE_ORACLE,
     "graph_components": _COMPONENTS_ORACLE,
     "graph_communities": _LPA_ORACLE,
+    "graph_modularity": _MODULARITY_ORACLE,
     "graph_bfs_distances": _BFS_ORACLE,
     "graph_assortativity": _ASSORTATIVITY_ORACLE,
 }
