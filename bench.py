@@ -179,6 +179,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.text_rank import (
         PYTEST_QUERIES as RANK_PYTEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.streaming.ingest import (
+        QUERIES as INGEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
@@ -398,7 +401,7 @@ def main() -> int:
 
     families: list[tuple[str, dict]] = [
         ("registry", registry),
-        ("streaming", _not_in_registry(dict(STREAMING_QUERIES))),
+        ("streaming", _not_in_registry({**STREAMING_QUERIES, **INGEST_QUERIES})),
         ("ann", _not_in_registry(ann_family)),
         ("multimodal", _not_in_registry(dict(MM_PYTEST_QUERIES))),
         (
