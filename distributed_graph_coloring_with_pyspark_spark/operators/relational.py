@@ -1842,9 +1842,131 @@ _ENTITY_MATCH_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# Column profiler (r9): the PROFILING side of data quality, next to
+# dq_expectations' VALIDATION side — per-column null/cardinality/range
+# stats a warehouse or curation pipeline records before trusting a load.
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+_PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+_PROFILE_TS_COLS = ("l_shipdate",)
+_PROFILE_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the fact table → one row per column:
+    (column, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str) — numeric columns fill the _num fields (rounded 6),
+    string/timestamp columns the _str fields (timestamps formatted,
+    UTC session).
+
+    Scale shape: ONE scan — every per-column aggregate lives in a
+    single ``agg`` (count/min/max are map-side-combinable; the multiple
+    exact countDistinct aggregates plan through Spark's expand, which
+    is the price of exactness — at 100 TB swap them for
+    ``approx_count_distinct``, the same sketch trade
+    approx_distinct_users already registers).  The per-column rows are
+    then exploded from the one-row result with zero further scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+
+    def entry(c: str) -> Column:
+        if c in _PROFILE_NUM_COLS:
+            mn = F.round(F.col(f"mn_{c}").cast("double"), 6)
+            mx = F.round(F.col(f"mx_{c}").cast("double"), 6)
+            ms = F.lit(None).cast("string")
+            xs = F.lit(None).cast("string")
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+            if c in _PROFILE_TS_COLS:
+                ms = F.date_format(F.col(f"mn_{c}"), _PROFILE_TS_FMT)
+                xs = F.date_format(F.col(f"mx_{c}"), _PROFILE_TS_FMT)
+            else:
+                ms = F.col(f"mn_{c}")
+                xs = F.col(f"mx_{c}")
+        return F.struct(
+            F.lit(c).alias("column"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+            ms.alias("min_str"),
+            xs.alias("max_str"),
+        )
+
+    cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+    return (
+        one.select(
+            "n_rows", F.explode(F.array(*[entry(c) for c in cols])).alias("p")
+        )
+        .select(
+            F.col("p.column").alias("column"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "p.n_nulls",
+            "p.n_distinct",
+            "p.min_num",
+            "p.max_num",
+            "p.min_str",
+            "p.max_str",
+        )
+        .orderBy("column")
+    )
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               round(min({c})::DOUBLE, 6) AS min_num,
+               round(max({c})::DOUBLE, 6) AS max_num,
+               NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        FROM lineitem""")
+    for c in _PROFILE_STR_COLS:
+        parts.append(f"""
+        SELECT '{c}', count(*)::BIGINT, (count(*) - count({c}))::BIGINT,
+               count(DISTINCT {c})::BIGINT,
+               NULL::DOUBLE, NULL::DOUBLE, min({c}), max({c})
+        FROM lineitem""")
+    for c in _PROFILE_TS_COLS:
+        parts.append(f"""
+        SELECT '{c}', count(*)::BIGINT, (count(*) - count({c}))::BIGINT,
+               count(DISTINCT {c})::BIGINT,
+               NULL::DOUBLE, NULL::DOUBLE,
+               strftime(min({c}), '%Y-%m-%d %H:%M:%S'),
+               strftime(max({c}), '%Y-%m-%d %H:%M:%S')
+        FROM lineitem""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+_PROFILE_ORACLE = _profile_oracle()
+
+
 # pytest-gated (driver registry capped at 50): same oracle contract,
 # enforced by tests/test_relational_extra.py.
 PYTEST_QUERIES = {
+    "profile_lineitem": profile_lineitem,
     "grouping_sets_order_stats": grouping_sets_order_stats,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -1869,6 +1991,7 @@ PYTEST_QUERIES = {
     "entity_name_match": entity_name_match,
 }
 PYTEST_ORACLES = {
+    "profile_lineitem": _PROFILE_ORACLE,
     "grouping_sets_order_stats": _GROUPING_SETS_ORACLE,
     "q6_forecast_revenue": _Q6_ORACLE,
     "q4_order_priority": _Q4_ORACLE,

@@ -1415,7 +1415,70 @@ def events_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # excluded from the oracled EXTRA registries, benched alongside them.
 SKETCH_QUERIES = {"events_hll_user_sketches": events_hll_user_sketches}
 
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic for ``events.user_id`` — the
+    measurement a pipeline takes BEFORE choosing between a plain
+    shuffle join and the salted plan (``events_user_join_salted`` /
+    ``events_type_stats_salted`` are the treatments; this is the
+    diagnosis) → one row:
+
+        (n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+         skew_ratio, top1_share_pct, hottest_key)
+
+    skew_ratio = max/avg per-key rows; top1_share_pct = the hottest
+    key's share of all rows (the broadcast-vs-salt decision number);
+    hottest_key ties break to the smallest key.
+
+    Scale shape: one map-side-combinable (key → count) aggregation,
+    then ONE aggregate over the key-count table (percentiles exact here
+    to stay oracle-matched; at 100 TB swap to percentile_approx and
+    the key table never materializes beyond its own shuffle).  The
+    hottest key rides the same aggregate as a max_by-style struct max —
+    no second pass, no driver collect."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_key_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.round(100.0 * F.max("cnt") / F.sum("cnt"), 4).alias("top1_share_pct"),
+        # struct max orders by (cnt, -user_id): max count, min key on ties
+        F.max(F.struct(F.col("cnt"), (-F.col("user_id")).alias("nk")))["nk"]
+        .cast("long")
+        .alias("neg_hottest"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "p50_key_rows",
+        "p99_key_rows",
+        "skew_ratio",
+        "top1_share_pct",
+        (-F.col("neg_hottest")).cast("long").alias("hottest_key"),
+    )
+
+
+_KEY_SKEW_ORACLE = """
+    WITH per_key AS (
+        SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    )
+    SELECT sum(cnt)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_keys,
+           max(cnt)::BIGINT AS max_key_rows,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_key_rows,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_key_rows,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+           round(100.0 * max(cnt) / sum(cnt), 4) AS top1_share_pct,
+           (-max(struct_pack(c := cnt, nk := -user_id)).nk)::BIGINT AS hottest_key
+    FROM per_key
+"""
+
+
 EXTRA_QUERIES = {
+    "events_key_skew_report": events_key_skew_report,
     "events_value_quantiles_approx": events_value_quantiles_approx,
     "events_latest_snapshot": events_latest_snapshot,
     "events_scd2_intervals": events_scd2_intervals,
@@ -1427,6 +1490,7 @@ EXTRA_QUERIES = {
     "events_user_join_salted": events_user_join_salted,
 }
 EXTRA_ORACLES = {
+    "events_key_skew_report": _KEY_SKEW_ORACLE,
     "events_value_quantiles_approx": _QUANTILES_APPROX_ORACLE,
     "events_latest_snapshot": _LATEST_SNAPSHOT_ORACLE,
     "events_scd2_intervals": _SCD2_ORACLE,
