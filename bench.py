@@ -378,6 +378,11 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
         PYTEST_QUERIES as CURATION_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.operators.unigram_lm import (
+        PYTEST_QUERIES as UNIGRAM_QUERIES,
+        clear_unigram_cache,
+        unigram_model_cached,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.tokenizer import (
         PYTEST_QUERIES as TOKENIZER_QUERIES,
         bpe_model_cached,
@@ -389,6 +394,13 @@ def main() -> int:
         bpe_model_cached(spark, sf_dir)[1].write.format("noop").mode(
             "overwrite"
         ).save()
+        return None
+
+    def bench_unigram_train_build(spark, sf_dir):
+        # the unigram model is a bounded driver dict — training it IS
+        # the materialization, no noop write needed
+        clear_unigram_cache(spark)
+        unigram_model_cached(spark, sf_dir)
         return None
 
     registry = dict(entry_mod.queries())
@@ -419,7 +431,12 @@ def main() -> int:
         ("text_rank", _not_in_registry(dict(RANK_PYTEST_QUERIES))),
         (
             "tokenizer",
-            _not_in_registry({"bpe_train_build": bench_bpe_train_build, **TOKENIZER_QUERIES}),
+            _not_in_registry({
+                "bpe_train_build": bench_bpe_train_build,
+                **TOKENIZER_QUERIES,
+                "unigram_train_build": bench_unigram_train_build,
+                **UNIGRAM_QUERIES,
+            }),
         ),
         ("classifier", _not_in_registry(dict(CLS_PYTEST_QUERIES))),
         # the end-to-end funnel (r9): classifier gate → DSIR → exact +

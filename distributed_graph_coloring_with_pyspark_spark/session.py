@@ -85,6 +85,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         clear_shingle_cache,
     )
     from .operators.tokenizer import clear_bpe_cache
+    from .operators.unigram_lm import clear_unigram_cache
 
     released = {
         "customer_graph": clear_customer_graph_cache(spark),
@@ -95,6 +96,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "neardup_pairs": clear_neardup_pair_cache(spark),
         "e2e_index_dirs": clear_incremental_e2e_index(spark),
         "bpe_models": clear_bpe_cache(spark),
+        "unigram_models": clear_unigram_cache(spark),
         "tracked_frames": release_tracked(spark),
     }
     # Long-session hygiene (r6): iterative queries leave localCheckpoint
