@@ -182,6 +182,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.streaming.ingest import (
         QUERIES as INGEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.sources.corpus_io import (
+        QUERIES as CORPUS_IO_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
@@ -451,6 +454,7 @@ def main() -> int:
                 "compact_events": bench_compact_events,
                 "zorder_events": bench_zorder_events,
                 "delete_user_rows": bench_delete_user_rows,
+                **CORPUS_IO_QUERIES,
             },
         ),
     ]

@@ -852,6 +852,100 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average LOCAL clustering coefficient (Watts-Strogatz) of the
+    fixture graph — the per-vertex companion of ``triangle_stats``'
+    global transitivity ratio (the two famously disagree on skewed
+    graphs, which is why both are standard) → one row:
+    (n_vertices, n_eligible, avg_local_clustering, n_closed_vertices).
+
+    local_cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over vertices with
+    degree ≥ 2 (the eligible set; the average is over eligible vertices
+    only, the networkx/Watts-Strogatz convention).  Per-vertex triangle
+    counts reuse the degree-ordered oriented join — each triangle row
+    (a,b,c) is exploded to its three corners and hash-aggregated, so
+    the plan adds ONE explode + agg to the already-scale-safe triangle
+    plan (wedges stay closed-form from degrees)."""
+    edges = customer_graph_edges(spark, sf_dir)
+    deg = degrees(edges)
+    du = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    oriented = (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .filter(
+            (F.col("d_src") < F.col("d_dst"))
+            | ((F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    ab = oriented
+    bc = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = oriented.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri_corners = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("tri"))
+    )
+    per_vertex = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_corners, "id", "left")
+        .select(
+            "id",
+            (
+                2.0
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("cc"),
+        )
+    )
+    n_total = deg.agg(F.count("*").cast("long").alias("n_vertices"))
+    return (
+        per_vertex.agg(
+            F.count("*").cast("long").alias("n_eligible"),
+            F.round(F.avg("cc"), 6).alias("avg_local_clustering"),
+            F.sum((F.col("cc") > 0).cast("long")).cast("long").alias(
+                "n_closed_vertices"
+            ),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "n_vertices", "n_eligible", "avg_local_clustering", "n_closed_vertices"
+        )
+    )
+
+
+_LOCAL_CLUSTERING_ORACLE = f"""
+    WITH {EDGES_CTE},
+    o AS (SELECT src, dst FROM e WHERE src < dst),
+    deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY src),
+    tri AS (
+        SELECT a.src AS a, a.dst AS b, b.dst AS c
+        FROM o a JOIN o b ON a.dst = b.src JOIN o cc ON cc.src = a.src AND cc.dst = b.dst
+    ),
+    corners AS (
+        SELECT id, count(*)::BIGINT AS tri FROM (
+            SELECT a AS id FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri
+        ) GROUP BY id
+    ),
+    per_vertex AS (
+        SELECT d.id,
+               2.0 * coalesce(corners.tri, 0) / (d.degree * (d.degree - 1)) AS cc
+        FROM deg d LEFT JOIN corners USING (id)
+        WHERE d.degree >= 2
+    )
+    SELECT (SELECT count(*) FROM deg)::BIGINT AS n_vertices,
+           count(*)::BIGINT AS n_eligible,
+           round(avg(cc), 6) AS avg_local_clustering,
+           sum((cc > 0)::BIGINT)::BIGINT AS n_closed_vertices
+    FROM per_vertex
+"""
+
+
 _TRIANGLE_ORACLE = f"""
     WITH {EDGES_CTE},
     o AS (SELECT src, dst FROM e WHERE src < dst),
@@ -1090,6 +1184,7 @@ PYTEST_QUERIES = {
     "graph_components": graph_components,
     "graph_communities": graph_communities,
     "graph_modularity": graph_modularity,
+    "graph_local_clustering": graph_local_clustering,
     "graph_bfs_distances": graph_bfs_distances,
     "graph_kcore": graph_kcore,
     "graph_sssp_weighted": graph_sssp_weighted,
@@ -1101,6 +1196,7 @@ PYTEST_ORACLES = {
     "graph_components": _COMPONENTS_ORACLE,
     "graph_communities": _LPA_ORACLE,
     "graph_modularity": _MODULARITY_ORACLE,
+    "graph_local_clustering": _LOCAL_CLUSTERING_ORACLE,
     "graph_bfs_distances": _BFS_ORACLE,
     "graph_assortativity": _ASSORTATIVITY_ORACLE,
 }
