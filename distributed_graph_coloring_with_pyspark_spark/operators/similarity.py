@@ -781,7 +781,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_rerank(_ivf_probes(emb, cents), corpus)
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    vectors: DataFrame | None = None,
+) -> int:
     """Materialize the IVF inverted file as a PERSISTED index: assign
     every corpus vector to its cell and write cell-partitioned parquet
     (``index_path/cell=N/``).  This is the train-once/serve-many layout
@@ -789,14 +794,47 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
     physical partition key, so queries prune unprobed cells at the
     parquet source instead of scanning-then-filtering.  One corpus scan,
     one shuffle-free write (partitionBy on the computed column); driver
-    state stays K×DIM centroid floats.  Returns the number of cells."""
+    state stays K×DIM centroid floats.  Returns the number of cells.
+
+    ``vectors`` overrides the indexed frame (default: the whole
+    embeddings table) — the quantizer is ALWAYS the session's memoized
+    corpus-trained centroids, so a partial build plus later
+    ``ivf_index_add`` batches equals the full build file-for-row."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_centroids(spark, sf_dir, emb)
-    corpus = emb.select(
+    corpus = (vectors if vectors is not None else emb).select(
         "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
     )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     return len(cents)
+
+
+def ivf_index_add(
+    spark: SparkSession, sf_dir: str, index_path: str, new_vectors: DataFrame
+) -> int:
+    """INCREMENTAL index maintenance: assign a batch of new vectors
+    under the index's FIXED quantizer and append them to their cell
+    partitions — the serving-path ingest that avoids rebuilding the
+    inverted file per arrival (the IVF analogue of the MinHash index's
+    ``dedup_incremental`` half).  Append cost ∝ batch size: one batch
+    scan, K-literal cell scoring, a partitioned append touching only
+    the batch's cells.  Queries are unchanged and immediately see the
+    new vectors (``ann_ivf_topk_indexed`` result-identity with a
+    from-scratch full build is pinned by tests/test_ivf_index.py).
+
+    The quantizer is deliberately NOT retrained per batch: centroid
+    drift under distribution shift degrades cell balance, not
+    correctness (assignment stays nearest-cell), and the production
+    answer is periodic re-train + rebuild — the same compaction story
+    ``build_minhash_index`` documents for hot buckets.  Returns the
+    number of rows appended."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    assigned = new_vectors.select(
+        "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+    return new_vectors.count()
 
 
 def ann_ivf_topk_indexed(

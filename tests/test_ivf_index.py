@@ -40,3 +40,39 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert got  # non-empty
 
     S.clear_ivf_cache(spark)
+
+
+def test_ivf_index_incremental_add_equals_full_build(spark, tmp_path):
+    """Partial build + ivf_index_add batches must equal a from-scratch
+    full build row-for-row (same session quantizer), and the indexed
+    query over the incrementally-maintained index must equal the
+    non-indexed ann_ivf_topk answer."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(5)) != 0)
+    batch1 = emb.filter(F.pmod("vec_id", F.lit(5)) == 0).filter(
+        F.col("vec_id") % 2 == 0
+    )
+    batch2 = emb.filter(F.pmod("vec_id", F.lit(5)) == 0).filter(
+        F.col("vec_id") % 2 != 0
+    )
+
+    incr = str(tmp_path / "ivf_incr")
+    full = str(tmp_path / "ivf_full")
+    S.build_ivf_index(spark, SF, incr, vectors=base)
+    n1 = S.ivf_index_add(spark, SF, incr, batch1)
+    n2 = S.ivf_index_add(spark, SF, incr, batch2)
+    assert n1 + n2 == emb.count() - base.count() > 0
+
+    S.build_ivf_index(spark, SF, full)
+    rows_incr = sorted(tuple(r) for r in spark.read.parquet(incr).collect())
+    rows_full = sorted(tuple(r) for r in spark.read.parquet(full).collect())
+    assert rows_incr == rows_full  # same rows, same cells
+
+    got = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, incr).collect()]
+    want = [tuple(r) for r in S.ann_ivf_topk(spark, SF).collect()]
+    assert got == want
+    S.clear_ivf_cache(spark)
