@@ -189,6 +189,7 @@ def main() -> int:
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
         ann_ivf_topk_indexed,
+        ann_recall_report,
         build_ivf_index,
     )
     from distributed_graph_coloring_with_pyspark_spark.session import (
@@ -257,6 +258,7 @@ def main() -> int:
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
+    ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup
     # queries read one persisted pair table, so their warm medians are

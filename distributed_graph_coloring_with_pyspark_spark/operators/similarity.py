@@ -1639,6 +1639,56 @@ _CONTAMINATION_EMB_ORACLE = f"""
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of every ANN tier against the oracle-checked exact KNN,
+    as a QUERYABLE surface → one row per method:
+    (method, k, n_probes, recall) — the measurement the pytest recall
+    gates make, productized (the number an operator watches when tuning
+    nprobe/bands, the vector twin of ``retrieval_eval_bm25``).
+
+    Pure composition: each tier's top-k frame (already per-probe-ranked
+    by the shared ``_topk_per_probe`` tail) semi-joins the exact
+    neighbor set on (probe_id, neighbor_id); recall = matched /
+    (n_probes·K).  Everything downstream of the four retrievals is
+    |probes|·K rows.  Not SQL-expressible (the ANN tiers are
+    bucketed/probabilistic by design) — gated by the existing recall
+    tests plus the report-vs-gates consistency check in
+    tests/test_similarity_extra.py."""
+    exact = persist_tracked(
+        spark,
+        knn_exact_topk(spark, sf_dir).select(
+            "probe_id", F.col("neighbor_id").alias("exact_id")
+        ),
+    )
+    n_pairs = exact.count()  # n_probes × K (bounded)
+    tiers = {
+        "hyperplane_lsh": ann_hyperplane_topk,
+        "ivf": ann_ivf_topk,
+        "pq_adc": ann_pq_topk,
+    }
+    out = None
+    for name, fn in tiers.items():
+        tier = fn(spark, sf_dir).select(
+            F.col("probe_id").alias("t_probe"), F.col("neighbor_id").alias("t_nbr")
+        )
+        hits = (
+            tier.join(
+                exact,
+                (tier.t_probe == exact.probe_id) & (tier.t_nbr == exact.exact_id),
+                "left_semi",
+            )
+            .agg(F.count("*").alias("matched"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(_TOP_K).alias("k"),
+                F.lit(n_pairs // _TOP_K).cast("long").alias("n_probes"),
+                F.round(F.col("matched") / F.lit(n_pairs), 4).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("method")
+
+
 # embedding_pca_top carries a numpy oracle (eigensolve — not
 # SQL-expressible), so it appears in PYTEST_QUERIES without a DuckDB
 # entry, like the graph module's pagerank/SSSP; the three _lsh tiers

@@ -227,3 +227,33 @@ def test_contamination_flags_planted_eval_clone(spark, tmp_path):
     got = embedding_contamination(spark, str(tmp_path)).collect()
     assert [(r.train_vec_id, r.eval_vec_id) for r in got] == [(33, 30)]
     assert got[0].cos_sim == 1.0
+
+
+def test_ann_recall_report_consistent_with_gates(spark):
+    """The productized recall report must reproduce the recall the
+    pytest gates compute from the same frames, and every tier must sit
+    above its design floor on the graded fixture."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _TOP_K,
+        ann_recall_report,
+        knn_exact_topk,
+        ann_hyperplane_topk,
+    )
+
+    rows = {r.method: r for r in ann_recall_report(spark, SF).collect()}
+    assert set(rows) == {"hyperplane_lsh", "ivf", "pq_adc"}
+    exact = {
+        (r.probe_id, r.neighbor_id) for r in knn_exact_topk(spark, SF).collect()
+    }
+    lsh = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_hyperplane_topk(spark, SF).collect()
+    }
+    want = round(len(lsh & exact) / len(exact), 4)
+    assert rows["hyperplane_lsh"].recall == want
+    for r in rows.values():
+        assert r.k == _TOP_K and r.n_probes == len(exact) // _TOP_K
+        assert 0.0 <= r.recall <= 1.0
+    assert rows["hyperplane_lsh"].recall >= 0.9
+    assert rows["ivf"].recall >= 0.85
+    assert rows["pq_adc"].recall >= 0.85
