@@ -1581,6 +1581,10 @@ def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.pmod(F.col("vec_id"), F.lit(_DECON_EVAL_MOD)) == 0
     train = emb.filter(~is_eval)
     eval_rows = emb.filter(is_eval).collect()  # bounded: the eval suite
+    if not eval_rows:  # no holdout → nothing can be contaminated
+        return spark.createDataFrame(
+            [], "train_vec_id long, eval_vec_id long, cos_sim double"
+        )
     eval_rows.sort(key=lambda r: r.vec_id)  # ascending ids → np.argmax
     # (first max) realizes the min-eval-id tie-break for free
     E = np.array([r.x for r in eval_rows], dtype=np.float64)
