@@ -141,6 +141,11 @@ def test_release_session_caches_all_at_once(spark):
     )
 
     TK.bpe_model_cached(spark, "/root/testdata/sf0.001")  # trained-model memo
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        unigram_lm as UL,
+    )
+
+    UL.unigram_model_cached(spark, "/root/testdata/sf0.001")
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -151,6 +156,7 @@ def test_release_session_caches_all_at_once(spark):
         "neardup_pairs",
         "e2e_index_dirs",
         "bpe_models",
+        "unigram_models",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released
