@@ -1870,23 +1870,34 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     string/timestamp columns the _str fields (timestamps formatted,
     UTC session).
 
-    Scale shape: ONE scan — every per-column aggregate lives in a
-    single ``agg`` (count/min/max are map-side-combinable; the multiple
-    exact countDistinct aggregates plan through Spark's expand, which
-    is the price of exactness — at 100 TB swap them for
-    ``approx_count_distinct``, the same sketch trade
-    approx_distinct_users already registers).  The per-column rows are
-    then exploded from the one-row result with zero further scans."""
+    Scale shape: one WIDE scan computes every non-distinct stat in a
+    single map-side-combinable ``agg``; the exact cardinalities run as
+    one narrow column-pruned single-distinct aggregate PER COLUMN,
+    unioned and broadcast-joined back.  Putting all 11 countDistincts
+    into the wide agg instead planned through ONE Expand that
+    multiplied the fact table ×12 before any combine — measured 30.6 s
+    vs ~2 s for this shape at sf0.1.  The narrow scans each read one
+    column of a columnar format (ReadSchema is the single field), so
+    total bytes ≈ one full-table read; at 100 TB swap the distinct
+    union for ``approx_count_distinct`` inside the wide agg — the same
+    sketch trade approx_distinct_users registers — and the profiler is
+    one scan total."""
     li = _t(spark, sf_dir, "lineitem")
+    cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS:
+    for c in cols:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.min(c).alias(f"mn_{c}"),
             F.max(c).alias(f"mx_{c}"),
         ]
     one = li.agg(*aggs)
+    nd = None
+    for c in cols:
+        piece = li.select(F.col(c)).agg(
+            F.countDistinct(c).cast("long").alias("n_distinct")
+        ).select(F.lit(c).alias("column"), "n_distinct")
+        nd = piece if nd is None else nd.unionByName(piece)
 
     def entry(c: str) -> Column:
         if c in _PROFILE_NUM_COLS:
@@ -1906,14 +1917,12 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             F.lit(c).alias("column"),
             (F.col("n_rows") - F.col(f"nn_{c}")).cast("long").alias("n_nulls"),
-            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
             mn.alias("min_num"),
             mx.alias("max_num"),
             ms.alias("min_str"),
             xs.alias("max_str"),
         )
 
-    cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
     return (
         one.select(
             "n_rows", F.explode(F.array(*[entry(c) for c in cols])).alias("p")
@@ -1922,11 +1931,15 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.column").alias("column"),
             F.col("n_rows").cast("long").alias("n_rows"),
             "p.n_nulls",
-            "p.n_distinct",
             "p.min_num",
             "p.max_num",
             "p.min_str",
             "p.max_str",
+        )
+        .join(F.broadcast(nd), "column")
+        .select(
+            "column", "n_rows", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
         )
         .orderBy("column")
     )
