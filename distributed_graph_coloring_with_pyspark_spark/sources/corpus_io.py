@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 
 from .tables import load_table
 
-_N_JSONL_SHARDS = 8
+_N_JSONL_SHARDS = 8  # floor; actual count scales with the corpus
+_DOCS_PER_SHARD = 250_000  # target shard size — a fixed shard count
+# would funnel a 100 TB corpus through 8 writer tasks
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def _shard_count(n_docs: int) -> int:
+    return max(_N_JSONL_SHARDS, -(-n_docs // _DOCS_PER_SHARD))
 
 
 def export_corpus_jsonl(
@@ -39,12 +45,13 @@ def export_corpus_jsonl(
 
     out = out_dir or tempfile.mkdtemp(prefix="corpus_jsonl_")
     docs = load_table(spark, sf_dir, "documents")
+    n_shards = _shard_count(docs.count())
     sharded = docs.withColumn(
         "shard",
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_N_JSONL_SHARDS)).cast("int"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int"),
     )
     (
-        sharded.repartition(_N_JSONL_SHARDS, "shard")
+        sharded.repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .option("compression", "gzip")
