@@ -1548,8 +1548,11 @@ _DECON_EVAL_MOD = 10  # eval holdout = vec_id % 10 == 0 (deterministic)
 _DECON_THRESHOLD = _NEARDUP_THRESHOLD  # same similarity regime as the
 # near-dup pair tier: pairs at 0.45 are ~3.6σ events in this fixture,
 # so flagged rows are real planted/structural matches, not noise
-_DECON_EPS = 1e-6  # GEMM reassociation + 6-dp rounding slack, the same
-# margin _blocked_candidate_pairs uses before its exact re-score
+_DECON_EPS = 2e-6  # GEMM reassociation + 6-dp rounding slack, WIDER
+# than _blocked_candidate_pairs' 1e-6 because the top-1 tie-break runs
+# over emitted pairs only: an eval tying the argmax at 6 dp can sit up
+# to 1.5e-6 below τ (5e-7 rounding on the max + 1e-6 tie width) and
+# must still be emitted for the min-eval-id tie-break to see it
 
 
 def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,14 +1567,20 @@ def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmarks are thousands of rows, not corpus-sized), collected once
     and shipped inside the Arrow-batch closure exactly like the IVF
     centroid grid; the corpus makes ONE mapInPandas pass, each batch a
-    single float64 GEMM against the eval matrix emitting only candidate
-    train ids at threshold − ε.  Candidates (a vanishing fraction) are
-    re-scored with the sequential Catalyst ``cosine`` expression so
-    BLAS summation order never leaks into results — the committed
-    prefilter-then-exact-rescore discipline of
-    ``_blocked_candidate_pairs``.  No shuffle touches the corpus; the
-    only shuffle is the per-candidate top-1 window over
-    |candidates| × |eval| rows."""
+    single float64 GEMM against the eval matrix emitting CANDIDATE
+    PAIRS at threshold − ε.  Only those pairs are re-scored with the
+    sequential Catalyst ``cosine`` expression, so BLAS summation order
+    never leaks into results — the committed prefilter-then-exact-
+    rescore discipline of ``_blocked_candidate_pairs``.  Emitting pairs
+    (not flagged train ids) is load-bearing: the first cut of this
+    operator re-scored every candidate against the WHOLE eval frame and
+    measured 213×@10× (0.7 → 154 s — candidate × |eval| interpreted
+    cosines); the pair form is exact for the same reason the GEMM
+    prefilter is — a contaminated train doc's 6-dp argmax pair scores
+    ≥ τ − 5e-7 > τ − ε, so it is always in the emitted set — and the
+    rescore cost is the (rare) near-dup pair count.  No shuffle touches
+    the corpus; the only shuffle is the per-candidate top-1 window over
+    the emitted pairs."""
     import numpy as np
     import pandas as pd
 
@@ -1585,10 +1594,10 @@ def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "train_vec_id long, eval_vec_id long, cos_sim double"
         )
-    eval_rows.sort(key=lambda r: r.vec_id)  # ascending ids → np.argmax
-    # (first max) realizes the min-eval-id tie-break for free
+    eval_rows.sort(key=lambda r: r.vec_id)
     E = np.array([r.x for r in eval_rows], dtype=np.float64)
     E /= np.linalg.norm(E, axis=1, keepdims=True)
+    eval_ids = np.array([r.vec_id for r in eval_rows], dtype=np.int64)
     cut = _DECON_THRESHOLD - _DECON_EPS
 
     def prefilter(batches):
@@ -1597,21 +1606,32 @@ def embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
             X /= np.linalg.norm(X, axis=1, keepdims=True)
-            hit = (X @ E.T).max(axis=1) >= cut
-            if hit.any():
-                yield pd.DataFrame({"train_vec_id": pdf["vec_id"].to_numpy()[hit]})
+            ti, ei = np.where(X @ E.T >= cut)
+            if len(ti):
+                yield pd.DataFrame(
+                    {
+                        "train_vec_id": pdf["vec_id"].to_numpy()[ti],
+                        "eval_vec_id": eval_ids[ei],
+                    }
+                )
 
-    cand_ids = train.mapInPandas(prefilter, "train_vec_id long")
-    cand = train.join(
-        cand_ids, F.col("vec_id") == F.col("train_vec_id")
-    ).select("train_vec_id", F.col("x").alias("tx"))
+    cand_pairs = train.mapInPandas(
+        prefilter, "train_vec_id long, eval_vec_id long"
+    )
     eval_frame = emb.filter(is_eval).select(
         F.col("vec_id").alias("eval_vec_id"), F.col("x").alias("ex")
     )
-    scored = cand.crossJoin(F.broadcast(eval_frame)).select(
-        "train_vec_id",
-        "eval_vec_id",
-        F.round(cosine(F.col("tx"), F.col("ex")), 6).alias("cos_sim"),
+    scored = (
+        cand_pairs.join(
+            train.select(F.col("vec_id").alias("train_vec_id"), F.col("x").alias("tx")),
+            "train_vec_id",
+        )
+        .join(F.broadcast(eval_frame), "eval_vec_id")
+        .select(
+            "train_vec_id",
+            "eval_vec_id",
+            F.round(cosine(F.col("tx"), F.col("ex")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("train_vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("eval_vec_id").asc()
