@@ -257,3 +257,25 @@ def test_ann_recall_report_consistent_with_gates(spark):
     assert rows["hyperplane_lsh"].recall >= 0.9
     assert rows["ivf"].recall >= 0.85
     assert rows["pq_adc"].recall >= 0.85
+
+
+def test_contamination_plan_shape(spark):
+    """The decontamination scan must stay the designed plan: ONE
+    Arrow-batched python pass over the corpus (the GEMM prefilter) and
+    NO corpus × eval join before it — the id-emitting first cut that
+    re-scored every candidate against the whole eval frame measured
+    213× at 10× data, and this pin keeps that regression structural."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        embedding_contamination,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    import re
+
+    plan = plan_string(embedding_contamination(spark, SF))
+    # exactly one MapInPandas NODE (formatted plans print each node in
+    # the tree and again in the details section)
+    assert len(set(re.findall(r"MapInPandas \((\d+)\)", plan))) == 1
+    # the only joins are candidate-pair-sized: pairs->train equi-join
+    # and the broadcast eval-frame lookup (no corpus-wide cross join)
+    assert "CartesianProduct" not in plan
