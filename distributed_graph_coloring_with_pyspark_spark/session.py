@@ -75,6 +75,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
     from .cache import release_tracked
     from .operators.graph_bridge import clear_customer_graph_cache
     from .operators.similarity import (
+        clear_ann_topk_cache,
         clear_ivf_cache,
         clear_neardup_pair_cache,
         clear_pq_cache,
@@ -94,6 +95,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "shingles": clear_shingle_cache(spark),
         "jaccard_pairs": clear_pair_cache(spark),
         "neardup_pairs": clear_neardup_pair_cache(spark),
+        "ann_topk": clear_ann_topk_cache(spark),
         "e2e_index_dirs": clear_incremental_e2e_index(spark),
         "bpe_models": clear_bpe_cache(spark),
         "unigram_models": clear_unigram_cache(spark),

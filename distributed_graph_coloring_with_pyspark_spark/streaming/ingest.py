@@ -330,10 +330,12 @@ def streaming_neardup_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n = docs.count()
         step = -(-n // _N_CHUNKS)
-        bounds = [r["doc_id"] for r in docs.orderBy("doc_id").collect()][::step] + [
+        bounds = [
+            r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()
+        ][::step] + [
             None
-        ]  # n+1-th bound open; collect is test/bench-scale only — a
-        # production feed arrives pre-sliced
+        ]  # n+1-th bound open; the key-only collect is test/bench-scale
+        # only — a production feed arrives pre-sliced
         stream = (
             spark.readStream.schema(DOC_STREAM_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -347,6 +349,10 @@ def streaming_neardup_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
         q = w.start()
         try:
             for i in range(_N_CHUNKS):
+                if i >= len(bounds) - 1 or bounds[i] is None:
+                    break  # tiny corpus: fewer real slices than
+                    # _N_CHUNKS — stop instead of writing empty
+                    # arrival files through a null-comparison filter
                 lo = bounds[i]
                 hi = bounds[i + 1] if i + 1 < len(bounds) else None
                 chunk = docs.filter(F.col("doc_id") >= lo)
