@@ -703,3 +703,12 @@ PYTEST_ORACLES = {
     "multimodal_resize": _RESIZE_ORACLE,
     "multimodal_dedup_exact": _DEDUP_EXACT_BLOB_ORACLE,
 }
+
+# Round-10 rotation (VERDICT r9 #2): multimodal_frame_sample (fixed
+# per-blob frame arithmetic, long-green since r4; the mapInPandas
+# decode path stays driver-checked via multimodal_decode_features)
+# frees the driver row events_key_skew_report takes in
+# streaming/events.py — same oracle now runs at the
+# tests/test_multimodal_extra.py gate.
+PYTEST_QUERIES["multimodal_frame_sample"] = QUERIES.pop("multimodal_frame_sample")
+PYTEST_ORACLES["multimodal_frame_sample"] = ORACLES.pop("multimodal_frame_sample")

@@ -2335,3 +2335,10 @@ for _rot in ("supplier_distinct_parts",):
 for _rot in ("semi_customers_with_big_orders",):
     PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
     PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)
+
+# Round-10 rotation (VERDICT r9 #2): profile_lineitem — the one-pass
+# wide-agg column profiler, oracle-checked in pytest since r9 — gets
+# driver re-verification; it takes the row doc_fingerprints frees in
+# text_dedup.py (same oracle contract at the pytest gate there).
+QUERIES["profile_lineitem"] = PYTEST_QUERIES.pop("profile_lineitem")
+ORACLES["profile_lineitem"] = PYTEST_ORACLES.pop("profile_lineitem")

@@ -3514,3 +3514,11 @@ ORACLES["dsir_select"] = PYTEST_ORACLES.pop("dsir_select")
 # (tokenizer.py, hash-checked against a train-in-SQL DuckDB oracle).
 PYTEST_QUERIES["token_frequencies"] = QUERIES.pop("token_frequencies")
 PYTEST_ORACLES["token_frequencies"] = ORACLES.pop("token_frequencies")
+
+# Round-10 rotation (VERDICT r9 #2): doc_fingerprints (rolling-hash
+# fingerprints, long-green since r3; fingerprint coverage stays via
+# winnowing_fingerprints in the registry) frees the driver row
+# profile_lineitem takes in relational.py — same oracle now runs at
+# the tests/test_text_dedup_extra.py gate.
+PYTEST_QUERIES["doc_fingerprints"] = QUERIES.pop("doc_fingerprints")
+PYTEST_ORACLES["doc_fingerprints"] = ORACLES.pop("doc_fingerprints")

@@ -1605,6 +1605,13 @@ ORACLES["events_props_variant"] = EXTRA_ORACLES.pop("events_props_variant")
 EXTRA_QUERIES["user_funnel"] = QUERIES.pop("user_funnel")
 EXTRA_ORACLES["user_funnel"] = ORACLES.pop("user_funnel")
 
+# Round-10 rotation (VERDICT r9 #2): events_key_skew_report — the
+# two-agg skew diagnostic behind the salted-join treatments, DuckDB-
+# oracle-checked in pytest since r9 — gets driver re-verification; it
+# takes the row multimodal_frame_sample frees in multimodal.py.
+QUERIES["events_key_skew_report"] = EXTRA_QUERIES.pop("events_key_skew_report")
+ORACLES["events_key_skew_report"] = EXTRA_ORACLES.pop("events_key_skew_report")
+
 # DuckDB oracles for the pytest-gated streaming pipelines (see the
 # STREAMING_QUERIES note) — identical correctness contract to ORACLES,
 # enforced by tests/test_streaming_batch_equivalence.py instead of the

@@ -146,6 +146,7 @@ def test_release_session_caches_all_at_once(spark):
     )
 
     UL.unigram_model_cached(spark, "/root/testdata/sf0.001")
+    S.ann_topk_frame_cached(spark, SF, "ivf")  # r10 top-k artifact memo
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -154,6 +155,7 @@ def test_release_session_caches_all_at_once(spark):
         "shingles",
         "jaccard_pairs",
         "neardup_pairs",
+        "ann_topk",
         "e2e_index_dirs",
         "bpe_models",
         "unigram_models",
