@@ -42,7 +42,7 @@ corpus reaches training accuracy 1.0 (tests/test_classifier.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -248,6 +248,132 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_HOLDOUT_CUT = int(0.8 * 2**32)  # 80/20, salted md5 — no rand()
+
+
+def _held_out() -> Column:
+    """True for the ~20% evaluation slice: a pure function of
+    (salt, doc_id) via the md5-derived 32-bit hash, the exact
+    determinism contract of text_dedup's ``stratified_sample_split``
+    (reproducible run-to-run, engine-to-engine, layout-independent —
+    ``df.randomSplit`` gives none of those).  Salted independently of
+    the label so the split can't correlate with lang."""
+    h = _hash32_col(F.concat_ws(":", F.lit("cls_holdout"), F.col("doc_id")))
+    return h >= _HOLDOUT_CUT
+
+
+def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the quality gate on data it never trained on —
+    ONE row: (n_train, n_holdout, tp, fp, tn, fn, accuracy, auc).
+
+    ``classifier_eval``'s confusion table reports TRAINING-set fit;
+    the curation funnel's rank gate therefore documented that "a
+    15-step model is well-ordered before it is calibrated".  This
+    surface makes gate quality a measured number (VERDICT r9 #6):
+    train on the deterministic 80% split, score the held-out 20%,
+    report threshold accuracy (s > 0) and the exact ties-aware
+    Mann-Whitney AUC.
+
+    Scale shape (100 TB): the split flag is a stateless projection on
+    the SHARED persisted feature frame (one corpus pass serves train
+    AND holdout scoring, the r8 discipline); the confusion counts are
+    one map-side-combinable agg collapsed to 4 longs.  The AUC needs
+    neg-below-each-score prefix sums over the DISTINCT-SCORE frame —
+    computed with the same two-pass distributed scan ``_pack_manifest``
+    commits to (literal range cuts → per-bucket totals collect →
+    bucket-partitioned window + broadcast offsets), never a
+    single-partition global window.  Driver state: B+1 weights, 4
+    confusion longs, ≤par bucket offsets.
+
+    Engine-independence: counts are exact integers; accuracy and AUC
+    round to 4 dp.  Gated by the numpy reference (train + score + AUC
+    re-derived in pure python, tests/test_classifier.py) plus a
+    planted noisy-label test — same gate class as the PCA numpy
+    oracle; no SQL oracle because the GD-in-SQL chain retrains the
+    full corpus (classifier_eval keeps that hash gate)."""
+    from ..cache import persist_tracked
+
+    feats = persist_tracked(
+        spark, _feature_frame(spark, sf_dir).withColumn("held", _held_out())
+    )
+    train = feats.filter(~F.col("held"))
+    weights, _ = train_quality_classifier(spark, sf_dir, feats=train)
+    if not weights:
+        weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
+    n_train = train.count()  # cached scan; bounded result
+    hold = persist_tracked(
+        spark, _scored_frame(feats.filter("held"), weights).select("y", "s")
+    )
+    conf = hold.agg(
+        F.sum(((F.col("y") == 1) & (F.col("s") > 0)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("s") > 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 0) & (F.col("s") <= 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("y") == 1) & (F.col("s") <= 0)).cast("long")).alias("fn"),
+    ).collect()[0]  # 4 longs of driver state
+    tp, fp, tn, fn = conf["tp"] or 0, conf["fp"] or 0, conf["tn"] or 0, conf["fn"] or 0
+    n_hold, n_pos, n_neg = tp + fp + tn + fn, tp + fn, fp + tn
+
+    # distinct-score pos/neg histogram → neg-strictly-below prefix sums
+    g = persist_tracked(
+        spark,
+        hold.groupBy("s").agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        ),
+    )
+    n_scores = g.count()
+    par = spark.sparkContext.defaultParallelism
+    frac = min(1.0, (par * 20) / max(n_scores, 1))
+    sample = sorted(
+        r["s"] for r in g.select("s").sample(False, frac, 42).collect()
+    )
+    step = max(1, len(sample) // par)
+    cuts = sample[step::step][: par - 1]
+    if cuts:
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("s")))
+    else:
+        bucket = F.lit(0)
+    gb = g.withColumn("pid", bucket.cast("int"))
+    totals = sorted(
+        (r["pid"], r["tneg"])
+        for r in gb.groupBy("pid").agg(F.sum("neg").alias("tneg")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += int(tot)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy("s")
+    neg_below = (
+        F.col("off") + F.sum("neg").over(w) - F.col("neg")
+    )  # strictly-below negatives for every distinct score
+    num = gb.join(F.broadcast(off_df), "pid").select(
+        (
+            F.col("pos") * (neg_below.cast("double") + 0.5 * F.col("neg"))
+        ).alias("u")
+    )
+    auc_col = (
+        (F.coalesce(F.sum("u"), F.lit(0.0)) / F.lit(float(n_pos * n_neg)))
+        if n_pos and n_neg
+        else F.lit(None).cast("double")
+    )
+    return num.agg(
+        F.lit(int(n_train)).alias("n_train"),
+        F.lit(int(n_hold)).alias("n_holdout"),
+        F.lit(int(tp)).alias("tp"),
+        F.lit(int(fp)).alias("fp"),
+        F.lit(int(tn)).alias("tn"),
+        F.lit(int(fn)).alias("fn"),
+        F.round(F.lit((tp + tn) / n_hold if n_hold else None).cast("double"), 4).alias(
+            "accuracy"
+        ),
+        F.round(auc_col, 4).alias("auc"),
+    )
+
+
 def _eval_oracle(steps: int = _CLS_STEPS, lr: float = _CLS_LR) -> str:
     """Full DuckDB oracle for ``classifier_eval``: re-trains the same
     ``steps``-round gradient descent in generated SQL (the shared
@@ -266,4 +392,7 @@ def _eval_oracle(steps: int = _CLS_STEPS, lr: float = _CLS_LR) -> str:
 """
 
 
-PYTEST_QUERIES = {"classifier_eval": classifier_eval}
+PYTEST_QUERIES = {
+    "classifier_eval": classifier_eval,
+    "classifier_holdout_eval": classifier_holdout_eval,
+}

@@ -255,3 +255,118 @@ def test_classifier_eval_matches_duckdb_gd_oracle(spark):
     drows = con.sql(_eval_oracle()).fetchall()
     con.close()
     assert srows == drows
+
+
+def _ref_held(doc_id) -> bool:
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        _HOLDOUT_CUT,
+    )
+
+    h = int(hashlib.md5(f"cls_holdout:{doc_id}".encode()).hexdigest()[:8], 16)
+    return h >= _HOLDOUT_CUT
+
+
+def _ref_holdout_metrics(rows):
+    """Pure-python twin of classifier_holdout_eval: split, train on
+    the 80%, score the 20%, exact confusion + ties-aware pairwise AUC
+    (O(P·N) — fine at fixture scale)."""
+    train_rows = [r for r in rows if not _ref_held(r[0])]
+    hold_rows = [r for r in rows if _ref_held(r[0])]
+    X, y = _ref_features(train_rows)
+    w, _ = _ref_train(X, y, _CLS_STEPS, _CLS_LR)
+    Xh, yh = _ref_features(hold_rows)
+    scores = [sum(v * w[b] for b, v in feat.items()) for feat in Xh]
+    tp = sum(1 for s, yi in zip(scores, yh) if yi == 1 and s > 0)
+    fp = sum(1 for s, yi in zip(scores, yh) if yi == 0 and s > 0)
+    tn = sum(1 for s, yi in zip(scores, yh) if yi == 0 and s <= 0)
+    fn = sum(1 for s, yi in zip(scores, yh) if yi == 1 and s <= 0)
+    pos = [s for s, yi in zip(scores, yh) if yi == 1]
+    neg = [s for s, yi in zip(scores, yh) if yi == 0]
+    auc = (
+        sum((1.0 if p > n else 0.5 if p == n else 0.0) for p in pos for n in neg)
+        / (len(pos) * len(neg))
+        if pos and neg
+        else None
+    )
+    return {
+        "n_train": len(train_rows),
+        "n_holdout": len(hold_rows),
+        "tp": tp,
+        "fp": fp,
+        "tn": tn,
+        "fn": fn,
+        "accuracy": (tp + tn) / len(hold_rows) if hold_rows else None,
+        "auc": auc,
+    }
+
+
+def test_classifier_holdout_matches_numpy_reference(spark):
+    """The calibration surface vs the pure-python twin: integer fields
+    exact, accuracy/AUC to rounding tolerance (scores agree to float-
+    sum-order ulps, so pair orderings — and hence the exact pairwise
+    AUC — agree; only the 4-dp rounding boundary is slack)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        classifier_holdout_eval,
+    )
+
+    got = classifier_holdout_eval(spark, SF0001).collect()[0]
+    ref = _ref_holdout_metrics(_load_rows(SF0001))
+    for k in ("n_train", "n_holdout", "tp", "fp", "tn", "fn"):
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    assert abs(got["accuracy"] - ref["accuracy"]) < 1e-4
+    assert abs(got["auc"] - ref["auc"]) < 2e-4
+    # the split actually held: train + holdout partition the corpus
+    assert got["n_train"] + got["n_holdout"] == len(_load_rows(SF0001))
+
+
+def _write_planted(spark, tmp_path, flip_every: int | None):
+    """120-doc two-vocabulary corpus; optionally mislabel every
+    ``flip_every``-th doc of each domain (deterministic noise)."""
+    rows = []
+    for i in range(60):
+        lang = "fr" if flip_every and i % flip_every == 0 else "en"
+        rows.append((i, f"alpha beta gamma delta tag{i % 5}", lang))
+    for i in range(60):
+        lang = "en" if flip_every and i % flip_every == 0 else "fr"
+        rows.append((1000 + i, f"omega psi chi phi tag{i % 5}", lang))
+    df = spark.createDataFrame(
+        [(i, t, l, "src0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return rows
+
+
+def test_classifier_holdout_planted_clean_and_noisy(spark, tmp_path):
+    """Planted separable corpus: clean labels → holdout accuracy and
+    AUC hit 1.0 (the domains are disjoint vocabularies, so the split
+    can't leak).  Flipping every 5th label (20% symmetric noise) drags
+    accuracy toward ~0.8 while AUC stays at the score-ordering ceiling
+    the clean features impose — the measured difference between a gate
+    that ranks well and labels that lie, which is exactly what a
+    calibration row must expose.  Both runs cross-check the numpy twin
+    value-for-value."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        classifier_holdout_eval,
+    )
+
+    rows = _write_planted(spark, tmp_path / "clean", None)
+    got = classifier_holdout_eval(spark, str(tmp_path / "clean")).collect()[0]
+    ref = _ref_holdout_metrics(rows)
+    assert got["accuracy"] == 1.0 and got["auc"] == 1.0
+    for k in ("n_train", "n_holdout", "tp", "fp", "tn", "fn"):
+        assert got[k] == ref[k], (k, got[k], ref[k])
+
+    rows = _write_planted(spark, tmp_path / "noisy", 5)
+    got = classifier_holdout_eval(spark, str(tmp_path / "noisy")).collect()[0]
+    ref = _ref_holdout_metrics(rows)
+    for k in ("n_train", "n_holdout", "tp", "fp", "tn", "fn"):
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    assert abs(got["accuracy"] - ref["accuracy"]) < 1e-4
+    assert abs(got["auc"] - ref["auc"]) < 2e-4
+    # noise hurts threshold accuracy but can't invert a separable
+    # ranking: the flipped minority caps accuracy below the clean 1.0
+    assert 0.5 < got["accuracy"] < 1.0
+    assert got["auc"] < 1.0  # flipped holdout labels break perfect ordering

@@ -76,3 +76,63 @@ def test_ivf_index_incremental_add_equals_full_build(spark, tmp_path):
     want = [tuple(r) for r in S.ann_ivf_topk(spark, SF).collect()]
     assert got == want
     S.clear_ivf_cache(spark)
+
+
+def test_ivf_index_compaction_preserves_answers(spark, tmp_path):
+    """r10 (VERDICT r9 #7): the incremental-append lifecycle composed
+    with small-file compaction — ivf_index_add leaves one file per
+    (batch, cell) touched, so a long-lived serving index accretes
+    slivers; compact_parquet(partition_by=["cell"]) must shed them
+    while preserving (a) the stored rows byte-for-row, (b) the indexed
+    query answer, and (c) STATIC partition pruning on the compacted
+    layout — the same close-the-loop contract the MinHash index pins
+    in tests/test_maintenance_lifecycle.py."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        compact_parquet,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
+    incr = str(tmp_path / "ivf_incr")
+    S.build_ivf_index(spark, SF, incr, vectors=base)
+    # three single-batch appends → ≥3 extra files in the touched cells
+    for m in range(3):
+        S.ivf_index_add(
+            spark,
+            SF,
+            incr,
+            emb.filter(
+                (F.pmod("vec_id", F.lit(4)) == 0)
+                & (F.pmod(F.col("vec_id") / 4, F.lit(3)) == m)
+            ),
+        )
+
+    def n_files(root):
+        return len(glob.glob(f"{root}/cell=*/*.parquet"))
+
+    files_before = n_files(incr)
+    compacted = str(tmp_path / "ivf_compacted")
+    report = compact_parquet(
+        spark, incr, compacted, partition_by=["cell"]
+    ).collect()[0]
+    assert report["n_rows"] == emb.count()
+    assert n_files(compacted) < files_before  # slivers actually shed
+
+    rows_incr = sorted(tuple(r) for r in spark.read.parquet(incr).collect())
+    rows_comp = sorted(tuple(r) for r in spark.read.parquet(compacted).collect())
+    assert rows_comp == rows_incr  # content identity, cells preserved
+
+    got = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, compacted).collect()]
+    want = [tuple(r) for r in S.ann_ivf_topk(spark, SF).collect()]
+    assert got == want
+
+    # pruning survives the rewrite: probed-cell IN list still reaches
+    # the compacted parquet source as a PartitionFilter
+    plan = plan_string(S.ann_ivf_topk_indexed(spark, SF, compacted))
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
+    S.clear_ivf_cache(spark)
