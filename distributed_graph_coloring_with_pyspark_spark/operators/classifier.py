@@ -42,6 +42,8 @@ corpus reaches training accuracy 1.0 (tests/test_classifier.py).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,6 +213,94 @@ def train_quality_classifier(
             feats.unpersist(False)
 
 
+_HOLDOUT_CUT = int(0.8 * 2**32)  # 80/20, salted md5 — no rand()
+
+
+def _held_out() -> Column:
+    """True for the ~20% evaluation slice: a pure function of
+    (salt, doc_id) via the md5-derived 32-bit hash, the exact
+    determinism contract of text_dedup's ``stratified_sample_split``
+    (reproducible run-to-run, engine-to-engine, layout-independent —
+    ``df.randomSplit`` gives none of those).  Salted independently of
+    the label so the split can't correlate with lang."""
+    h = _hash32_col(F.concat_ws(":", F.lit("cls_holdout"), F.col("doc_id")))
+    return h >= _HOLDOUT_CUT
+
+
+# Session memo for the classifier family (VERDICT r10 #3) — the
+# _NEARDUP_PAIR_CACHE pattern: classifier_eval, classifier_holdout_eval
+# and the curation rank gate each used to build their own feature frame
+# (a full corpus pass) and run their own 15-step GD, so one bench
+# family paid for three trainings where one-per-split suffices.  Keys:
+#   ("feats", sf_dir)            → persisted feature frame (+held flag)
+#   ("weights", sf_dir, split)   → (weights, losses, n_trained)
+#   ("holdout_metrics", sf_dir)  → gate-quality scalars (see below)
+# Lifetime: clear_classifier_cache, wired into release_session_caches —
+# a cached frame strongly references its session, so explicit release
+# is the mechanism (cache.py's honesty note).  The non-frame entries
+# are bounded driver state: B+1 floats + T losses + a few longs.
+_CLS_SESSION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def feature_frame_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, y, bs, xs, held) feature frame, ONE per
+    (session, corpus).  The ``held`` flag is a stateless projection
+    (one boolean per row), so the full-corpus consumers carry it for
+    free and the holdout consumers filter on it — every classifier
+    surface shares this single corpus pass."""
+    per = _CLS_SESSION_CACHE.setdefault(spark, {})
+    df = per.get(("feats", sf_dir))
+    if df is None:
+        df = (
+            _feature_frame(spark, sf_dir)
+            .withColumn("held", _held_out())
+            .persist()
+        )
+        per[("feats", sf_dir)] = df
+    return df
+
+
+def trained_weights_cached(
+    spark: SparkSession, sf_dir: str, split: str = "full"
+) -> tuple[dict[int, float], list[float], int]:
+    """(weights, losses, n_trained) memoized per (session, corpus,
+    split).  ``split="full"`` trains on every document (classifier_eval
+    and the curation rank gate share these weights); ``"train80"``
+    trains on the ~80% non-held slice (the holdout calibration).  The
+    memoized value is bounded driver state, never a frame."""
+    if split not in ("full", "train80"):
+        raise ValueError(f"unknown split {split!r}")
+    per = _CLS_SESSION_CACHE.setdefault(spark, {})
+    key = ("weights", sf_dir, split)
+    hit = per.get(key)
+    if hit is None:
+        feats = feature_frame_cached(spark, sf_dir)
+        if split == "train80":
+            feats = feats.filter(~F.col("held"))
+        n = feats.count()  # cached scan; bounded result
+        weights, losses = train_quality_classifier(
+            spark, sf_dir, feats=feats
+        )
+        hit = (weights, losses, int(n))
+        per[key] = hit
+    return hit
+
+
+def clear_classifier_cache(spark: SparkSession) -> int:
+    """Unpersist and drop this session's classifier memo (feature
+    frames, trained weights, holdout metrics); returns entries
+    released.  Wired into ``release_session_caches``."""
+    per = _CLS_SESSION_CACHE.pop(spark, None)
+    if not per:
+        return 0
+    for key, val in per.items():
+        if key[0] == "feats":
+            val.unpersist(False)
+    return len(per)
+
+
 def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train on the corpus, score every document, and report the
     per-lang confusion summary: docs, predicted-target count, and the
@@ -218,17 +308,14 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner actually reads.  Integer counts make the surface
     robust to last-ulp float divergence; the probability is rounded.
 
-    ONE persisted feature frame serves both train and eval scoring —
-    one corpus pass, not two (ADVICE r8); rows survive for empty
-    documents (bias-only features), so every lang appears in the
-    table."""
-    from ..cache import persist_tracked
-
-    # tracked persist: the returned (lazy) DataFrame still reads the
-    # cached frame when the caller collects; release_session_caches
-    # reclaims it between bench families
-    feats = persist_tracked(spark, _feature_frame(spark, sf_dir))
-    weights, _ = train_quality_classifier(spark, sf_dir, feats=feats)
+    ONE session-memoized feature frame serves train and eval scoring —
+    and every other classifier surface in the session (the holdout
+    calibration, the curation rank gate): one corpus pass and one
+    full-split training per session, not one per consumer (VERDICT r10
+    #3).  Rows survive for empty documents (bias-only features), so
+    every lang appears in the table."""
+    feats = feature_frame_cached(spark, sf_dir)
+    weights, _, _ = trained_weights_cached(spark, sf_dir, "full")
     if not weights:  # empty corpus: nothing trained, nothing to score
         weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
     scored = _scored_frame(feats, weights)
@@ -248,18 +335,142 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-_HOLDOUT_CUT = int(0.8 * 2**32)  # 80/20, salted md5 — no rand()
+def holdout_metrics(spark: SparkSession, sf_dir: str) -> dict:
+    """Held-out gate-quality scalars, memoized per (session, corpus):
+    ``{n_train, n_holdout, tp, fp, tn, fn, accuracy, auc}`` with
+    accuracy/auc UNROUNDED floats (or None when a class is absent) —
+    presentation surfaces round.  Shared by ``classifier_holdout_eval``
+    and ``curation_pipeline_e2e``'s report row (VERDICT r10 #4), so the
+    funnel states the measured quality of the gate it applies without
+    re-paying the calibration.
 
+    Scale shape (100 TB): the split flag rides the SHARED session
+    feature frame (one corpus pass serves every classifier surface);
+    the confusion counts are one map-side-combinable agg collapsed to
+    4 longs.  The AUC needs neg-below-each-score prefix sums over the
+    DISTINCT-SCORE frame — computed with the same two-pass distributed
+    scan ``_pack_manifest`` commits to (literal range cuts → per-bucket
+    totals collect → bucket-partitioned window + broadcast offsets),
+    never a single-partition global window.  Driver state: B+1
+    weights, 4 confusion longs, ≤par bucket offsets.
 
-def _held_out() -> Column:
-    """True for the ~20% evaluation slice: a pure function of
-    (salt, doc_id) via the md5-derived 32-bit hash, the exact
-    determinism contract of text_dedup's ``stratified_sample_split``
-    (reproducible run-to-run, engine-to-engine, layout-independent —
-    ``df.randomSplit`` gives none of those).  Salted independently of
-    the label so the split can't correlate with lang."""
-    h = _hash32_col(F.concat_ws(":", F.lit("cls_holdout"), F.col("doc_id")))
-    return h >= _HOLDOUT_CUT
+    Tie structure: the AUC histogram groups the 6-dp-ROUNDED score
+    (the dsir_select rank-grid discipline) — grouping raw floats by
+    exact equality would let a last-ulp sum-order divergence between
+    engines change the tie structure, and gate_auc now feeds an
+    oracle-hashed funnel row.  A true score pair within ~1e-13 of the
+    1e-6 grid boundary is the only residual exposure, the same
+    accepted by every rounded-rank cut in the package.
+
+    Lifecycle (ADVICE r10): the scored-holdout and histogram persists
+    are PLAIN persists released before returning — everything they
+    back is collected into the returned scalars — so repeated calls
+    accumulate nothing; only the shared feature frame stays cached
+    (released by ``clear_classifier_cache``)."""
+    per = _CLS_SESSION_CACHE.setdefault(spark, {})
+    hit = per.get(("holdout_metrics", sf_dir))
+    if hit is not None:
+        return hit
+    feats = feature_frame_cached(spark, sf_dir)
+    weights, _, n_train = trained_weights_cached(spark, sf_dir, "train80")
+    if not weights:
+        weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
+    hold = (
+        _scored_frame(feats.filter("held"), weights)
+        .select("y", F.round("s", 6).alias("rs"), "s")
+        .persist()
+    )
+    g = None
+    try:
+        conf = hold.agg(
+            F.sum(((F.col("y") == 1) & (F.col("s") > 0)).cast("long")).alias(
+                "tp"
+            ),
+            F.sum(((F.col("y") == 0) & (F.col("s") > 0)).cast("long")).alias(
+                "fp"
+            ),
+            F.sum(((F.col("y") == 0) & (F.col("s") <= 0)).cast("long")).alias(
+                "tn"
+            ),
+            F.sum(((F.col("y") == 1) & (F.col("s") <= 0)).cast("long")).alias(
+                "fn"
+            ),
+        ).collect()[0]  # 4 longs of driver state
+        tp, fp = conf["tp"] or 0, conf["fp"] or 0
+        tn, fn = conf["tn"] or 0, conf["fn"] or 0
+        n_hold, n_pos, n_neg = tp + fp + tn + fn, tp + fn, fp + tn
+
+        # distinct-(rounded-)score pos/neg histogram → neg-strictly-
+        # below prefix sums via the two-pass bucket-partitioned scan
+        g = (
+            hold.groupBy(F.col("rs").alias("s"))
+            .agg(
+                F.sum("y").cast("long").alias("pos"),
+                F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+            )
+            .persist()
+        )
+        n_scores = g.count()
+        par = spark.sparkContext.defaultParallelism
+        frac = min(1.0, (par * 20) / max(n_scores, 1))
+        sample = sorted(
+            r["s"] for r in g.select("s").sample(False, frac, 42).collect()
+        )
+        step = max(1, len(sample) // par)
+        cuts = sample[step::step][: par - 1]
+        if cuts:
+            cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+            bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("s")))
+        else:
+            bucket = F.lit(0)
+        gb = g.withColumn("pid", bucket.cast("int"))
+        totals = sorted(
+            (r["pid"], r["tneg"])
+            for r in gb.groupBy("pid")
+            .agg(F.sum("neg").alias("tneg"))
+            .collect()
+        )
+        offsets, acc = [], 0
+        for pid, tot in totals:
+            offsets.append((pid, acc))
+            acc += int(tot)
+        off_df = spark.createDataFrame(
+            offsets or [(0, 0)], "pid int, off long"
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("pid").orderBy("s")
+        neg_below = (
+            F.col("off") + F.sum("neg").over(w) - F.col("neg")
+        )  # strictly-below negatives for every distinct score
+        u_row = (
+            gb.join(F.broadcast(off_df), "pid")
+            .select(
+                (
+                    F.col("pos")
+                    * (neg_below.cast("double") + 0.5 * F.col("neg"))
+                ).alias("u")
+            )
+            .agg(F.sum("u"))
+            .collect()[0]
+        )
+        u_sum = float(u_row[0]) if u_row[0] is not None else 0.0
+    finally:
+        if g is not None:
+            g.unpersist(False)
+        hold.unpersist(False)
+    hit = {
+        "n_train": int(n_train),
+        "n_holdout": int(n_hold),
+        "tp": int(tp),
+        "fp": int(fp),
+        "tn": int(tn),
+        "fn": int(fn),
+        "accuracy": (tp + tn) / n_hold if n_hold else None,
+        "auc": u_sum / (n_pos * n_neg) if n_pos and n_neg else None,
+    }
+    per[("holdout_metrics", sf_dir)] = hit
+    return hit
 
 
 def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,106 +482,28 @@ def classifier_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-step model is well-ordered before it is calibrated".  This
     surface makes gate quality a measured number (VERDICT r9 #6):
     train on the deterministic 80% split, score the held-out 20%,
-    report threshold accuracy (s > 0) and the exact ties-aware
-    Mann-Whitney AUC.
-
-    Scale shape (100 TB): the split flag is a stateless projection on
-    the SHARED persisted feature frame (one corpus pass serves train
-    AND holdout scoring, the r8 discipline); the confusion counts are
-    one map-side-combinable agg collapsed to 4 longs.  The AUC needs
-    neg-below-each-score prefix sums over the DISTINCT-SCORE frame —
-    computed with the same two-pass distributed scan ``_pack_manifest``
-    commits to (literal range cuts → per-bucket totals collect →
-    bucket-partitioned window + broadcast offsets), never a
-    single-partition global window.  Driver state: B+1 weights, 4
-    confusion longs, ≤par bucket offsets.
+    report threshold accuracy (s > 0) and the ties-aware Mann-Whitney
+    AUC (ties on the 6-dp score grid — see ``holdout_metrics``, which
+    holds all the distributed machinery and the 100 TB argument; this
+    surface is the one-row literal presentation of its scalars).
 
     Engine-independence: counts are exact integers; accuracy and AUC
     round to 4 dp.  Gated by the numpy reference (train + score + AUC
     re-derived in pure python, tests/test_classifier.py) plus a
     planted noisy-label test — same gate class as the PCA numpy
-    oracle; no SQL oracle because the GD-in-SQL chain retrains the
-    full corpus (classifier_eval keeps that hash gate)."""
-    from ..cache import persist_tracked
-
-    feats = persist_tracked(
-        spark, _feature_frame(spark, sf_dir).withColumn("held", _held_out())
-    )
-    train = feats.filter(~F.col("held"))
-    weights, _ = train_quality_classifier(spark, sf_dir, feats=train)
-    if not weights:
-        weights = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
-    n_train = train.count()  # cached scan; bounded result
-    hold = persist_tracked(
-        spark, _scored_frame(feats.filter("held"), weights).select("y", "s")
-    )
-    conf = hold.agg(
-        F.sum(((F.col("y") == 1) & (F.col("s") > 0)).cast("long")).alias("tp"),
-        F.sum(((F.col("y") == 0) & (F.col("s") > 0)).cast("long")).alias("fp"),
-        F.sum(((F.col("y") == 0) & (F.col("s") <= 0)).cast("long")).alias("tn"),
-        F.sum(((F.col("y") == 1) & (F.col("s") <= 0)).cast("long")).alias("fn"),
-    ).collect()[0]  # 4 longs of driver state
-    tp, fp, tn, fn = conf["tp"] or 0, conf["fp"] or 0, conf["tn"] or 0, conf["fn"] or 0
-    n_hold, n_pos, n_neg = tp + fp + tn + fn, tp + fn, fp + tn
-
-    # distinct-score pos/neg histogram → neg-strictly-below prefix sums
-    g = persist_tracked(
-        spark,
-        hold.groupBy("s").agg(
-            F.sum("y").cast("long").alias("pos"),
-            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
-        ),
-    )
-    n_scores = g.count()
-    par = spark.sparkContext.defaultParallelism
-    frac = min(1.0, (par * 20) / max(n_scores, 1))
-    sample = sorted(
-        r["s"] for r in g.select("s").sample(False, frac, 42).collect()
-    )
-    step = max(1, len(sample) // par)
-    cuts = sample[step::step][: par - 1]
-    if cuts:
-        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("s")))
-    else:
-        bucket = F.lit(0)
-    gb = g.withColumn("pid", bucket.cast("int"))
-    totals = sorted(
-        (r["pid"], r["tneg"])
-        for r in gb.groupBy("pid").agg(F.sum("neg").alias("tneg")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, tot in totals:
-        offsets.append((pid, acc))
-        acc += int(tot)
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("pid").orderBy("s")
-    neg_below = (
-        F.col("off") + F.sum("neg").over(w) - F.col("neg")
-    )  # strictly-below negatives for every distinct score
-    num = gb.join(F.broadcast(off_df), "pid").select(
-        (
-            F.col("pos") * (neg_below.cast("double") + 0.5 * F.col("neg"))
-        ).alias("u")
-    )
-    auc_col = (
-        (F.coalesce(F.sum("u"), F.lit(0.0)) / F.lit(float(n_pos * n_neg)))
-        if n_pos and n_neg
-        else F.lit(None).cast("double")
-    )
-    return num.agg(
-        F.lit(int(n_train)).alias("n_train"),
-        F.lit(int(n_hold)).alias("n_holdout"),
-        F.lit(int(tp)).alias("tp"),
-        F.lit(int(fp)).alias("fp"),
-        F.lit(int(tn)).alias("tn"),
-        F.lit(int(fn)).alias("fn"),
-        F.round(F.lit((tp + tn) / n_hold if n_hold else None).cast("double"), 4).alias(
-            "accuracy"
-        ),
-        F.round(auc_col, 4).alias("auc"),
+    oracle; the same numbers are additionally hash-checked through
+    ``curation_pipeline_e2e``'s gate_acc/gate_auc columns, whose
+    DuckDB oracle retrains the 80% split in SQL."""
+    m = holdout_metrics(spark, sf_dir)
+    return spark.range(1).select(
+        F.lit(m["n_train"]).alias("n_train"),
+        F.lit(m["n_holdout"]).alias("n_holdout"),
+        F.lit(m["tp"]).alias("tp"),
+        F.lit(m["fp"]).alias("fp"),
+        F.lit(m["tn"]).alias("tn"),
+        F.lit(m["fn"]).alias("fn"),
+        F.round(F.lit(m["accuracy"]).cast("double"), 4).alias("accuracy"),
+        F.round(F.lit(m["auc"]).cast("double"), 4).alias("auc"),
     )
 
 

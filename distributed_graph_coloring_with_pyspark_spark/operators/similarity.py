@@ -837,8 +837,12 @@ def ivf_index_add(
         # Materialize ONCE before the write: a non-deterministic input
         # (sample / limit / unordered head) would otherwise re-evaluate
         # between the append and the count, so the returned row count
-        # could disagree with what was written (ADVICE r9).  The write
-        # below reads the same cached rows the count froze.
+        # could disagree with what was written (ADVICE r9).  Best-
+        # effort freeze (ADVICE r10): the write reads the cached rows
+        # unless a cached partition is evicted/lost in between, in
+        # which case Spark recomputes it — a hard guarantee would need
+        # a checkpoint or counting the written files, not worth it for
+        # a convenience return value.
         n_added = assigned.count()
         assigned.write.mode("append").partitionBy("cell").parquet(index_path)
     finally:

@@ -73,6 +73,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
     import gc
 
     from .cache import release_tracked
+    from .operators.classifier import clear_classifier_cache
     from .operators.graph_bridge import clear_customer_graph_cache
     from .operators.similarity import (
         clear_ann_topk_cache,
@@ -99,6 +100,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "e2e_index_dirs": clear_incremental_e2e_index(spark),
         "bpe_models": clear_bpe_cache(spark),
         "unigram_models": clear_unigram_cache(spark),
+        "classifier": clear_classifier_cache(spark),
         "tracked_frames": release_tracked(spark),
     }
     # Long-session hygiene (r6): iterative queries leave localCheckpoint

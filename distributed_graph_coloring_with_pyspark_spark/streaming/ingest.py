@@ -329,7 +329,9 @@ def streaming_neardup_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         n = docs.count()
-        step = -(-n // _N_CHUNKS)
+        step = max(1, -(-n // _N_CHUNKS))  # n == 0 → step 1, not a
+        # zero slice stride (ADVICE r10); the loop below then breaks
+        # on the empty bounds list before writing any arrival file
         bounds = [
             r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()
         ][::step] + [

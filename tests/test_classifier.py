@@ -370,3 +370,59 @@ def test_classifier_holdout_planted_clean_and_noisy(spark, tmp_path):
     # ranking: the flipped minority caps accuracy below the clean 1.0
     assert 0.5 < got["accuracy"] < 1.0
     assert got["auc"] < 1.0  # flipped holdout labels break perfect ordering
+
+
+def test_classifier_session_memo_lifecycle(spark):
+    """r11 (VERDICT r10 #3): every classifier surface shares ONE
+    session-memoized feature frame and ONE training per split —
+    repeated calls return the identical cached objects (no persist
+    accumulation, the ADVICE r10 lifecycle point), and the release hook
+    drops the memo so the next call rebuilds and still agrees."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        _CLS_SESSION_CACHE,
+        clear_classifier_cache,
+        classifier_holdout_eval,
+        feature_frame_cached,
+        holdout_metrics,
+        trained_weights_cached,
+    )
+
+    clear_classifier_cache(spark)
+    feats = feature_frame_cached(spark, SF0001)
+    assert feature_frame_cached(spark, SF0001) is feats
+    w_full = trained_weights_cached(spark, SF0001, "full")
+    assert trained_weights_cached(spark, SF0001, "full") is w_full
+    w80 = trained_weights_cached(spark, SF0001, "train80")
+    assert trained_weights_cached(spark, SF0001, "train80") is w80
+    assert w_full[0] != w80[0]  # different splits → different weights
+    assert w80[2] < w_full[2]  # train80 saw fewer docs
+    m = holdout_metrics(spark, SF0001)
+    assert holdout_metrics(spark, SF0001) is m
+    # the memo holds exactly: 1 frame + 2 weight entries + 1 metrics
+    per = _CLS_SESSION_CACHE.get(spark)
+    assert per is not None and len(per) == 4, sorted(per)
+    row = classifier_holdout_eval(spark, SF0001).collect()[0]
+
+    # release → rebuild from scratch → identical report
+    assert clear_classifier_cache(spark) == 4
+    assert _CLS_SESSION_CACHE.get(spark) in (None, {})
+    row2 = classifier_holdout_eval(spark, SF0001).collect()[0]
+    assert row.asDict() == row2.asDict()
+
+
+def test_funnel_gate_columns_match_holdout_eval(spark):
+    """r11 (VERDICT r10 #4): the funnel's gate_acc/gate_auc columns are
+    the SAME measured calibration classifier_holdout_eval reports —
+    constant across manifest rows and equal to the one-row surface."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        classifier_holdout_eval,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        curation_pipeline_e2e,
+    )
+
+    hrow = classifier_holdout_eval(spark, SF0001).collect()[0]
+    rows = curation_pipeline_e2e(spark, SF0001).collect()
+    assert rows
+    assert {r["gate_acc"] for r in rows} == {hrow["accuracy"]}
+    assert {r["gate_auc"] for r in rows} == {hrow["auc"]}
