@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from distributed_graph_coloring_with_pyspark_spark.operators import (
+    graph_analytics,
     graph_bridge,
     multimodal,
     relational,
@@ -42,6 +43,7 @@ _MODULES = [
     multimodal,
     text_rank,
     tokenizer,
+    graph_analytics,
 ]
 
 

@@ -255,9 +255,26 @@ def main() -> int:
     def bench_ann_ivf_topk_indexed(spark, sf_dir):
         return ann_ivf_topk_indexed(spark, sf_dir, ivf_path)
 
+    # r11 (VERDICT r10 #7): the serving-index maintenance path — the
+    # compaction lifecycle is correctness-pinned (tests/test_ivf_index)
+    # but its cost was unpriced.  Compacts the artifact the build line
+    # wrote (cell-preserving rewrite); fresh target dir per run so the
+    # median is a full rewrite, not an overwrite of a warm one.
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    def bench_ivf_index_compact(spark, sf_dir):
+        import shutil
+
+        target = os.path.join(ivf_dir, "compacted")
+        shutil.rmtree(target, ignore_errors=True)
+        return compact_parquet(spark, ivf_path, target, partition_by=["cell"])
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
+    ann_family["ivf_index_compact"] = bench_ivf_index_compact
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup
@@ -408,6 +425,26 @@ def main() -> int:
         unigram_model_cached(spark, sf_dir)
         return None
 
+    # r11 (VERDICT r10 #3): the classifier artifacts (shared feature
+    # frame, one GD per split, holdout calibration scalars) are
+    # session-memoized; price their construction as its own line — the
+    # jaccard_pair_build treatment: the memo is cleared every run so
+    # the median IS the build, and the consumers that follow
+    # (classifier_eval / classifier_holdout_eval here;
+    # curation_pipeline_e2e's gate in its own family) read the warm
+    # memo — amortized and one-off both first-class numbers.
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        clear_classifier_cache,
+        holdout_metrics,
+        trained_weights_cached,
+    )
+
+    def bench_classifier_train_build(spark, sf_dir):
+        clear_classifier_cache(spark)
+        trained_weights_cached(spark, sf_dir, "full")
+        holdout_metrics(spark, sf_dir)  # trains train80 + AUC scan
+        return None
+
     registry = dict(entry_mod.queries())
 
     def _not_in_registry(fam: dict) -> dict:
@@ -443,11 +480,25 @@ def main() -> int:
                 **UNIGRAM_QUERIES,
             }),
         ),
-        ("classifier", _not_in_registry(dict(CLS_PYTEST_QUERIES))),
+        (
+            "classifier",
+            _not_in_registry({
+                "classifier_train_build": bench_classifier_train_build,
+                **CLS_PYTEST_QUERIES,
+            }),
+        ),
         # the end-to-end funnel (r9): classifier gate → DSIR → exact +
-        # ExactSubstr dedup → pack → shard, one lazy-plan surface; its
-        # cost is dominated by the 15-step GD train it runs per call
-        ("curation", _not_in_registry(dict(CURATION_QUERIES))),
+        # ExactSubstr dedup → pack → shard, one lazy-plan surface.
+        # r11: the gate's training is priced by curation_gate_build
+        # (cache cleared per run), so the funnel median reads a warm
+        # gate — the steady-state cost of the funnel itself.
+        (
+            "curation",
+            _not_in_registry({
+                "curation_gate_build": bench_classifier_train_build,
+                **CURATION_QUERIES,
+            }),
+        ),
         ("events_extra", _not_in_registry({**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES})),
         ("relational_extra", _not_in_registry(dict(REL_PYTEST_QUERIES))),
         (

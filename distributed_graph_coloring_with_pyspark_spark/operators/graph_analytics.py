@@ -1200,3 +1200,11 @@ PYTEST_ORACLES = {
     "graph_bfs_distances": _BFS_ORACLE,
     "graph_assortativity": _ASSORTATIVITY_ORACLE,
 }
+
+# Round-11 rotation (VERDICT r10 #5): graph_assortativity — the FIRST
+# graph-analytics row ever in the driver registry (this module was
+# wholly pytest-gated by the 50-row cap) — takes the driver row
+# multimodal_blob_stats frees; same DuckDB oracle (corr over the
+# identical edge CTE), now value-hashed by the driver at sf0.01.
+QUERIES = {"graph_assortativity": PYTEST_QUERIES.pop("graph_assortativity")}
+ORACLES = {"graph_assortativity": PYTEST_ORACLES.pop("graph_assortativity")}

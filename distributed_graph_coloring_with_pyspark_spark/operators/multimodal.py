@@ -712,3 +712,12 @@ PYTEST_ORACLES = {
 # tests/test_multimodal_extra.py gate.
 PYTEST_QUERIES["multimodal_frame_sample"] = QUERIES.pop("multimodal_frame_sample")
 PYTEST_ORACLES["multimodal_frame_sample"] = ORACLES.pop("multimodal_frame_sample")
+
+# Round-11 rotation (VERDICT r10 #5): multimodal_blob_stats (fixed
+# byte-stat arithmetic over the blob column, driver-green since round
+# 3; the binary-payload plumbing stays driver-checked via
+# multimodal_decode_features) frees the driver row graph_assortativity
+# takes in graph_analytics.py — same oracle at the
+# tests/test_multimodal_extra.py gate.
+PYTEST_QUERIES["multimodal_blob_stats"] = QUERIES.pop("multimodal_blob_stats")
+PYTEST_ORACLES["multimodal_blob_stats"] = ORACLES.pop("multimodal_blob_stats")

@@ -1790,3 +1790,14 @@ PYTEST_ORACLES = {
 # to the promoted hybrid_search_rrf (text_rank.py).
 PYTEST_QUERIES["embedding_norm_stats"] = QUERIES.pop("embedding_norm_stats")
 PYTEST_ORACLES["embedding_norm_stats"] = ORACLES.pop("embedding_norm_stats")
+
+# Round-11 rotation (VERDICT r10 #5): quantize_embeddings_int8 (per-dim
+# symmetric int8 with reconstruction-error stats — never driver-exposed,
+# DuckDB-oracled since r8) takes the driver row events_json_kv frees in
+# streaming/events.py; same oracle, now value-hashed by the driver.
+QUERIES["quantize_embeddings_int8"] = PYTEST_QUERIES.pop(
+    "quantize_embeddings_int8"
+)
+ORACLES["quantize_embeddings_int8"] = PYTEST_ORACLES.pop(
+    "quantize_embeddings_int8"
+)

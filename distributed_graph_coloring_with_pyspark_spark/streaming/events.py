@@ -1633,3 +1633,11 @@ STREAMING_ORACLES = {
         ORDER BY user_id
     """,
 }
+
+# Round-11 rotation (VERDICT r10 #5): events_json_kv (get_json_object
+# k/v extraction, driver-green since round 2; the VARIANT path stays
+# driver-checked via events_props_variant) frees the driver row
+# quantize_embeddings_int8 takes in operators/similarity.py — same
+# oracle at the tests/test_streaming_batch_equivalence.py EXTRA gate.
+EXTRA_QUERIES["events_json_kv"] = QUERIES.pop("events_json_kv")
+EXTRA_ORACLES["events_json_kv"] = ORACLES.pop("events_json_kv")

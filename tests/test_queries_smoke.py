@@ -147,6 +147,11 @@ def test_release_session_caches_all_at_once(spark):
 
     UL.unigram_model_cached(spark, "/root/testdata/sf0.001")
     S.ann_topk_frame_cached(spark, SF, "ivf")  # r10 top-k artifact memo
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        classifier as CL,
+    )
+
+    CL.trained_weights_cached(spark, SF, "full")  # r11 classifier memo
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -159,6 +164,7 @@ def test_release_session_caches_all_at_once(spark):
         "e2e_index_dirs",
         "bpe_models",
         "unigram_models",
+        "classifier",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released

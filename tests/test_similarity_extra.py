@@ -41,7 +41,12 @@ def test_quantization_quality_bounds(spark):
     ≥ 0.999 and max error ≤ scale/254 (+5e-7: the reported error is
     rounded to 6 decimals, which can exceed the exact bound by up to
     half that quantum) for every vector."""
-    rows = PYTEST_QUERIES["quantize_embeddings_int8"](spark, SF).collect()
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    # registry row since the r11 rotation; the quality bound stays here
+    rows = quantize_embeddings_int8(spark, SF).collect()
     assert all(r.cos_recon >= 0.999 for r in rows)
     assert all(r.max_abs_err <= r.scale / 254 + 5e-7 for r in rows)
 
