@@ -54,8 +54,9 @@ def _timed(label, fn, runs=2):
 
 
 def main() -> int:
-    # run a subset with `python tools/scale_probe_graph.py [tenx] [skew]`
-    # (each family alone fits a ~10 min harness timeout; default: both)
+    # run a subset with `python tools/scale_probe_graph.py [tenx] [skew] [xl]`
+    # (each family alone fits a ~10 min harness timeout; default: the two
+    # cheap parts — `xl` is the 8M-node decade probe, ~10-15 min alone)
     parts = set(sys.argv[1:]) or {"tenx", "skew"}
     spark = get_spark(app_name="dgc-graph-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,38 +96,46 @@ def main() -> int:
         verts.unpersist()
         edges.unpersist()
 
-    if "skew" not in parts:
-        spark.stop()
-        return 0
-    # skewed coloring: uniform background + one 10k-degree hub
-    n, hub_deg = 100_000, 10_000
-    node_ids, bg = generate_graph_distributed(spark, n, 8, seed=42)
-    spokes = spark.range(1, hub_deg + 1).select(
-        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
-    )
-    edges = (
-        bg.unionByName(spokes)
-        .unionByName(spokes.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
-    ne = edges.count()
-    hd = (
-        edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
-    )
-    print(f"--- skewed coloring n={n:,} sym_edges={ne:,} max_degree={hd:,} ---", flush=True)
-    t0 = time.monotonic()
-    res = minimal_coloring(node_ids, edges)  # Δ+1 seed = 10 001 — the
-    # skew case that motivated the degree-capped palette expression
-    valid, nu, cf = validate_coloring(res.vertices, edges)
-    wall = time.monotonic() - t0
-    print(
-        f"skewed coloring: {wall:.1f} s, colors={res.minimal_colors}, "
-        f"attempts={res.attempts}, valid={valid} (uncolored={nu}, conflicts={cf})",
-        flush=True,
-    )
-    assert valid
+    # skewed coloring: uniform background + one high-degree hub.
+    # `skew` is the original 100k/10k-hub probe (r6); `xl` extends the
+    # SCALE.md coloring curve one decade past the 4M point (VERDICT r10
+    # #6) AND keeps the hub so the degree-capped palette + AQE skew
+    # paths are exercised at curve scale, not just at 100k.
+    for part, n, hub_deg in (("skew", 100_000, 10_000), ("xl", 8_000_000, 50_000)):
+        if part not in parts:
+            continue
+        node_ids, bg = generate_graph_distributed(spark, n, 8, seed=42)
+        spokes = spark.range(1, hub_deg + 1).select(
+            F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+        )
+        edges = (
+            bg.unionByName(spokes)
+            .unionByName(
+                spokes.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .persist()
+        )
+        ne = edges.count()
+        hd = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+        print(
+            f"--- skewed coloring ({part}) n={n:,} sym_edges={ne:,} "
+            f"max_degree={hd:,} ---",
+            flush=True,
+        )
+        t0 = time.monotonic()
+        res = minimal_coloring(node_ids, edges)  # Δ+1 seed = hub_deg+1 —
+        # the skew case that motivated the degree-capped palette expression
+        valid, nu, cf = validate_coloring(res.vertices, edges)
+        wall = time.monotonic() - t0
+        print(
+            f"skewed coloring ({part}): {wall:.1f} s, colors={res.minimal_colors}, "
+            f"attempts={res.attempts}, valid={valid} (uncolored={nu}, conflicts={cf})",
+            flush=True,
+        )
+        assert valid
+        edges.unpersist()
     spark.stop()
     return 0
 
