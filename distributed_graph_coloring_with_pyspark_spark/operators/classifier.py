@@ -262,6 +262,114 @@ def feature_frame_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _train_dual(
+    spark: SparkSession,
+    feats: DataFrame,
+    steps: int = _CLS_STEPS,
+    lr: float = _CLS_LR,
+) -> tuple[
+    tuple[dict[int, float], list[float], int],
+    tuple[dict[int, float], list[float], int],
+]:
+    """Train the full-corpus model AND the 80%-split model in ONE GD
+    loop — each step is still ONE action and ONE B+1-row shuffle, but
+    the gradient rows carry BOTH models' partial sums (``gf`` over all
+    documents, ``gh`` NULL on held rows so SUM sees only the training
+    slice).  Halves the build's action count versus two sequential
+    loops (30 → 15 corpus passes for the standard calibration build);
+    the per-pass map work adds a second literal-array fold, which is
+    arithmetic, not IO.  Same math as ``train_quality_classifier`` on
+    each split — the dual-vs-sequential agreement is pinned to 1e-9 by
+    tests/test_classifier.py.
+
+    Returns ((w_full, losses_full, n_full), (w_80, losses_80, n_80))
+    with the same empty-corpus contract as the single trainer."""
+    counts = feats.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("held")).cast("long")).alias("n_tr"),
+    ).collect()[0]
+    n_full, n_80 = int(counts["n"] or 0), int(counts["n_tr"] or 0)
+    if n_full == 0:
+        return ({}, [], 0), ({}, [], 0)
+    w_f = {b: 0.0 for b in range(-1, _CLS_BUCKETS)}
+    w_h = dict(w_f)
+    losses_f: list[float] = []
+    losses_h: list[float] = []
+    for _ in range(steps):
+        wf_arr, wh_arr = _weight_array(w_f), _weight_array(w_h)
+
+        def _margin(w_arr):
+            return F.aggregate(
+                F.zip_with(
+                    "bs",
+                    "xs",
+                    lambda b, x: x * F.element_at(w_arr, b + F.lit(2)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        def _resid(s):
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-s)) - F.col("y")
+
+        def _loss(s):
+            yy = F.col("y") * 2 - 1
+            return F.log1p(F.exp(-F.abs(s))) + F.when(
+                yy * s < 0, F.abs(s)
+            ).otherwise(F.lit(0.0))
+
+        s_f, s_h = _margin(wf_arr), _margin(wh_arr)
+        held_null = F.when(F.col("held"), F.lit(None).cast("double"))
+        resid = feats.select(
+            "bs",
+            "xs",
+            _resid(s_f).alias("rf"),
+            held_null.otherwise(_resid(s_h)).alias("rh"),
+            _loss(s_f).alias("lf"),
+            held_null.otherwise(_loss(s_h)).alias("lh"),
+        )
+        grad = (
+            resid.select(
+                F.col("rf"),
+                F.col("rh"),
+                F.explode(
+                    F.zip_with(
+                        "bs",
+                        "xs",
+                        lambda b, x: F.struct(
+                            b.alias("bucket"), x.alias("x")
+                        ),
+                    )
+                ).alias("e"),
+            )
+            .groupBy(F.col("e.bucket").alias("bucket"))
+            .agg(
+                F.sum(F.col("e.x") * F.col("rf")).alias("gf"),
+                F.sum(F.col("e.x") * F.col("rh")).alias("gh"),
+            )
+        )
+        loss_row = resid.agg(
+            F.lit(None).cast("int").alias("bucket"),
+            F.sum("lf").alias("gf"),
+            F.sum("lh").alias("gh"),
+        )
+        # ONE action per step for BOTH models (pinned by
+        # test_dual_training_one_action_per_step)
+        rows = grad.unionByName(loss_row).collect()
+        for row in rows:
+            if row["bucket"] is None:
+                losses_f.append(float(row["gf"]) / n_full)
+                if n_80:
+                    losses_h.append(float(row["gh"] or 0.0) / n_80)
+            else:
+                w_f[row["bucket"]] -= lr * row["gf"] / n_full
+                if n_80 and row["gh"] is not None:
+                    w_h[row["bucket"]] -= lr * row["gh"] / n_80
+    if n_80 == 0:
+        return (w_f, losses_f, n_full), ({}, [], 0)
+    return (w_f, losses_f, n_full), (w_h, losses_h, n_80)
+
+
 def trained_weights_cached(
     spark: SparkSession, sf_dir: str, split: str = "full"
 ) -> tuple[dict[int, float], list[float], int]:
@@ -269,7 +377,13 @@ def trained_weights_cached(
     split).  ``split="full"`` trains on every document (classifier_eval
     and the curation rank gate share these weights); ``"train80"``
     trains on the ~80% non-held slice (the holdout calibration).  The
-    memoized value is bounded driver state, never a frame."""
+    memoized value is bounded driver state, never a frame.
+
+    A miss on EITHER split trains BOTH via ``_train_dual`` — one GD
+    loop, one action per step — since every session that calibrates
+    also serves (and vice versa in the bench build), so the second
+    split's marginal cost is a second fold inside the same pass, not a
+    second loop."""
     if split not in ("full", "train80"):
         raise ValueError(f"unknown split {split!r}")
     per = _CLS_SESSION_CACHE.setdefault(spark, {})
@@ -277,14 +391,10 @@ def trained_weights_cached(
     hit = per.get(key)
     if hit is None:
         feats = feature_frame_cached(spark, sf_dir)
-        if split == "train80":
-            feats = feats.filter(~F.col("held"))
-        n = feats.count()  # cached scan; bounded result
-        weights, losses = train_quality_classifier(
-            spark, sf_dir, feats=feats
-        )
-        hit = (weights, losses, int(n))
-        per[key] = hit
+        full_hit, t80_hit = _train_dual(spark, feats)
+        per[("weights", sf_dir, "full")] = full_hit
+        per[("weights", sf_dir, "train80")] = t80_hit
+        hit = per[key]
     return hit
 
 

@@ -426,3 +426,75 @@ def test_funnel_gate_columns_match_holdout_eval(spark):
     assert rows
     assert {r["gate_acc"] for r in rows} == {hrow["accuracy"]}
     assert {r["gate_auc"] for r in rows} == {hrow["auc"]}
+
+
+def test_dual_training_matches_sequential(spark):
+    """r11: the fused dual-split trainer (one GD loop, both models per
+    action) must agree with two independent sequential trainings —
+    same math, different float-sum grouping, so 1e-9 per weight."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        clear_classifier_cache,
+        feature_frame_cached,
+        train_quality_classifier,
+        trained_weights_cached,
+    )
+
+    clear_classifier_cache(spark)
+    feats = feature_frame_cached(spark, SF0001)
+    w_full, l_full, n_full = trained_weights_cached(spark, SF0001, "full")
+    w_80, l_80, n_80 = trained_weights_cached(spark, SF0001, "train80")
+    assert n_80 < n_full
+
+    seq_full, seq_l_full = train_quality_classifier(spark, SF0001, feats=feats)
+    seq_80, seq_l_80 = train_quality_classifier(
+        spark, SF0001, feats=feats.filter(~F.col("held"))
+    )
+    for b in seq_full:
+        assert abs(w_full[b] - seq_full[b]) < 1e-9, b
+    for b in seq_80:
+        assert abs(w_80[b] - seq_80[b]) < 1e-9, b
+    assert len(l_full) == len(seq_l_full) and len(l_80) == len(seq_l_80)
+    for a, b in zip(l_full, seq_l_full):
+        assert abs(a - b) < 1e-9
+    for a, b in zip(l_80, seq_l_80):
+        assert abs(a - b) < 1e-9
+
+
+def test_dual_training_one_action_per_step(spark, monkeypatch):
+    """The fused trainer keeps the one-action-per-step pin: T steps ⇒
+    T unioned collects + the single dual-count agg collect, for BOTH
+    models together (the whole point of fusing)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        _train_dual,
+        clear_classifier_cache,
+        feature_frame_cached,
+    )
+
+    clear_classifier_cache(spark)
+    feats = feature_frame_cached(spark, SF0001)
+    probe = spark.range(1)
+    DF = type(probe)
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DF.collect, DF.count
+    monkeypatch.setattr(
+        DF,
+        "collect",
+        lambda self: (
+            calls.__setitem__("collect", calls["collect"] + 1),
+            orig_collect(self),
+        )[1],
+    )
+    monkeypatch.setattr(
+        DF,
+        "count",
+        lambda self: (
+            calls.__setitem__("count", calls["count"] + 1),
+            orig_count(self),
+        )[1],
+    )
+    (w_f, l_f, n_f), (w_h, l_h, n_h) = _train_dual(spark, feats, steps=4)
+    assert len(l_f) == 4 and len(l_h) == 4 and 0 < n_h < n_f
+    assert calls["collect"] == 5, calls  # 1 count-agg + 4 step collects
+    assert calls["count"] == 0, calls
