@@ -2354,6 +2354,113 @@ _STOPWORD_FILTER_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# line-level boilerplate removal (RefinedWeb / CCNet-style segment dedup)
+# ---------------------------------------------------------------------------
+
+# segment = non-overlapping window of this many whitespace tokens (the
+# corpus has no newline structure, so fixed token windows stand in for
+# "lines"; a newline-delimited corpus would swap the segmenter only)
+_BOILER_SEG_TOKENS = 8
+# a segment is boilerplate when it occurs in at least this many DISTINCT
+# documents (headers/footers/nav chrome repeat corpus-wide; genuine
+# content does not)
+_BOILER_MIN_DOCS = 3
+
+
+def remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency segment removal — the RefinedWeb/CCNet "line
+    dedup" pass: drop any segment ("line") that repeats across >=
+    ``_BOILER_MIN_DOCS`` distinct documents (boilerplate headers,
+    footers, navigation chrome), keeping each document's remaining
+    segments in order.  Emits per-doc accounting plus an md5 of the
+    cleaned text so the transform is value-pinned, not just counted.
+
+    100 TB plan: three keyed shuffles and nothing else —
+    (1) groupBy(seg_hash) with a map-side-combinable count(DISTINCT
+    doc_id) (the 32-byte hash is the shuffle record, never the text),
+    (2) a join of segments against the per-hash doc_freq (one row per
+    hash on the build side; a hot boilerplate hash replicates that one
+    row, and AQE skew-join splits the probe side), (3) the per-doc
+    regroup, where collect_list is bounded by a single document's
+    segment count and array_sort on (seg_idx, seg) structs restores
+    order without a window.  No global window, no UDF, no driver state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_segs = F.ceil(F.size(toks) / F.lit(_BOILER_SEG_TOKENS)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * _BOILER_SEG_TOKENS + 1, _BOILER_SEG_TOKENS)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("seg_hash", F.md5("seg"))
+    freq = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    tagged = segs.join(freq, "seg_hash").withColumn(
+        "is_boiler", F.col("doc_freq") >= _BOILER_MIN_DOCS
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct("seg_idx", "seg")
+    )  # collect_list skips NULLs, so boilerplate segments vanish here
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+            ).alias("_clean"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_boiler",
+            F.length("_clean").alias("clean_n_chars"),
+            F.md5("_clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+    ), segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(
+                   ts[(i*{_BOILER_SEG_TOKENS}+1):(i*{_BOILER_SEG_TOKENS}+{_BOILER_SEG_TOKENS})],
+                   ' ') AS seg
+        FROM toks, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(ts) / {_BOILER_SEG_TOKENS}.0) AS BIGINT)))
+        ) AS u(i)
+    ), freq AS (
+        SELECT seg, count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS} AS is_boiler
+        FROM segs GROUP BY seg
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           length(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+               ' ' ORDER BY seg_idx), '')) AS clean_n_chars,
+           md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+               ' ' ORDER BY seg_idx), '')) AS clean_md5
+    FROM segs JOIN freq USING (seg)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
 
@@ -3424,6 +3531,7 @@ PYTEST_QUERIES = {
     "stratified_sample_split": stratified_sample_split,
     "repetition_stats": repetition_stats,
     "stopword_filter": stopword_filter,
+    "remove_boilerplate": remove_boilerplate,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "source_quality_rollup": source_quality_rollup,
@@ -3445,6 +3553,7 @@ PYTEST_ORACLES = {
     "stratified_sample_split": _STRATIFIED_ORACLE,
     "repetition_stats": _REPETITION_ORACLE,
     "stopword_filter": _STOPWORD_FILTER_ORACLE,
+    "remove_boilerplate": _BOILERPLATE_ORACLE,
     "contamination_check": _CONTAMINATION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,

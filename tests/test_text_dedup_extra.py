@@ -561,3 +561,55 @@ def test_prefix_index_has_no_dropped_buckets(spark):
         f"cap={_PREFIX_BUCKET_CAP}) — the lossless-prefix-join claim (and "
         "curate_corpus's oracle equality) no longer holds on this fixture"
     )
+
+
+def test_remove_boilerplate_planted_fixture(spark, tmp_path):
+    """Planted boilerplate: a segment shared by 3 docs (>= _BOILER_MIN_DOCS)
+    must be stripped from every carrier; a segment shared by only 2 docs
+    must survive; an all-boilerplate doc must clean to the empty string;
+    a short tail segment still counts as its own segment.  The corpus-
+    wide oracle run proves hash equality but its organic boilerplate is
+    sparse — only planted rows pin the removal semantics end to end."""
+    import hashlib as _h
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _BOILER_MIN_DOCS,
+        _BOILER_SEG_TOKENS,
+        remove_boilerplate,
+    )
+
+    assert (_BOILER_SEG_TOKENS, _BOILER_MIN_DOCS) == (8, 3)  # fixture shape
+    B = "nav home about contact privacy terms login search"   # 8 tokens, 3 docs
+    S2 = "promo sale deal click here buy now today"           # 8 tokens, 2 docs
+    U = [
+        " ".join(f"u{d}t{i}" for i in range(8)) for d in range(4)
+    ]  # unique 8-token content per doc
+    tail = "tail0 tail1"  # short trailing segment (2 tokens)
+    rows = [
+        (0, f"{B} {S2} {U[0]}", "src0", "en", 0),
+        (1, f"{B} {S2} {U[1]}", "src0", "en", 0),
+        (2, f"{B} {U[2]}", "src0", "en", 0),
+        (3, f"{U[3]} {tail}", "src0", "en", 0),
+        (4, B, "src0", "en", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in remove_boilerplate(spark, str(tmp_path)).collect()}
+
+    def md5(s: str) -> str:
+        return _h.md5(s.encode()).hexdigest()
+
+    assert (got[0].n_segs, got[0].n_boiler) == (3, 1)
+    assert got[0].clean_md5 == md5(f"{S2} {U[0]}")
+    assert (got[1].n_segs, got[1].n_boiler) == (3, 1)
+    assert got[1].clean_md5 == md5(f"{S2} {U[1]}")
+    assert (got[2].n_segs, got[2].n_boiler) == (2, 1)
+    assert got[2].clean_md5 == md5(U[2])
+    # short tail is a distinct segment and unique content survives whole
+    assert (got[3].n_segs, got[3].n_boiler) == (2, 0)
+    assert got[3].clean_md5 == md5(f"{U[3]} {tail}")
+    assert got[3].clean_n_chars == len(f"{U[3]} {tail}")
+    # all-boilerplate doc cleans to the empty string, not a NULL
+    assert (got[4].n_segs, got[4].n_boiler) == (1, 1)
+    assert got[4].clean_n_chars == 0 and got[4].clean_md5 == md5("")
