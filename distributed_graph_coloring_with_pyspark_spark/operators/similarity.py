@@ -1198,6 +1198,178 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_per_probe(rerank)
 
 
+# --- IVF-PQ composite index (Jegou et al. 2011, the FAISS IVFPQ) ---------
+
+
+def _residual_corpus(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cell, residual) — each vector assigned to its
+    nearest coarse cell with the residual (vector − cell centroid) that
+    PQ encodes.  Pure Catalyst: the K×DIM centroid matrix enters as one
+    nested-array literal (the `_cell_scores` lesson) and the residual is
+    a zip_with against the element_at row — no Python until the ADC
+    scan."""
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        _nearest_cell(F.col("embedding"), cents).alias("cell"),
+    )
+    res = F.zip_with(
+        _as_double(F.col("embedding")),
+        F.element_at(
+            F.lit([[float(v) for v in c] for c in cents]), F.col("cell") + 1
+        ),
+        lambda x, c: x - c,
+    )
+    return corpus.withColumn("residual", res)
+
+
+def _get_ivfpq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    cents: list[list[float]],
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks for (session, sf_dir) — trained on the
+    coarse-quantizer RESIDUALS (the IVFPQ recipe: residuals are smaller
+    and better centered than raw vectors, so the same 8-bit budget
+    quantizes finer).  Memoized alongside the flat-PQ books under a
+    distinct key; released by ``clear_pq_cache``."""
+    key = f"{sf_dir}#ivfpq-residual"
+    per_session = _PQ_CODEBOOK_CACHE.setdefault(spark, {})
+    books = per_session.get(key)
+    if books is None:
+        res = _residual_corpus(emb, cents).select(
+            "vec_id", F.col("residual").alias("embedding")
+        )
+        books = _train_pq_codebooks(res)
+        per_session[key] = books
+    return books
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 for the same probes as ``knn_exact_topk`` — the
+    composite billion-vector serving design (FAISS ``IVFx,PQy``): the
+    coarse k-means quantizer prunes the SCAN (only ``_IVF_NPROBE`` of
+    ``_IVF_K`` cells are read per probe) while PQ on the cell residuals
+    compresses what remains (M byte codes per vector), so the two
+    orthogonal scale levers of the flat paths compose.  Each probe gets
+    one (M, KS) asymmetric-distance lookup table PER PROBED CELL —
+    built from the probe's residual against THAT cell's centroid, the
+    detail that distinguishes real IVFPQ from flat PQ behind an IVF
+    filter — and every candidate row is scored by M table lookups.
+
+    Scale shape: ONE corpus pass computes cell + residual codes and
+    emits only per-batch partial top-``_PQ_SHORTLIST`` rows per probe
+    (the ``ann_pq_topk`` map-side-top-k pattern; the corpus-sized score
+    stream never shuffles); a deployed index stores the codes in the
+    cell-partitioned inverted file (``build_ivf_index`` layout) so the
+    scan also partition-prunes to probed cells.  Driver state is
+    bounded by contract: probes (``_N_PROBES``×DIM), probed-cell ids
+    (×``_IVF_NPROBE``), centroids (K×DIM), codebooks (M·KS·SUB), and
+    the LUT block (probes×NPROBE×M×KS doubles).  Exact-cosine rerank of
+    the shortlist restores float precision; recall vs the exact query
+    is pytest-gated (tests/test_similarity.py), rows-only otherwise —
+    ADC ranks are not SQL-hash-reproducible."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    C = np.asarray(cents, dtype=np.float64)  # (K, DIM)
+    k_cells = len(cents)
+    nprobe = min(_IVF_NPROBE, k_cells)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    probe_ids = np.asarray([r.vec_id for r in probe_rows])
+    P = np.asarray([[float(x) for x in r.embedding] for r in probe_rows])
+    # probed cells per probe — same (cosine, idx)-descending order as
+    # the Catalyst `_ivf_probes` path, replicated on the driver because
+    # the LUTs need the probed centroid VALUES, not just a cell join
+    Cn = C / np.sqrt((C * C).sum(1))[:, None]
+    scores = (P @ Cn.T) / np.sqrt((P * P).sum(1))[:, None]  # (n_probes, K)
+    probed = np.stack(
+        [
+            np.sort(
+                np.asarray(
+                    sorted(
+                        range(k_cells),
+                        key=lambda i: (scores[p, i], i),
+                        reverse=True,
+                    )[:nprobe]
+                )
+            )
+            for p in range(len(probe_ids))
+        ]
+    )  # (n_probes, nprobe), each row sorted for searchsorted slots
+    # per-(probe, probed-cell) residual ADC tables: (n_probes, nprobe, M, KS)
+    R = P[:, None, :] - C[probed]  # probe residual vs each probed centroid
+    Rs = R.reshape(len(probe_ids), nprobe, _PQ_M, 1, _PQ_SUB)
+    luts = ((Rs - books_np[None, None]) ** 2).sum(-1)
+
+    def adc_batches(batches):
+        import pandas as pd
+
+        midx = np.arange(_PQ_M)
+        for pdf in batches:
+            X = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            codes = _batch_codes(X, books_np)  # residual codes
+            frames = []
+            for p in range(len(probe_ids)):
+                mask = np.isin(cells, probed[p]) & (vids != probe_ids[p])
+                if not mask.any():
+                    continue
+                slot = np.searchsorted(probed[p], cells[mask])
+                d = luts[p][slot[:, None], midx[None, :], codes[mask]].sum(1)
+                vv = vids[mask]
+                keep = min(_PQ_SHORTLIST, len(d))
+                top = np.argpartition(d, keep - 1)[:keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": probe_ids[p],
+                            "vec_id": vv[top],
+                            "adc_dist": d[top],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"probe_id": [], "vec_id": [], "adc_dist": []}
+            )
+
+    adc = (
+        _residual_corpus(emb, cents)
+        .select("vec_id", "cell", "residual")
+        .mapInPandas(adc_batches, "probe_id long, vec_id long, adc_dist double")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    rerank = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _topk_per_probe(rerank)
+
+
 # --- int8 scalar quantization (vector compression) ----------------------
 
 
@@ -1296,6 +1468,7 @@ ANN_QUERIES = {
     "ann_hyperplane_topk": ann_hyperplane_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLES = {
@@ -1693,6 +1866,7 @@ _ANN_TOPK_FNS = {
     "hyperplane_lsh": ann_hyperplane_topk,
     "ivf": ann_ivf_topk,
     "pq_adc": ann_pq_topk,
+    "ivfpq": ann_ivfpq_topk,
 }
 
 
@@ -1700,7 +1874,8 @@ def ann_topk_frame_cached(
     spark: SparkSession, sf_dir: str, method: str
 ) -> DataFrame:
     """Persisted top-k frame for this session + corpus + retrieval
-    tier (``"exact" | "hyperplane_lsh" | "ivf" | "pq_adc"``)."""
+    tier (``"exact" | "hyperplane_lsh" | "ivf" | "pq_adc" |
+    "ivfpq"``)."""
     per_session = _ANN_TOPK_CACHE.setdefault(spark, {})
     key = (sf_dir, method)
     df = per_session.get(key)
@@ -1739,7 +1914,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pairs = exact.count()  # n_probes × K (bounded)
     out = None
-    for name in ("hyperplane_lsh", "ivf", "pq_adc"):
+    for name in ("hyperplane_lsh", "ivf", "ivfpq", "pq_adc"):
         tier = ann_topk_frame_cached(spark, sf_dir, name).select(
             F.col("probe_id").alias("t_probe"), F.col("neighbor_id").alias("t_nbr")
         )

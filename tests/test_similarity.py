@@ -133,3 +133,44 @@ def test_pq_recall_on_real_fixture(spark):
     pq = {(r.probe_id, r.neighbor_id) for r in S.ann_pq_topk(spark, sf).collect()}
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.85, f"sf0.01 PQ recall@5 {recall} < 0.85"
+
+
+def test_ivfpq_recall_on_real_fixture(spark):
+    """IVF-PQ composite (16-cell coarse quantizer, 10 probed, residual
+    PQ 8×256, shortlist-50 + exact rerank) recall gate on the graded
+    dataset — the near-random fixture is the hard regime for BOTH
+    stages at once (neighbors spread across cells AND maximal
+    quantization error), so this pins the per-probed-cell residual LUT
+    machinery end to end.  Same bar as the flat IVF and PQ paths."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.probe_id, r.neighbor_id) for r in S.knn_exact_topk(spark, sf).collect()}
+    ivfpq = {(r.probe_id, r.neighbor_id) for r in S.ann_ivfpq_topk(spark, sf).collect()}
+    recall = len(exact & ivfpq) / len(exact)
+    assert recall >= 0.85, f"sf0.01 IVFPQ recall@5 {recall} < 0.85"
+
+
+def test_ivfpq_finds_planted_clones(spark, tmp_path):
+    """Planted-clone recall for the composite path: a clone at cosine
+    ≈ 0.999 lands in the same coarse cell as its probe and quantizes to
+    nearly the same residual codes, so IVFPQ must surface it — the
+    clusterable-corpus regime the index is designed for."""
+    sf = _write_embeddings(spark, tmp_path)
+    ann = S.ann_ivfpq_topk(spark, sf).collect()
+    found = {r.probe_id for r in ann if r.neighbor_id == 20 + r.probe_id}
+    recall = len(found) / 20
+    assert recall >= 0.9, f"planted-clone IVFPQ recall {recall} < 0.9"
+
+
+def test_ivfpq_cosine_values_match_exact(spark, tmp_path):
+    """The composite path reranks with the shared exact-cosine
+    expression: any neighbor it has in common with the exact query must
+    carry a bit-identical cos_sim."""
+    sf = _write_embeddings(spark, tmp_path)
+    exact = {
+        (r.probe_id, r.neighbor_id): r.cos_sim
+        for r in S.knn_exact_topk(spark, sf).collect()
+    }
+    for r in S.ann_ivfpq_topk(spark, sf).collect():
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact:
+            assert r.cos_sim == pytest.approx(exact[key], abs=0)

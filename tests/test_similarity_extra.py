@@ -246,7 +246,7 @@ def test_ann_recall_report_consistent_with_gates(spark):
     )
 
     rows = {r.method: r for r in ann_recall_report(spark, SF).collect()}
-    assert set(rows) == {"hyperplane_lsh", "ivf", "pq_adc"}
+    assert set(rows) == {"hyperplane_lsh", "ivf", "ivfpq", "pq_adc"}
     exact = {
         (r.probe_id, r.neighbor_id) for r in knn_exact_topk(spark, SF).collect()
     }
@@ -262,14 +262,15 @@ def test_ann_recall_report_consistent_with_gates(spark):
     assert rows["hyperplane_lsh"].recall >= 0.9
     assert rows["ivf"].recall >= 0.85
     assert rows["pq_adc"].recall >= 0.85
+    assert rows["ivfpq"].recall >= 0.85
 
 
 def test_ann_recall_report_reuses_session_artifacts(spark):
     """r10 (VERDICT r9 #3): the recall report consumes the memoized
     per-(session, corpus, method) top-k frames instead of re-running
-    exact KNN + all three ANN tiers per call.  Pins: (a) a repeat call
-    returns identical values while the memo holds exactly the four
-    tier frames, (b) release drops all four, (c) a post-release call
+    exact KNN + all four ANN tiers per call.  Pins: (a) a repeat call
+    returns identical values while the memo holds exactly the five
+    tier frames, (b) release drops all five, (c) a post-release call
     rebuilds and still agrees — the artifact is a cache, not a fork."""
     from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
         _ANN_TOPK_CACHE,
@@ -285,13 +286,14 @@ def test_ann_recall_report_reuses_session_artifacts(spark):
         "exact",
         "hyperplane_lsh",
         "ivf",
+        "ivfpq",
         "pq_adc",
     }
     cached_ivf = ann_topk_frame_cached(spark, SF, "ivf")
     assert ann_topk_frame_cached(spark, SF, "ivf") is cached_ivf
     second = ann_recall_report(spark, SF).collect()
     assert [r.asDict() for r in second] == [r.asDict() for r in first]
-    assert clear_ann_topk_cache(spark) == 4
+    assert clear_ann_topk_cache(spark) == 5
     assert _ANN_TOPK_CACHE.get(spark) is None
     rebuilt = ann_recall_report(spark, SF).collect()
     assert [r.asDict() for r in rebuilt] == [r.asDict() for r in first]
