@@ -189,8 +189,10 @@ def main() -> int:
         ANN_QUERIES,
         PYTEST_QUERIES as SIM_PYTEST_QUERIES,
         ann_ivf_topk_indexed,
+        ann_ivfpq_topk_indexed,
         ann_recall_report,
         build_ivf_index,
+        build_ivfpq_index,
     )
     from distributed_graph_coloring_with_pyspark_spark.session import (
         get_spark,
@@ -271,10 +273,24 @@ def main() -> int:
         shutil.rmtree(target, ignore_errors=True)
         return compact_parquet(spark, ivf_path, target, partition_by=["cell"])
 
+    # r11: the composite-index pair gets the same build/serve split —
+    # the build encodes + writes the code-carrying inverted file; the
+    # indexed query prices the partition-pruned 8-bit-code serve path.
+    ivfpq_path = os.path.join(ivf_dir, "ivfpq_index")
+
+    def bench_build_ivfpq_index(spark, sf_dir):
+        build_ivfpq_index(spark, sf_dir, ivfpq_path)
+        return None  # the partitioned write already materialized
+
+    def bench_ann_ivfpq_topk_indexed(spark, sf_dir):
+        return ann_ivfpq_topk_indexed(spark, sf_dir, ivfpq_path)
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
     ann_family["ivf_index_compact"] = bench_ivf_index_compact
+    ann_family["ivfpq_index_build"] = bench_build_ivfpq_index
+    ann_family["ann_ivfpq_topk_indexed"] = bench_ann_ivfpq_topk_indexed
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup

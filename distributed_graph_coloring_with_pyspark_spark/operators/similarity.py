@@ -1246,33 +1246,16 @@ def _get_ivfpq_codebooks(
     return books
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN top-5 for the same probes as ``knn_exact_topk`` — the
-    composite billion-vector serving design (FAISS ``IVFx,PQy``): the
-    coarse k-means quantizer prunes the SCAN (only ``_IVF_NPROBE`` of
-    ``_IVF_K`` cells are read per probe) while PQ on the cell residuals
-    compresses what remains (M byte codes per vector), so the two
-    orthogonal scale levers of the flat paths compose.  Each probe gets
-    one (M, KS) asymmetric-distance lookup table PER PROBED CELL —
-    built from the probe's residual against THAT cell's centroid, the
-    detail that distinguishes real IVFPQ from flat PQ behind an IVF
-    filter — and every candidate row is scored by M table lookups.
-
-    Scale shape: ONE corpus pass computes cell + residual codes and
-    emits only per-batch partial top-``_PQ_SHORTLIST`` rows per probe
-    (the ``ann_pq_topk`` map-side-top-k pattern; the corpus-sized score
-    stream never shuffles); a deployed index stores the codes in the
-    cell-partitioned inverted file (``build_ivf_index`` layout) so the
-    scan also partition-prunes to probed cells.  Driver state is
-    bounded by contract: probes (``_N_PROBES``×DIM), probed-cell ids
-    (×``_IVF_NPROBE``), centroids (K×DIM), codebooks (M·KS·SUB), and
-    the LUT block (probes×NPROBE×M×KS doubles).  Exact-cosine rerank of
-    the shortlist restores float precision; recall vs the exact query
-    is pytest-gated (tests/test_similarity.py), rows-only otherwise —
-    ADC ranks are not SQL-hash-reproducible."""
+def _ivfpq_state(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Bounded driver state shared by the in-session and indexed IVFPQ
+    paths: (books, probe ids, probed cells per probe, per-(probe,
+    probed-cell) ADC tables) — every array corpus-size-independent by
+    the fixed probe/K/M/KS contract.  Probed cells replicate the
+    Catalyst ``_ivf_probes`` (cosine, idx)-descending order on the
+    driver because the LUTs need the probed centroid VALUES, not just
+    a cell join."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_centroids(spark, sf_dir, emb)
     books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
     C = np.asarray(cents, dtype=np.float64)  # (K, DIM)
@@ -1286,9 +1269,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_ids = np.asarray([r.vec_id for r in probe_rows])
     P = np.asarray([[float(x) for x in r.embedding] for r in probe_rows])
-    # probed cells per probe — same (cosine, idx)-descending order as
-    # the Catalyst `_ivf_probes` path, replicated on the driver because
-    # the LUTs need the probed centroid VALUES, not just a cell join
     Cn = C / np.sqrt((C * C).sum(1))[:, None]
     scores = (P @ Cn.T) / np.sqrt((P * P).sum(1))[:, None]  # (n_probes, K)
     probed = np.stack(
@@ -1309,16 +1289,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = P[:, None, :] - C[probed]  # probe residual vs each probed centroid
     Rs = R.reshape(len(probe_ids), nprobe, _PQ_M, 1, _PQ_SUB)
     luts = ((Rs - books_np[None, None]) ** 2).sum(-1)
+    return cents, books_np, probe_ids, probed, luts
+
+
+def _ivfpq_adc_scan(
+    frame: DataFrame, books_np, probe_ids, probed, luts, stored_codes: bool
+) -> DataFrame:
+    """ADC scan shared by both IVFPQ paths: one pass over (vec_id, cell,
+    residual|codes) emitting per-batch partial top-``_PQ_SHORTLIST``
+    rows per probe — the corpus-sized score stream never shuffles.
+    ``stored_codes=True`` reads pre-encoded codes (the persisted index);
+    ``False`` encodes residuals in the same pass (the in-session path).
+    Either way the codes come from the same ``_batch_codes`` argmin, so
+    the two paths score identically — the indexed-equality test's
+    foundation."""
+    import numpy as np
 
     def adc_batches(batches):
         import pandas as pd
 
         midx = np.arange(_PQ_M)
         for pdf in batches:
-            X = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+            if stored_codes:
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            else:
+                X = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+                codes = _batch_codes(X, books_np)
             cells = pdf["cell"].to_numpy().astype(np.int64)
             vids = pdf["vec_id"].to_numpy()
-            codes = _batch_codes(X, books_np)  # residual codes
             frames = []
             for p in range(len(probe_ids)):
                 mask = np.isin(cells, probed[p]) & (vids != probe_ids[p])
@@ -1342,11 +1340,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"probe_id": [], "vec_id": [], "adc_dist": []}
             )
 
-    adc = (
-        _residual_corpus(emb, cents)
-        .select("vec_id", "cell", "residual")
-        .mapInPandas(adc_batches, "probe_id long, vec_id long, adc_dist double")
+    return frame.mapInPandas(
+        adc_batches, "probe_id long, vec_id long, adc_dist double"
     )
+
+
+def _ivfpq_shortlist_rerank(emb: DataFrame, adc: DataFrame) -> DataFrame:
+    """Global shortlist rank over batch winners (≤ probes×SHORTLIST rows
+    per batch reach the window) + exact-cosine rerank — the FAISS
+    PQ+refine tail shared by both IVFPQ paths."""
     w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w))
@@ -1368,6 +1370,105 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk_per_probe(rerank)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 for the same probes as ``knn_exact_topk`` — the
+    composite billion-vector serving design (FAISS ``IVFx,PQy``): the
+    coarse k-means quantizer prunes the SCAN (only ``_IVF_NPROBE`` of
+    ``_IVF_K`` cells are scored per probe) while PQ on the cell
+    residuals compresses what remains (M byte codes per vector), so the
+    two orthogonal scale levers of the flat paths compose.  Each probe
+    gets one (M, KS) asymmetric-distance lookup table PER PROBED CELL —
+    built from the probe's residual against THAT cell's centroid, the
+    detail that distinguishes real IVFPQ from flat PQ behind an IVF
+    filter — and every candidate row is scored by M table lookups.
+
+    Scale shape: ONE corpus pass computes cell + residual codes and
+    emits only map-side partial top-k (``_ivfpq_adc_scan``); the
+    persisted twin (``build_ivfpq_index`` + ``ann_ivfpq_topk_indexed``)
+    stores the codes in the cell-partitioned inverted file so the scan
+    also partition-prunes to probed cells.  Driver state is bounded by
+    contract: probes (``_N_PROBES``×DIM), probed-cell ids
+    (×``_IVF_NPROBE``), centroids (K×DIM), codebooks (M·KS·SUB), and
+    the LUT block (probes×NPROBE×M×KS doubles).  Exact-cosine rerank of
+    the shortlist restores float precision; recall vs the exact query
+    is pytest-gated (tests/test_similarity.py), rows-only otherwise —
+    ADC ranks are not SQL-hash-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books_np, probe_ids, probed, luts = _ivfpq_state(spark, sf_dir, emb)
+    adc = _ivfpq_adc_scan(
+        _residual_corpus(emb, cents).select("vec_id", "cell", "residual"),
+        books_np,
+        probe_ids,
+        probed,
+        luts,
+        stored_codes=False,
+    )
+    return _ivfpq_shortlist_rerank(emb, adc)
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+    """Materialize the IVFPQ inverted file as a PERSISTED index: encode
+    every corpus vector's cell residual to its M codeword indices and
+    write (vec_id, cell, codes) cell-partitioned parquet — the
+    ``build_ivf_index`` layout carrying 8-bit codes instead of float
+    vectors, i.e. both scale levers persisted at once (partition-pruned
+    scan + ~32× smaller rows; the raw vectors stay in the source table,
+    touched only by the |shortlist|-row rerank join).  One corpus scan,
+    one Arrow encode pass, shuffle-free partitionBy write.  Returns the
+    number of cells."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["residual"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(_batch_codes(X, books_np)),
+                }
+            )
+
+    coded = (
+        _residual_corpus(emb, cents)
+        .select("vec_id", "cell", "residual")
+        .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    return len(cents)
+
+
+def ann_ivfpq_topk_indexed(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Query a ``build_ivfpq_index`` artifact with STATIC partition
+    pruning: the probed cell ids are computed on the driver (bounded —
+    the union over probes of ``_IVF_NPROBE`` ids) and pushed as an IN
+    filter on the partition column, so the parquet scan reads ONLY the
+    probed ``cell=N`` directories of 8-bit codes — unprobed cells never
+    leave disk AND what is read is ~32× smaller than the float corpus.
+    Same state, ADC math, shortlist, and rerank as ``ann_ivfpq_topk``
+    (result identity pinned by tests/test_ivf_index.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, books_np, probe_ids, probed, luts = _ivfpq_state(spark, sf_dir, emb)
+    probed_cells = sorted({int(c) for row in probed for c in row})
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probed_cells))
+        .select("vec_id", "cell", "codes")
+    )
+    adc = _ivfpq_adc_scan(
+        corpus, books_np, probe_ids, probed, luts, stored_codes=True
+    )
+    return _ivfpq_shortlist_rerank(emb, adc)
 
 
 # --- int8 scalar quantization (vector compression) ----------------------

@@ -136,3 +136,36 @@ def test_ivf_index_compaction_preserves_answers(spark, tmp_path):
     plan = plan_string(S.ann_ivf_topk_indexed(spark, SF, compacted))
     assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
     S.clear_ivf_cache(spark)
+
+
+def test_ivfpq_index_roundtrip_and_pruning(spark, tmp_path):
+    """The composite-index twin of the IVF pair: build_ivfpq_index
+    stores 8-bit residual codes cell-partitioned; the indexed query
+    must (a) prune to the probed cells at the parquet source, (b) read
+    codes instead of vectors, and (c) return exactly the in-session
+    ``ann_ivfpq_topk`` answer — the stored codes come from the same
+    ``_batch_codes`` argmin, so ADC distances are bit-identical."""
+    idx = str(tmp_path / "ivfpq_index")
+    n_cells = S.build_ivfpq_index(spark, SF, idx)
+    assert n_cells == S._IVF_K
+
+    cell_dirs = sorted(p.name for p in (tmp_path / "ivfpq_index").glob("cell=*"))
+    assert cell_dirs and len(cell_dirs) <= n_cells
+
+    # stored rows are codes, not vectors: M small ints per row
+    one = spark.read.parquet(idx).limit(1).collect()[0]
+    assert len(one.codes) == S._PQ_M
+    assert all(0 <= c < S._PQ_KS for c in one.codes)
+
+    indexed = S.ann_ivfpq_topk_indexed(spark, SF, idx)
+    plan = plan_string(indexed)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan)
+    assert m, f"no partition-pruning IN filter on cell in plan:\n{plan[:2000]}"
+
+    got = [tuple(r) for r in indexed.collect()]
+    want = [tuple(r) for r in S.ann_ivfpq_topk(spark, SF).collect()]
+    assert got == want
+    assert got  # non-empty
+
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
