@@ -1408,21 +1408,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_shortlist_rerank(emb, adc)
 
 
-def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
-    """Materialize the IVFPQ inverted file as a PERSISTED index: encode
-    every corpus vector's cell residual to its M codeword indices and
-    write (vec_id, cell, codes) cell-partitioned parquet — the
-    ``build_ivf_index`` layout carrying 8-bit codes instead of float
-    vectors, i.e. both scale levers persisted at once (partition-pruned
-    scan + ~32× smaller rows; the raw vectors stay in the source table,
-    touched only by the |shortlist|-row rerank join).  One corpus scan,
-    one Arrow encode pass, shuffle-free partitionBy write.  Returns the
-    number of cells."""
+def _ivfpq_encode_frame(
+    vectors: DataFrame, cents: list[list[float]], books_np
+) -> DataFrame:
+    """(vec_id, cell, codes) for a vector frame under a FIXED quantizer
+    pair — cell assignment + residual in Catalyst, codeword argmin in
+    one Arrow pass.  Shared by the full build and incremental adds so
+    partial-build+adds equals the full build row-for-row."""
     import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _get_ivf_centroids(spark, sf_dir, emb)
-    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
 
     def encode(batches):
         import pandas as pd
@@ -1437,13 +1430,64 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
                 }
             )
 
-    coded = (
-        _residual_corpus(emb, cents)
+    return (
+        _residual_corpus(vectors, cents)
         .select("vec_id", "cell", "residual")
         .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
     )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    vectors: DataFrame | None = None,
+) -> int:
+    """Materialize the IVFPQ inverted file as a PERSISTED index: encode
+    every corpus vector's cell residual to its M codeword indices and
+    write (vec_id, cell, codes) cell-partitioned parquet — the
+    ``build_ivf_index`` layout carrying 8-bit codes instead of float
+    vectors, i.e. both scale levers persisted at once (partition-pruned
+    scan + ~32× smaller rows; the raw vectors stay in the source table,
+    touched only by the |shortlist|-row rerank join).  One corpus scan,
+    one Arrow encode pass, shuffle-free partitionBy write.  Returns the
+    number of cells.
+
+    ``vectors`` overrides the indexed frame (default: the whole
+    embeddings table) — both quantizers are ALWAYS the session's
+    memoized corpus-trained ones, so a partial build plus later
+    ``ivfpq_index_add`` batches equals the full build row-for-row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    coded = _ivfpq_encode_frame(
+        vectors if vectors is not None else emb, cents, books_np
+    )
     coded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     return len(cents)
+
+
+def ivfpq_index_add(
+    spark: SparkSession, sf_dir: str, index_path: str, new_vectors: DataFrame
+) -> int:
+    """INCREMENTAL IVFPQ maintenance: encode a batch under the index's
+    FIXED quantizer pair (coarse centroids + residual codebooks — never
+    retrained per batch, same rationale as ``ivf_index_add``) and
+    append to only the batch's cell partitions.  Append cost ∝ batch
+    size.  Returns the number of rows appended — best-effort frozen by
+    the persist-then-count (the ``ivf_index_add`` caveat: a lost cached
+    partition between count and write can recompute; a hard guarantee
+    would checkpoint or count written files)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    coded = _ivfpq_encode_frame(new_vectors, cents, books_np).persist()
+    try:
+        n_added = coded.count()
+        coded.write.mode("append").partitionBy("cell").parquet(index_path)
+    finally:
+        coded.unpersist(False)
+    return n_added
 
 
 def ann_ivfpq_topk_indexed(

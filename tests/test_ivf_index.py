@@ -169,3 +169,64 @@ def test_ivfpq_index_roundtrip_and_pruning(spark, tmp_path):
 
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_ivfpq_index_incremental_add_equals_full_build(spark, tmp_path):
+    """The IVFPQ lifecycle under incremental maintenance + compaction:
+    partial build + ivfpq_index_add batches must equal a from-scratch
+    full build row-for-row (same session quantizer PAIR — coarse
+    centroids and residual codebooks), the indexed query over the
+    accreted index must equal the in-session answer, and compaction
+    must shed the per-(batch, cell) file slivers while preserving rows,
+    answers, and static pruning."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        compact_parquet,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(5)) != 0)
+    batch1 = emb.filter(F.pmod("vec_id", F.lit(5)) == 0).filter(
+        F.col("vec_id") % 2 == 0
+    )
+    batch2 = emb.filter(F.pmod("vec_id", F.lit(5)) == 0).filter(
+        F.col("vec_id") % 2 != 0
+    )
+
+    incr = str(tmp_path / "ivfpq_incr")
+    full = str(tmp_path / "ivfpq_full")
+    S.build_ivfpq_index(spark, SF, incr, vectors=base)
+    n1 = S.ivfpq_index_add(spark, SF, incr, batch1)
+    n2 = S.ivfpq_index_add(spark, SF, incr, batch2)
+    assert n1 + n2 == emb.count() - base.count() > 0
+
+    S.build_ivfpq_index(spark, SF, full)
+
+    def canon(path):
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert canon(incr) == canon(full)
+
+    got = [tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, incr).collect()]
+    want = [tuple(r) for r in S.ann_ivfpq_topk(spark, SF).collect()]
+    assert got == want
+
+    # compaction: fewer files, same rows, same answers, pruning intact
+    files_before = len(glob.glob(f"{incr}/cell=*/*.parquet"))
+    compacted = str(tmp_path / "ivfpq_compacted")
+    compact_parquet(spark, incr, compacted, partition_by=["cell"])
+    assert len(glob.glob(f"{compacted}/cell=*/*.parquet")) < files_before
+    assert canon(compacted) == canon(full)
+    after = S.ann_ivfpq_topk_indexed(spark, SF, compacted)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan_string(after))
+    assert [tuple(r) for r in after.collect()] == want
+
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
