@@ -1840,6 +1840,91 @@ def _mixture_oracle() -> str:
 _MIXTURE_ORACLE = _mixture_oracle()
 
 
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α) source sampling — the multilingual-balancing
+    policy (mBERT / XLM-R: sample source s with p_s ∝ n_s^α, α < 1
+    flattening the head) next to ``mixture_balance_sources``'s
+    EXTERNAL weights: here the weights are DERIVED from the corpus
+    itself at α = 1/2, w_s = ⌊√n_s⌋, then the same
+    maximal-budget-without-upsampling machinery applies (K = min_s(n_s
+    div w_s), kept_s target = w_s·K, membership by salted md5 hash vs
+    an integer cut).
+
+    Exactness note: n^α for irrational α would put a float Σ/÷ on the
+    cut path, where cross-engine last-ulp drift flips boundary docs —
+    so the weight is the INTEGER isqrt, computed as cast(sqrt(n)) ±1
+    correction (both engines adjust the same double to the same
+    integer), and every downstream quantity stays in the long domain
+    exactly like the weighted op.  Same plan shape: dimension-sized
+    groupBy count, broadcast 1-row min, broadcast cuts join, one
+    conditional-count agg — no data-sized shuffle beyond the aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(
+        F.coalesce(F.col("source"), F.lit("")).alias("src")
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    r = F.expr("cast(sqrt(cast(n_docs as double)) as long)")
+    isqrt = (
+        F.when((r + 1) * (r + 1) <= F.col("n_docs"), r + 1)
+        .when(r * r > F.col("n_docs"), r - 1)
+        .otherwise(r)
+    )
+    weighted = counts.withColumn("w", isqrt)
+    budget = weighted.agg(F.min(F.expr("n_docs div w")).alias("k"))
+    cuts = weighted.crossJoin(F.broadcast(budget)).select(
+        "src", "n_docs", "w", F.expr("k * w * 4294967296 div n_docs").alias("cut")
+    )
+    h = _hash32_col(
+        F.concat_ws(
+            ":", F.lit("temp"), F.coalesce(F.col("source"), F.lit("")), "doc_id"
+        )
+    )
+    tagged = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("src"), h.alias("h")
+    )
+    return (
+        tagged.join(F.broadcast(cuts), "src")
+        .groupBy(F.col("src").alias("source"), "n_docs", "w")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("cut"), 1)).cast("long").alias("n_kept")
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_temperature_oracle() -> str:
+    h = _hash32_sql("'temp:' || coalesce(source, '') || ':' || doc_id::VARCHAR")
+    return f"""
+    WITH counts AS (
+        SELECT coalesce(source, '') AS src, COUNT(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT src, n_docs,
+               (CASE
+                    WHEN (r + 1) * (r + 1) <= n_docs THEN r + 1
+                    WHEN r * r > n_docs THEN r - 1
+                    ELSE r
+                END) AS w
+        FROM (SELECT src, n_docs,
+                     CAST(sqrt(n_docs::DOUBLE) AS BIGINT) AS r
+              FROM counts)
+    ),
+    cuts AS (
+        SELECT src, n_docs, w,
+               (SELECT MIN(n_docs // w) FROM weighted) * w * 4294967296 // n_docs AS cut
+        FROM weighted
+    )
+    SELECT c.src AS source, c.n_docs, c.w,
+           COUNT(CASE WHEN {h} < c.cut THEN 1 END)::BIGINT AS n_kept
+    FROM documents d JOIN cuts c ON coalesce(d.source, '') = c.src
+    GROUP BY c.src, c.n_docs, c.w
+    ORDER BY source
+"""
+
+
+_MIXTURE_TEMPERATURE_ORACLE = _mixture_temperature_oracle()
+
+
 # ---------------------------------------------------------------------------
 # training-shard export: deterministic global shuffle + sharded write
 # ---------------------------------------------------------------------------
@@ -3532,6 +3617,7 @@ PYTEST_QUERIES = {
     "repetition_stats": repetition_stats,
     "stopword_filter": stopword_filter,
     "remove_boilerplate": remove_boilerplate,
+    "mixture_temperature_sample": mixture_temperature_sample,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "source_quality_rollup": source_quality_rollup,
@@ -3554,6 +3640,7 @@ PYTEST_ORACLES = {
     "repetition_stats": _REPETITION_ORACLE,
     "stopword_filter": _STOPWORD_FILTER_ORACLE,
     "remove_boilerplate": _BOILERPLATE_ORACLE,
+    "mixture_temperature_sample": _MIXTURE_TEMPERATURE_ORACLE,
     "contamination_check": _CONTAMINATION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,

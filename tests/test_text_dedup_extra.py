@@ -613,3 +613,38 @@ def test_remove_boilerplate_planted_fixture(spark, tmp_path):
     # all-boilerplate doc cleans to the empty string, not a NULL
     assert (got[4].n_segs, got[4].n_boiler) == (1, 1)
     assert got[4].clean_n_chars == 0 and got[4].clean_md5 == md5("")
+
+
+def test_mixture_temperature_planted_fixture(spark, tmp_path):
+    """Planted skewed sources pin the α=1/2 semantics: exact integer
+    isqrt weights (including the truncate-vs-round cast divergence the
+    ±1 correction absorbs), the scarcest source keeping EVERYTHING
+    (its cut is exactly 2^32 by construction of K), no upsampling, and
+    head-flattening (the big source's kept share strictly below its raw
+    share)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        mixture_temperature_sample,
+    )
+
+    rows = []
+    did = 0
+    for src, n in (("big", 400), ("mid", 99), ("rare", 9)):
+        for _ in range(n):
+            rows.append((did, f"doc {did} words here", src, "en", 0))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in mixture_temperature_sample(spark, str(tmp_path)).collect()}
+
+    # exact integer isqrt: 400 → 20 (perfect square, the FP-exactness
+    # case), 99 → 9 (sqrt ≈ 9.95, DuckDB's round-to-nearest gives 10
+    # and must be corrected down), 9 → 3
+    assert (got["big"].w, got["mid"].w, got["rare"].w) == (20, 9, 3)
+    # K = min(400//20, 99//9, 9//3) = 3; rare's cut is 3*3*2^32//9 = 2^32
+    assert got["rare"].n_kept == 9  # scarcest source keeps everything
+    for r in got.values():
+        assert 0 < r.n_kept <= r.n_docs  # never upsamples
+    raw_share = got["big"].n_docs / sum(r.n_docs for r in got.values())
+    kept_share = got["big"].n_kept / sum(r.n_kept for r in got.values())
+    assert kept_share < raw_share  # the head is flattened toward the tail
