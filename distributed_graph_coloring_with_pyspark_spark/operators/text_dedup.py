@@ -1925,6 +1925,108 @@ def _mixture_temperature_oracle() -> str:
 _MIXTURE_TEMPERATURE_ORACLE = _mixture_temperature_oracle()
 
 
+# epoch-shuffle manifest: fixed small epoch/shard counts so the whole
+# surface is value-pinnable; a production call takes these as arguments
+_EPOCH_SHUFFLE_EPOCHS = 2
+_EPOCH_SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle — the manifest a data
+    loader consumes so every run (and every resume) visits documents in
+    the same pseudo-random order per epoch: each epoch e defines a
+    permutation by the salted hash md5('ep:e:' || doc_id), docs are
+    globally ranked in (hash, doc_id) order, and the rank stripes
+    round-robin into ``_EPOCH_SHUFFLE_SHARDS`` shards (sizes equal ±1
+    by construction).  Engine-portable randomness: the permutation is a
+    pure function of (salt, doc_id) — no rand(), no zipWithIndex
+    partition dependence.
+
+    The global rank is the two-pass distributed scan ``pack_sequences``
+    documents (literal-derived range buckets from one seeded hash
+    sample, per-bucket row_number + broadcast bucket offsets) — never a
+    single-partition global window.  Cross-bucket order is strict
+    because equal hashes can never straddle a cut (bucket = count of
+    cuts ≤ hash).  Per epoch: two scans of a 12-byte projection, one
+    equi-shuffle, three bounded driver actions — epochs are a small
+    constant, so 100 TB cost is epochs × one lean scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    out = None
+    for epoch in range(_EPOCH_SHUFFLE_EPOCHS):
+        h = _hash32_col(
+            F.concat_ws(":", F.lit("ep"), F.lit(str(epoch)), "doc_id")
+        )
+        keyed = persist_tracked(spark, docs.select("doc_id", h.alias("hv")))
+        n = keyed.count()
+        frac = min(1.0, (par * 20) / max(n, 1))
+        sample = sorted(
+            r["hv"]
+            for r in keyed.select("hv").sample(False, frac, 7 + epoch).collect()
+        )
+        step = max(1, len(sample) // par)
+        cuts = sample[step::step][: par - 1]
+        if cuts:
+            cut_arr = F.array(*[F.lit(c) for c in cuts])
+            bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("hv")))
+        else:
+            bucket = F.lit(0)
+        keyed = keyed.withColumn("pid", bucket.cast("int"))
+        totals = sorted(
+            (r["pid"], r["c"])
+            for r in keyed.groupBy("pid").agg(F.count("*").alias("c")).collect()
+        )
+        offsets, acc = [], 0
+        for pid, c in totals:
+            offsets.append((pid, acc))
+            acc += c
+        off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, base long")
+        w = Window.partitionBy("pid").orderBy("hv", "doc_id")
+        ranked = (
+            keyed.withColumn("rk", F.row_number().over(w))
+            .join(F.broadcast(off_df), "pid")
+            .select(
+                F.lit(epoch).alias("epoch"),
+                "doc_id",
+                (F.col("base") + F.col("rk") - 1).cast("long").alias("pos"),
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out.select(
+        "epoch",
+        "doc_id",
+        "pos",
+        (F.col("pos") % _EPOCH_SHUFFLE_SHARDS).alias("shard"),
+        F.expr(f"pos div {_EPOCH_SHUFFLE_SHARDS}").alias("pos_in_shard"),
+    ).orderBy("epoch", "pos")
+
+
+def _epoch_shuffle_oracle() -> str:
+    h = _hash32_sql("'ep:' || epoch::VARCHAR || ':' || doc_id::VARCHAR")
+    eps = ", ".join(str(e) for e in range(_EPOCH_SHUFFLE_EPOCHS))
+    return f"""
+    WITH eps AS (SELECT unnest([{eps}]) AS epoch),
+    keyed AS (
+        SELECT epoch, doc_id, {h} AS hv
+        FROM documents CROSS JOIN eps
+    ),
+    ranked AS (
+        SELECT epoch, doc_id,
+               row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id) - 1
+                   AS pos
+        FROM keyed
+    )
+    SELECT epoch, doc_id, pos,
+           pos % {_EPOCH_SHUFFLE_SHARDS} AS shard,
+           pos // {_EPOCH_SHUFFLE_SHARDS} AS pos_in_shard
+    FROM ranked
+    ORDER BY epoch, pos
+"""
+
+
+_EPOCH_SHUFFLE_ORACLE = _epoch_shuffle_oracle()
+
+
 # ---------------------------------------------------------------------------
 # training-shard export: deterministic global shuffle + sharded write
 # ---------------------------------------------------------------------------
@@ -3618,6 +3720,7 @@ PYTEST_QUERIES = {
     "stopword_filter": stopword_filter,
     "remove_boilerplate": remove_boilerplate,
     "mixture_temperature_sample": mixture_temperature_sample,
+    "epoch_shuffle_manifest": epoch_shuffle_manifest,
     "contamination_check": contamination_check,
     "pack_sequences": pack_sequences,
     "source_quality_rollup": source_quality_rollup,
@@ -3641,6 +3744,7 @@ PYTEST_ORACLES = {
     "stopword_filter": _STOPWORD_FILTER_ORACLE,
     "remove_boilerplate": _BOILERPLATE_ORACLE,
     "mixture_temperature_sample": _MIXTURE_TEMPERATURE_ORACLE,
+    "epoch_shuffle_manifest": _EPOCH_SHUFFLE_ORACLE,
     "contamination_check": _CONTAMINATION_ORACLE,
     "pack_sequences": _PACK_ORACLE,
     "source_quality_rollup": _SOURCE_ROLLUP_ORACLE,

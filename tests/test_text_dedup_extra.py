@@ -648,3 +648,39 @@ def test_mixture_temperature_planted_fixture(spark, tmp_path):
     raw_share = got["big"].n_docs / sum(r.n_docs for r in got.values())
     kept_share = got["big"].n_kept / sum(r.n_kept for r in got.values())
     assert kept_share < raw_share  # the head is flattened toward the tail
+
+
+def test_epoch_shuffle_manifest_permutation_properties(spark):
+    """Beyond hash equality: each epoch is a true permutation of the
+    corpus (pos = 0..n-1, every doc exactly once), shard sizes are
+    equal ±1 by round-robin construction, and different epochs produce
+    genuinely different visit orders (different salts)."""
+    from collections import Counter
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _EPOCH_SHUFFLE_EPOCHS,
+        _EPOCH_SHUFFLE_SHARDS,
+        epoch_shuffle_manifest,
+    )
+
+    rows = epoch_shuffle_manifest(spark, SF).collect()
+    n = len(rows) // _EPOCH_SHUFFLE_EPOCHS
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(_EPOCH_SHUFFLE_EPOCHS))
+    orders = {}
+    for epoch, er in by_epoch.items():
+        assert sorted(r.pos for r in er) == list(range(n))  # permutation
+        assert len({r.doc_id for r in er}) == n  # every doc once
+        sizes = Counter(r.shard for r in er)
+        assert set(sizes) == set(range(_EPOCH_SHUFFLE_SHARDS))
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # balanced
+        for r in er:  # striping arithmetic is self-consistent
+            assert (r.shard, r.pos_in_shard) == (
+                r.pos % _EPOCH_SHUFFLE_SHARDS,
+                r.pos // _EPOCH_SHUFFLE_SHARDS,
+            )
+        orders[epoch] = [r.doc_id for r in sorted(er, key=lambda x: x.pos)]
+    assert orders[0] != orders[1]  # epochs differ
+    assert orders[0] != sorted(orders[0])  # and neither is doc_id order
