@@ -230,3 +230,25 @@ def test_ivfpq_index_incremental_add_equals_full_build(spark, tmp_path):
 
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_ivfpq_index_is_much_smaller_than_ivf_index(spark, tmp_path):
+    """The compression half of the composite claim: the code-carrying
+    inverted file must be a small fraction of the float-carrying one on
+    the same corpus (raw ratio ~32×; parquet encoding narrows it, so
+    the pin is a conservative 4×)."""
+    import pathlib
+
+    ivf = str(tmp_path / "ivf")
+    ivfpq = str(tmp_path / "ivfpq")
+    S.build_ivf_index(spark, SF, ivf)
+    S.build_ivfpq_index(spark, SF, ivfpq)
+
+    def nbytes(root):
+        return sum(
+            p.stat().st_size for p in pathlib.Path(root).rglob("*.parquet")
+        )
+
+    assert nbytes(ivfpq) * 4 < nbytes(ivf)
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
