@@ -1175,27 +1175,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = emb.select("vec_id", "embedding").mapInPandas(
         adc_batches, "probe_id long, vec_id long, adc_dist double"
     )
-    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    shortlist = (
-        adc.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_SHORTLIST)
-        .select("probe_id", "vec_id")
-    )
-    probes = emb.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
-    )
-    rerank = (
-        shortlist.join(emb, "vec_id")
-        .join(F.broadcast(probes), "probe_id")
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    return _topk_per_probe(rerank)
+    return _ivfpq_shortlist_rerank(emb, adc)
 
 
 # --- IVF-PQ composite index (Jegou et al. 2011, the FAISS IVFPQ) ---------
@@ -1348,7 +1328,7 @@ def _ivfpq_adc_scan(
 def _ivfpq_shortlist_rerank(emb: DataFrame, adc: DataFrame) -> DataFrame:
     """Global shortlist rank over batch winners (≤ probes×SHORTLIST rows
     per batch reach the window) + exact-cosine rerank — the FAISS
-    PQ+refine tail shared by both IVFPQ paths."""
+    PQ+refine tail shared by the flat-PQ path and both IVFPQ paths."""
     w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w))
