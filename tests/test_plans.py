@@ -338,3 +338,38 @@ def test_hybrid_search_plan_shape(spark):
     assert "LeftSemi" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_remove_boilerplate_prunes_and_avoids_windows(spark):
+    """r11: the line-dedup pass must read only (doc_id, text) and build
+    its per-doc reassembly from aggregation, never a window — a Window
+    sneaking in would be the single-partition global-sort anti-pattern
+    this module bans."""
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = TD.remove_boilerplate(spark, SF)
+    schemas = scan_schemas(df)
+    assert schemas and all(
+        "lang" not in s and "source" not in s and "n_chars" not in s
+        for s in schemas
+    )
+    assert "Window" not in plan_string(df)
+
+
+def test_epoch_shuffle_windows_are_bucket_partitioned(spark):
+    """r11: the per-epoch global rank must ride bucket-partitioned
+    windows (the literal-cut two-pass scan), never an unpartitioned
+    Window.orderBy — the plan says 'Window' with a partition spec on
+    pid, and the scan reads doc_id only."""
+    import re
+
+    from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+
+    df = TD.epoch_shuffle_manifest(spark, SF)
+    plan = plan_string(df)
+    schemas = scan_schemas(df)
+    assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas)
+    # every Window node carries a partition spec over the bucket id
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "pid" in m.group(1)
+    assert "pid" in plan  # the bucket column is actually in the plan
