@@ -93,6 +93,7 @@ def main() -> int:
         "ann_hyperplane_topk": S.ann_hyperplane_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "ann_pq_topk": S.ann_pq_topk,
+        "ann_ivfpq_topk": S.ann_ivfpq_topk,
     }
     for label, sf_dir in (("1x (2k vectors)", SF), ("10x (20k vectors)", big)):
         release_session_caches(spark)
