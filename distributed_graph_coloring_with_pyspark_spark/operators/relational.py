@@ -2342,3 +2342,16 @@ for _rot in ("semi_customers_with_big_orders",):
 # text_dedup.py (same oracle contract at the pytest gate there).
 QUERIES["profile_lineitem"] = PYTEST_QUERIES.pop("profile_lineitem")
 ORACLES["profile_lineitem"] = PYTEST_ORACLES.pop("profile_lineitem")
+
+# Round-11 (second rotation): the two strongest new r11 training-data
+# surfaces — remove_boilerplate and epoch_shuffle_manifest, both
+# DuckDB-oracled since birth — take driver rows in text_dedup.py; the
+# rows are freed here by cube_part_stats (fixed CUBE lattice; the
+# multi-level-agg shapes stay driver-covered via rollup_order_stats and
+# pytest-covered via the explicit GROUPING SETS entry) and
+# cross_region_status_grid (cross-join scaffold over two tiny
+# dimensions; its broadcast plan pin lives on in tests/test_plans.py).
+# Same oracle contract at the pytest gate, still benched.
+for _rot in ("cube_part_stats", "cross_region_status_grid"):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

@@ -3822,3 +3822,15 @@ PYTEST_ORACLES["token_frequencies"] = ORACLES.pop("token_frequencies")
 # the tests/test_text_dedup_extra.py gate.
 PYTEST_QUERIES["doc_fingerprints"] = QUERIES.pop("doc_fingerprints")
 PYTEST_ORACLES["doc_fingerprints"] = ORACLES.pop("doc_fingerprints")
+
+
+# Round-11 (second rotation): promote the round's two strongest new
+# surfaces into the driver registry on the rows relational.py frees
+# (cube_part_stats, cross_region_status_grid) — remove_boilerplate is
+# the only corpus-frequency segment-dedup family member and
+# epoch_shuffle_manifest the only training-order surface; both carry
+# full DuckDB oracles plus planted/property pytest gates that stay.
+QUERIES["remove_boilerplate"] = PYTEST_QUERIES.pop("remove_boilerplate")
+ORACLES["remove_boilerplate"] = PYTEST_ORACLES.pop("remove_boilerplate")
+QUERIES["epoch_shuffle_manifest"] = PYTEST_QUERIES.pop("epoch_shuffle_manifest")
+ORACLES["epoch_shuffle_manifest"] = PYTEST_ORACLES.pop("epoch_shuffle_manifest")
