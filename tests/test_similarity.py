@@ -174,3 +174,24 @@ def test_ivfpq_cosine_values_match_exact(spark, tmp_path):
         key = (r.probe_id, r.neighbor_id)
         if key in exact:
             assert r.cos_sim == pytest.approx(exact[key], abs=0)
+
+
+def test_ivfpq_tiny_corpus_edge(spark, tmp_path):
+    """Fewer vectors than K cells (and than the PQ seed budget): the
+    small-corpus paths of both quantizers compose — min(K, n) cells,
+    Forgy-seeded codebooks — and the composite still returns the exact
+    neighbors (with n=6 every cell is probed, shortlist covers all, so
+    IVFPQ degenerates to exact top-k after rerank)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(6):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, v, 0))
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(rows, _EMB_SCHEMA).write.mode("overwrite").parquet(path)
+    sf = str(tmp_path)
+    exact = {(r.probe_id, r.rank): r.neighbor_id for r in S.knn_exact_topk(spark, sf).collect()}
+    ivfpq = {(r.probe_id, r.rank): r.neighbor_id for r in S.ann_ivfpq_topk(spark, sf).collect()}
+    assert exact == ivfpq and exact
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
