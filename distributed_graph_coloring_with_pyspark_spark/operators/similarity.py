@@ -2066,7 +2066,69 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry, like the graph module's pagerank/SSSP; the three _lsh tiers
 # are recall-gated against their exact twins (test_similarity_extra)
 # and benched for the sub-quadratic scaling story.
+_KCENTER_K = 16  # centers selected by the greedy max-min sweep
+
+
+def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point / max-min) DIVERSITY selection —
+    the coreset sampler (Gonzalez 1985) a curation pipeline runs when it
+    wants COVERAGE rather than distribution matching: where DSIR pulls
+    toward a target domain and the classifier gate ranks by quality,
+    k-center picks the ``_KCENTER_K`` vectors that maximize the minimum
+    pairwise cosine distance — each round adds the vector farthest from
+    its nearest already-selected center.  Output is the selection
+    manifest: (sel_rank, vec_id, dist_at_selection), where the distance
+    column is the max-min radius at that step (non-increasing — the
+    greedy invariant the tests pin; NULL for the seed).
+
+    Determinism: the seed is the smallest vec_id, each round's distance
+    is ROUNDED to 9 dp before the argmax and ties break to the smallest
+    vec_id (a struct-max over (d, -vec_id)), and already-selected ids
+    are excluded explicitly, so an all-duplicates tail cannot re-pick a
+    center.  Scale shape: one bounded action per round (a ONE-ROW
+    struct-max collect) over a scan where the selected matrix rides the
+    plan as a nested-array literal (the `_cell_scores` lesson) — K
+    corpus scans total, driver state K×DIM floats + the manifest.  Not
+    SQL-expressible in one statement (iterative argmax); gated by an
+    exact numpy greedy replication in tests/test_similarity_extra.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").select("vec_id", "embedding").head(1)
+    if not first:
+        raise ValueError("k-center selection requires a non-empty corpus")
+    sel: list[tuple[int, list[float], float | None]] = [
+        (int(first[0].vec_id), [float(x) for x in first[0].embedding], None)
+    ]
+    k = min(_KCENTER_K, emb.count())
+    while len(sel) < k:
+        cents = [v for _, v, _ in sel]
+        scores = _cell_scores(F.col("embedding"), cents)
+        d = F.round(1.0 - F.array_max(F.transform(scores, lambda s: s["s"])), 9)
+        pick = (
+            emb.filter(~F.col("vec_id").isin([vid for vid, _, _ in sel]))
+            .select(
+                F.max(
+                    F.struct(
+                        d.alias("d"),
+                        (-F.col("vec_id")).alias("neg_id"),
+                        F.col("vec_id").alias("vec_id"),
+                        F.col("embedding").alias("embedding"),
+                    )
+                ).alias("m")
+            )
+            .select("m.*")
+            .collect()[0]
+        )
+        sel.append(
+            (int(pick.vec_id), [float(x) for x in pick.embedding], float(pick.d))
+        )
+    return spark.createDataFrame(
+        [(i, vid, dist) for i, (vid, _, dist) in enumerate(sel)],
+        "sel_rank int, vec_id long, dist_at_selection double",
+    )
+
+
 PYTEST_QUERIES = {
+    "kcenter_select": kcenter_select,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_centroid_stats": embedding_centroid_stats,
     "embedding_pca_top": embedding_pca_top,

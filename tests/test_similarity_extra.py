@@ -320,3 +320,53 @@ def test_contamination_plan_shape(spark):
     # the only joins are candidate-pair-sized: pairs->train equi-join
     # and the broadcast eval-frame lookup (no corpus-wide cross join)
     assert "CartesianProduct" not in plan
+
+
+def test_kcenter_select_matches_numpy_greedy(spark):
+    """r11: exact replication of the greedy max-min sweep — same seed
+    (smallest vec_id), same 9-dp rounding before the argmax, same
+    smallest-id tie-break, same selected-id exclusion — plus the greedy
+    invariants: ranks are 0..k-1, ids distinct, and the max-min radius
+    is non-increasing."""
+    import numpy as np
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _KCENTER_K,
+        kcenter_select,
+    )
+
+    rows = sorted(
+        (
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.array([t[1] for t in rows])
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+
+    sel = [0]  # positional index of the smallest vec_id
+    expect = [(0, int(ids[0]), None)]
+    while len(sel) < min(_KCENTER_K, len(ids)):
+        best_cos = (Xn @ Xn[sel].T).max(axis=1)
+        d = np.round(1.0 - best_cos, 9)
+        d[sel] = -np.inf  # exclusion
+        # argmax with smallest-id tie-break: ids are sorted ascending,
+        # so the first occurrence of the max IS the smallest id
+        j = int(np.argmax(d))
+        sel.append(j)
+        expect.append((len(sel) - 1, int(ids[j]), float(d[j])))
+
+    got = [
+        (r.sel_rank, r.vec_id, r.dist_at_selection)
+        for r in kcenter_select(spark, SF).orderBy("sel_rank").collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, gd), (_, _, ed) in zip(got[1:], expect[1:]):
+        assert gd == pytest.approx(ed, abs=1e-9)
+    assert len({b for _, b, _ in got}) == len(got)  # distinct centers
+    dists = [d for _, _, d in got[1:]]
+    assert all(x >= y - 1e-12 for x, y in zip(dists, dists[1:]))  # non-increasing
