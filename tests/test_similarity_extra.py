@@ -234,6 +234,48 @@ def test_contamination_flags_planted_eval_clone(spark, tmp_path):
     assert got[0].cos_sim == 1.0
 
 
+def test_contamination_eval_cap_binds(spark, tmp_path):
+    """r12 (VERDICT r11 #1): the eval suite is HARD-bounded.  Fixture:
+    6 mod-10 holdout rows with ``eval_cap=3`` → suite = {0, 10, 20}.
+    A train clone of suite member 20 is flagged; a train clone of
+    holdout row 30 (PAST the cap → outside the suite) is NOT — the
+    bound changes semantics deliberately, never silently.  The whole
+    capped result is also cross-checked against the DuckDB oracle at
+    the same cap."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _contamination_emb_oracle,
+        embedding_contamination,
+    )
+
+    rows = []
+    for i in range(60):
+        v = [0.0] * 64
+        v[i % 64] = 1.0
+        v[(i + 7) % 64] = 0.1 * (1 + (i % 3))
+        rows.append((i, v, 0))
+    rows[23] = (23, list(rows[20][1]), 0)  # clone of IN-suite eval 20
+    rows[33] = (33, list(rows[30][1]), 0)  # clone of PAST-cap holdout 30
+    path = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(path)
+
+    got = embedding_contamination(spark, str(tmp_path), eval_cap=3).collect()
+    flagged = [(r.train_vec_id, r.eval_vec_id) for r in got]
+    assert (23, 20) in flagged
+    assert all(e in (0, 10, 20) for _, e in flagged)
+    assert 33 not in [t for t, _ in flagged]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    drows = con.sql(_contamination_emb_oracle(3)).fetchall()
+    con.close()
+    scols = ["train_vec_id", "eval_vec_id", "cos_sim"]
+    srows = [tuple(r) for r in got]
+    assert len(srows) == len(drows)
+    assert canon_rows(scols, srows) == canon_rows(scols, drows)
+
+
 def test_ann_recall_report_consistent_with_gates(spark):
     """The productized recall report must reproduce the recall the
     pytest gates compute from the same frames, and every tier must sit
