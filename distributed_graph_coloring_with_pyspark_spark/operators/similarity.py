@@ -830,23 +830,20 @@ def ivf_index_add(
     number of rows appended."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_centroids(spark, sf_dir, emb)
+    # Materialize ONCE before the write: a non-deterministic input
+    # (sample / limit / unordered head) would otherwise re-evaluate
+    # between the append and the count, so the returned row count
+    # could disagree with what was written (ADVICE r9).  HARD freeze
+    # (ADVICE r11): an eager localCheckpoint SEVERS lineage, so a lost
+    # block can never silently recompute from the non-deterministic
+    # source — the count and the write read the same frozen partitions
+    # or the job fails loudly.  Batch-sized state, released on GC like
+    # every localCheckpoint in the package.
     assigned = new_vectors.select(
         "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
-    ).persist()
-    try:
-        # Materialize ONCE before the write: a non-deterministic input
-        # (sample / limit / unordered head) would otherwise re-evaluate
-        # between the append and the count, so the returned row count
-        # could disagree with what was written (ADVICE r9).  Best-
-        # effort freeze (ADVICE r10): the write reads the cached rows
-        # unless a cached partition is evicted/lost in between, in
-        # which case Spark recomputes it — a hard guarantee would need
-        # a checkpoint or counting the written files, not worth it for
-        # a convenience return value.
-        n_added = assigned.count()
-        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
-    finally:
-        assigned.unpersist(False)
+    ).localCheckpoint(eager=True)
+    n_added = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
     return n_added
 
 

@@ -142,6 +142,18 @@ def _has_epochs(path: str) -> bool:
     return os.path.isdir(path) and any(e.startswith("epoch=") for e in os.listdir(path))
 
 
+def _decisions_frame(spark: SparkSession, dec_dir: str) -> DataFrame:
+    """Decision log as a DataFrame; an EMPTY log (no epoch ever wrote —
+    empty corpus, or every arrival file was an empty replay) is a valid
+    state and returns an empty frame with the contract schema instead
+    of crashing on a nonexistent parquet path (ADVICE r11)."""
+    if not _has_epochs(dec_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, verdict string, matched_doc long"
+        )
+    return spark.read.parquet(dec_dir).select("doc_id", "verdict", "matched_doc")
+
+
 def _gate_epoch(
     spark: SparkSession, state_dir: str, batch_df: DataFrame, epoch_id: int
 ) -> None:
@@ -302,11 +314,7 @@ def streaming_neardup_gate(
     finally:
         q.stop()
     _, _, dec_dir = _state_paths(state_dir)
-    return (
-        spark.read.parquet(dec_dir)
-        .select("doc_id", "verdict", "matched_doc")
-        .orderBy("doc_id")
-    )
+    return _decisions_frame(spark, dec_dir).orderBy("doc_id")
 
 
 def streaming_neardup_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,8 +374,7 @@ def streaming_neardup_gate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
             q.stop()
         _, _, dec_dir = _state_paths(state)
         out = (
-            spark.read.parquet(dec_dir)
-            .select("doc_id", "verdict", "matched_doc")
+            _decisions_frame(spark, dec_dir)
             .orderBy("doc_id")
             .localCheckpoint(eager=True)  # sever from the temp dir
         )

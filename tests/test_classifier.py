@@ -498,3 +498,24 @@ def test_dual_training_one_action_per_step(spark, monkeypatch):
     assert len(l_f) == 4 and len(l_h) == 4 and 0 < n_h < n_f
     assert calls["collect"] == 5, calls  # 1 count-agg + 4 step collects
     assert calls["count"] == 0, calls
+
+
+def test_holdout_eval_repeat_calls_accumulate_nothing(spark):
+    """r12 pin (VERDICT r11 #3): repeated classifier_holdout_eval calls
+    in one session must not grow the persisted-frame set — the scored
+    holdout and histogram persists are released inside holdout_metrics
+    and the scalars are memoized, so only the shared feature frame may
+    stay cached (released by clear_classifier_cache)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.classifier import (
+        classifier_holdout_eval,
+        clear_classifier_cache,
+    )
+
+    clear_classifier_cache(spark)
+    jsc = spark.sparkContext._jsc
+    classifier_holdout_eval(spark, SF0001).collect()
+    after_first = jsc.getPersistentRDDs().size()
+    classifier_holdout_eval(spark, SF0001).collect()
+    classifier_holdout_eval(spark, SF0001).collect()
+    assert jsc.getPersistentRDDs().size() == after_first
+    clear_classifier_cache(spark)

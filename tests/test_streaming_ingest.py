@@ -116,3 +116,30 @@ def test_gate_restart_resumes_exactly_once(spark, corpus, tmp_path):
     assert len(rows) == len(corpus)
     assert {r.doc_id for r in rows if r.verdict == "novel"} == set(kept)
     assert {r.doc_id for r in rows if r.verdict != "novel"} == dropped
+
+
+def test_gate_empty_corpus_returns_empty_log(spark, tmp_path):
+    """r12 (VERDICT r11 #2): an EMPTY documents table is a valid input —
+    the corpus entry must return an empty decision log with the
+    contract schema (it crashed on the nonexistent decisions dir
+    before), and the raw gate must do the same on a src dir holding
+    only an empty arrival file."""
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(path)
+    out = streaming_neardup_gate_corpus(spark, str(tmp_path))
+    assert out.columns == ["doc_id", "verdict", "matched_doc"]
+    assert out.count() == 0
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    from distributed_graph_coloring_with_pyspark_spark.streaming.ingest import (
+        write_arrival_file,
+    )
+
+    write_arrival_file(
+        spark.createDataFrame([], "doc_id long, text string"), src, "c0"
+    )
+    out2 = streaming_neardup_gate(spark, src, state)
+    assert out2.columns == ["doc_id", "verdict", "matched_doc"]
+    assert out2.count() == 0
