@@ -1278,8 +1278,11 @@ def _ivfpq_adc_scan(
     ``stored_codes=True`` reads pre-encoded codes (the persisted index);
     ``False`` encodes residuals in the same pass (the in-session path).
     Either way the codes come from the same ``_batch_codes`` argmin, so
-    the two paths score identically — the indexed-equality test's
-    foundation."""
+    the two paths score identically; identical scores alone would NOT
+    pin identical results (physical batching differs between the two
+    paths), so the per-batch cut below additionally keeps the
+    (adc_dist, vec_id)-smallest rows — together these make the
+    indexed-equality test's pin exact, not probabilistic."""
     import numpy as np
 
     def adc_batches(batches):
@@ -1303,7 +1306,26 @@ def _ivfpq_adc_scan(
                 d = luts[p][slot[:, None], midx[None, :], codes[mask]].sum(1)
                 vv = vids[mask]
                 keep = min(_PQ_SHORTLIST, len(d))
-                top = np.argpartition(d, keep - 1)[:keep]
+                if keep == len(d):
+                    top = np.arange(len(d))
+                else:
+                    # Deterministic cut (ADVICE r11): argpartition keeps
+                    # an ARBITRARY subset of boundary-distance ties, so
+                    # batch composition (which differs between the
+                    # in-session and indexed scans) could change which
+                    # tied rows survive.  Keep the (adc_dist, vec_id)-
+                    # lexicographically smallest `keep` rows instead:
+                    # each batch then retains every globally-top-k row
+                    # it holds, making the downstream global window's
+                    # result independent of batching — the indexed ≡
+                    # in-session identity becomes structural.  The
+                    # O(t log t) lexsort runs only over the ≤keep+ties
+                    # boundary candidates, not the whole batch.
+                    part = np.argpartition(d, keep - 1)
+                    thresh = d[part[keep - 1]]
+                    cand = np.flatnonzero(d <= thresh)
+                    order = np.lexsort((vv[cand], d[cand]))
+                    top = cand[order[:keep]]
                 frames.append(
                     pd.DataFrame(
                         {

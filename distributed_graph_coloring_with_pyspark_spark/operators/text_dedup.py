@@ -1762,6 +1762,22 @@ _MIXTURE_WEIGHTS = {f"src{i}": (3 if i < 5 else 2 if i < 10 else 1) for i in ran
 _MIXTURE_DEFAULT_WEIGHT = 1
 
 
+def _budget_cut_expr(div: str, k: str = "k") -> str:
+    """``k*w*2^32 div n_docs`` in two base-2^16 long-division steps so
+    every int64 intermediate stays below 2^63 for n_docs < 2^47 (ADVICE
+    r11: the single-multiply form overflows past ~2^31 docs — Spark
+    (non-ANSI) wraps silently while DuckDB raises, breaking engine
+    exactness exactly at the corpus sizes these ops claim to serve).
+    Exact by the schoolbook identity: with a = k*w, B = 2^16 and
+    a*B = q1*N + r1, a*B^2 div N = q1*B + (r1*B div N); K's
+    construction gives a <= N, so q1 <= B and the recombined cut stays
+    <= 2^32.  ``div`` is the engine's integer-divide token ('div'
+    Spark, '//' DuckDB) — both operands are non-negative, so the two
+    engines' floor semantics coincide."""
+    t = f"({k} * w * 65536)"
+    return f"({t} {div} n_docs) * 65536 + (({t} % n_docs) * 65536) {div} n_docs"
+
+
 def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source-mixture balancing — the training-mixture op next
     to ``stratified_sample_split``'s per-language fixed rates: given
@@ -1793,7 +1809,7 @@ def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = counts.agg(F.min(F.expr("n_docs div w")).alias("k"))
     cuts = counts.crossJoin(F.broadcast(budget)).select(
-        "src", "n_docs", F.expr("k * w * 4294967296 div n_docs").alias("cut")
+        "src", "n_docs", F.expr(_budget_cut_expr("div")).alias("cut")
     )
     h = _hash32_col(
         F.concat_ws(":", F.lit("mix"), F.coalesce(F.col("source"), F.lit("")), "doc_id")
@@ -1811,6 +1827,7 @@ def mixture_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mixture_oracle() -> str:
     h = _hash32_sql("'mix:' || coalesce(source, '') || ':' || doc_id::VARCHAR")
+    cut = _budget_cut_expr("//", k="(SELECT MIN(n_docs // w) FROM weighted)")
     w_cases = " ".join(
         f"WHEN src = '{s}' THEN {wt}" for s, wt in sorted(_MIXTURE_WEIGHTS.items())
     )
@@ -1826,7 +1843,7 @@ def _mixture_oracle() -> str:
     ),
     cuts AS (
         SELECT src, n_docs,
-               (SELECT MIN(n_docs // w) FROM weighted) * w * 4294967296 // n_docs AS cut
+               {cut} AS cut
         FROM weighted
     )
     SELECT c.src AS source, c.n_docs,
@@ -1871,7 +1888,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = counts.withColumn("w", isqrt)
     budget = weighted.agg(F.min(F.expr("n_docs div w")).alias("k"))
     cuts = weighted.crossJoin(F.broadcast(budget)).select(
-        "src", "n_docs", "w", F.expr("k * w * 4294967296 div n_docs").alias("cut")
+        "src", "n_docs", "w", F.expr(_budget_cut_expr("div")).alias("cut")
     )
     h = _hash32_col(
         F.concat_ws(
@@ -1893,6 +1910,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mixture_temperature_oracle() -> str:
     h = _hash32_sql("'temp:' || coalesce(source, '') || ':' || doc_id::VARCHAR")
+    cut = _budget_cut_expr("//", k="(SELECT MIN(n_docs // w) FROM weighted)")
     return f"""
     WITH counts AS (
         SELECT coalesce(source, '') AS src, COUNT(*)::BIGINT AS n_docs
@@ -1911,7 +1929,7 @@ def _mixture_temperature_oracle() -> str:
     ),
     cuts AS (
         SELECT src, n_docs, w,
-               (SELECT MIN(n_docs // w) FROM weighted) * w * 4294967296 // n_docs AS cut
+               {cut} AS cut
         FROM weighted
     )
     SELECT c.src AS source, c.n_docs, c.w,
@@ -1957,12 +1975,18 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = _hash32_col(
             F.concat_ws(":", F.lit("ep"), F.lit(str(epoch)), "doc_id")
         )
-        keyed = persist_tracked(spark, docs.select("doc_id", h.alias("hv")))
-        n = keyed.count()
+        # plain persist, released right after the offsets collect below
+        # (ADVICE r11: a tracked per-epoch persist accumulated across
+        # repeated calls in one session) — the final consumer action
+        # recomputes this 12-byte projection once, which is exactly the
+        # second scan the docstring already prices; recomputation is
+        # safe because hv is a pure function of (salt, doc_id)
+        keyed_p = docs.select("doc_id", h.alias("hv")).persist()
+        n = keyed_p.count()
         frac = min(1.0, (par * 20) / max(n, 1))
         sample = sorted(
             r["hv"]
-            for r in keyed.select("hv").sample(False, frac, 7 + epoch).collect()
+            for r in keyed_p.select("hv").sample(False, frac, 7 + epoch).collect()
         )
         step = max(1, len(sample) // par)
         cuts = sample[step::step][: par - 1]
@@ -1971,11 +1995,12 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("hv")))
         else:
             bucket = F.lit(0)
-        keyed = keyed.withColumn("pid", bucket.cast("int"))
+        keyed = keyed_p.withColumn("pid", bucket.cast("int"))
         totals = sorted(
             (r["pid"], r["c"])
             for r in keyed.groupBy("pid").agg(F.count("*").alias("c")).collect()
         )
+        keyed_p.unpersist(False)  # all eager consumers done; see above
         offsets, acc = [], 0
         for pid, c in totals:
             offsets.append((pid, acc))

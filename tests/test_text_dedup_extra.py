@@ -684,3 +684,50 @@ def test_epoch_shuffle_manifest_permutation_properties(spark):
         orders[epoch] = [r.doc_id for r in sorted(er, key=lambda x: x.pos)]
     assert orders[0] != orders[1]  # epochs differ
     assert orders[0] != sorted(orders[0])  # and neither is doc_id order
+
+
+def test_budget_cut_two_step_division_is_exact_and_bounded():
+    """r12 (ADVICE r11): the mixture cut `k*w*2^32 div n` is computed
+    as two base-2^16 long-division steps so every int64 intermediate
+    stays < 2^63 up to n < 2^47 docs.  Pure-python property check:
+    the recombination equals exact big-int arithmetic and every
+    intermediate fits int64, across the regime the old single-multiply
+    form overflowed (n >= 2^31)."""
+    import random
+
+    rng = random.Random(12)
+    cases = [(1, 1, 1), (2**31, 1, 2**31), (2**40, 7, 2**42), (2**47 - 1, 1, 2**47 - 1)]
+    for _ in range(200):
+        n = rng.randrange(1, 2**47)
+        w = rng.randrange(1, 64)
+        k = rng.randrange(0, n // w + 1)  # K <= n div w by construction
+        cases.append((k, w, n))
+    for k, w, n in cases:
+        a = k * w
+        assert a <= n or k == 0  # the construction invariant
+        t = a * 65536
+        assert t < 2**63
+        q1, r1 = t // n, t % n
+        assert q1 * 65536 < 2**63 and r1 * 65536 < 2**63
+        got = q1 * 65536 + (r1 * 65536) // n
+        assert got == (a * 4294967296) // n  # exact vs big-int
+        assert got <= 2**32
+
+
+def test_epoch_shuffle_repeat_calls_accumulate_nothing(spark):
+    """r12 (ADVICE r11): epoch_shuffle_manifest persisted one tracked
+    frame per epoch per CALL with no release; now the per-epoch keyed
+    frame is a plain persist released after its offsets collect, so
+    repeated calls leave the session cache unchanged."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        epoch_shuffle_manifest,
+    )
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    first = epoch_shuffle_manifest(spark, SF)
+    assert jsc.getPersistentRDDs().size() == before
+    n1 = first.count()
+    epoch_shuffle_manifest(spark, SF).count()
+    assert jsc.getPersistentRDDs().size() == before
+    assert n1 > 0
