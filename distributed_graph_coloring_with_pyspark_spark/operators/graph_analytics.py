@@ -1208,3 +1208,10 @@ PYTEST_ORACLES = {
 # identical edge CTE), now value-hashed by the driver at sf0.01.
 QUERIES = {"graph_assortativity": PYTEST_QUERIES.pop("graph_assortativity")}
 ORACLES = {"graph_assortativity": PYTEST_ORACLES.pop("graph_assortativity")}
+
+# Round-12 rotation (VERDICT r11 #5): graph_local_clustering — the
+# per-degree-bucket local clustering coefficient, DuckDB-oracled at the
+# pytest gate since r9 and never driver-exposed — takes the row
+# events_key_skew_report frees in streaming/events.py.
+QUERIES["graph_local_clustering"] = PYTEST_QUERIES.pop("graph_local_clustering")
+ORACLES["graph_local_clustering"] = PYTEST_ORACLES.pop("graph_local_clustering")

@@ -2355,3 +2355,10 @@ ORACLES["profile_lineitem"] = PYTEST_ORACLES.pop("profile_lineitem")
 for _rot in ("cube_part_stats", "cross_region_status_grid"):
     PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
     PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)
+
+# Round-12 rotation (VERDICT r11 #5): asof_purchase_after_click (as-of
+# backward join, hash-green since r6; its range-join shape stays
+# oracle-checked at the pytest gate and benched) frees the driver row
+# text_dedup's promoted repetition_stats takes.
+PYTEST_QUERIES["asof_purchase_after_click"] = QUERIES.pop("asof_purchase_after_click")
+PYTEST_ORACLES["asof_purchase_after_click"] = ORACLES.pop("asof_purchase_after_click")

@@ -1473,19 +1473,18 @@ def ivfpq_index_add(
     FIXED quantizer pair (coarse centroids + residual codebooks — never
     retrained per batch, same rationale as ``ivf_index_add``) and
     append to only the batch's cell partitions.  Append cost ∝ batch
-    size.  Returns the number of rows appended — best-effort frozen by
-    the persist-then-count (the ``ivf_index_add`` caveat: a lost cached
-    partition between count and write can recompute; a hard guarantee
-    would checkpoint or count written files)."""
+    size.  Returns the number of rows appended — hard-frozen by an
+    eager localCheckpoint (r12, same as ``ivf_index_add``): lineage is
+    severed, so the count can never diverge from the written rows via
+    a recomputed non-deterministic input."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _get_ivf_centroids(spark, sf_dir, emb)
     books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
-    coded = _ivfpq_encode_frame(new_vectors, cents, books_np).persist()
-    try:
-        n_added = coded.count()
-        coded.write.mode("append").partitionBy("cell").parquet(index_path)
-    finally:
-        coded.unpersist(False)
+    coded = _ivfpq_encode_frame(new_vectors, cents, books_np).localCheckpoint(
+        eager=True
+    )
+    n_added = coded.count()
+    coded.write.mode("append").partitionBy("cell").parquet(index_path)
     return n_added
 
 

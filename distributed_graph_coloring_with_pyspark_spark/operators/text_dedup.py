@@ -3859,3 +3859,10 @@ QUERIES["remove_boilerplate"] = PYTEST_QUERIES.pop("remove_boilerplate")
 ORACLES["remove_boilerplate"] = PYTEST_ORACLES.pop("remove_boilerplate")
 QUERIES["epoch_shuffle_manifest"] = PYTEST_QUERIES.pop("epoch_shuffle_manifest")
 ORACLES["epoch_shuffle_manifest"] = PYTEST_ORACLES.pop("epoch_shuffle_manifest")
+
+# Round-12 rotation (VERDICT r11 #5): repetition_stats — the n-gram
+# repetition profiler, DuckDB-oracled at the pytest gate since r6 and
+# never driver-exposed — takes the driver row asof_purchase_after_click
+# frees in relational.py; same oracle, now value-hashed by the driver.
+QUERIES["repetition_stats"] = PYTEST_QUERIES.pop("repetition_stats")
+ORACLES["repetition_stats"] = PYTEST_ORACLES.pop("repetition_stats")

@@ -1612,6 +1612,14 @@ EXTRA_ORACLES["user_funnel"] = ORACLES.pop("user_funnel")
 QUERIES["events_key_skew_report"] = EXTRA_QUERIES.pop("events_key_skew_report")
 ORACLES["events_key_skew_report"] = EXTRA_ORACLES.pop("events_key_skew_report")
 
+# Round-12 rotation (VERDICT r11 #5): events_key_skew_report returns to
+# the pytest gate (fixed two-agg diagnostic, hash-green both driver
+# rounds; same oracle re-run by
+# tests/test_streaming_batch_equivalence.py) — its driver row goes to
+# graph_analytics' promoted graph_local_clustering.
+EXTRA_QUERIES["events_key_skew_report"] = QUERIES.pop("events_key_skew_report")
+EXTRA_ORACLES["events_key_skew_report"] = ORACLES.pop("events_key_skew_report")
+
 # DuckDB oracles for the pytest-gated streaming pipelines (see the
 # STREAMING_QUERIES note) — identical correctness contract to ORACLES,
 # enforced by tests/test_streaming_batch_equivalence.py instead of the
