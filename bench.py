@@ -193,6 +193,8 @@ def main() -> int:
         ann_recall_report,
         build_ivf_index,
         build_ivfpq_index,
+        clear_ivf_cache,
+        clear_pq_cache,
     )
     from distributed_graph_coloring_with_pyspark_spark.session import (
         get_spark,
@@ -285,12 +287,24 @@ def main() -> int:
     def bench_ann_ivfpq_topk_indexed(spark, sf_dir):
         return ann_ivfpq_topk_indexed(spark, sf_dir, ivfpq_path)
 
+    # r12 (VERDICT r11 #6): the FRESH-SESSION serve cost — quantizer
+    # memos dropped and the index listing re-resolved before the query.
+    # Before the r12 quantizer sidecar this paid a full centroid +
+    # codebook retrain; now it reads the index's persisted quantizer,
+    # so cold-vs-warm is the honest restart-latency pair.
+    def bench_ann_ivfpq_serve_cold(spark, sf_dir):
+        clear_ivf_cache(spark)
+        clear_pq_cache(spark)
+        spark.catalog.refreshByPath(ivfpq_path)
+        return ann_ivfpq_topk_indexed(spark, sf_dir, ivfpq_path)
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
     ann_family["ivf_index_compact"] = bench_ivf_index_compact
     ann_family["ivfpq_index_build"] = bench_build_ivfpq_index
     ann_family["ann_ivfpq_topk_indexed"] = bench_ann_ivfpq_topk_indexed
+    ann_family["ann_ivfpq_serve_cold"] = bench_ann_ivfpq_serve_cold
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup

@@ -716,6 +716,46 @@ def _get_ivf_centroids(
     return cents
 
 
+_QUANTIZER_SIDECAR = "_quantizer.json"  # underscore-prefixed: parquet
+# readers skip it like _SUCCESS, so it can live inside the index dir
+
+
+def _write_quantizer_sidecar(
+    index_path: str, cents: list[list[float]], books=None
+) -> None:
+    """Persist the index's OWN quantizer next to its partitions (r12,
+    VERDICT r11 #6 follow-through): without this, a fresh session
+    querying an existing index RETRAINS the quantizer from the source
+    table — identical on an immutable corpus (Lloyd is deterministic)
+    but silently divergent once the corpus has grown past the build,
+    which mis-probes cells the index never assigned.  JSON floats
+    round-trip exactly (shortest-repr), so sidecar state ≡ the session
+    memo that built the index.  Driver-side open() is fine for a
+    posix-visible index dir; an object-store deployment writes the same
+    bytes through its filesystem API."""
+    import json
+    import os
+
+    payload: dict = {"centroids": cents}
+    if books is not None:
+        payload["codebooks"] = books
+    with open(os.path.join(index_path, _QUANTIZER_SIDECAR), "w") as f:
+        json.dump(payload, f)
+
+
+def _read_quantizer_sidecar(index_path: str):
+    """The index's persisted quantizer, or None for a pre-r12 artifact
+    (callers then fall back to the session-memoized trainer)."""
+    import json
+    import os
+
+    p = os.path.join(index_path, _QUANTIZER_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _ivf_probes(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Probe side: (probe_id, probe_emb, cell) — each probe's top-NPROBE
     cells by centroid cosine, exploded to one row per probed cell."""
@@ -806,6 +846,7 @@ def build_ivf_index(
         "vec_id", "embedding", _nearest_cell(F.col("embedding"), cents).alias("cell")
     )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    _write_quantizer_sidecar(index_path, cents)  # AFTER the overwrite
     return len(cents)
 
 
@@ -829,7 +870,10 @@ def ivf_index_add(
     ``build_minhash_index`` documents for hot buckets.  Returns the
     number of rows appended."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    side = _read_quantizer_sidecar(index_path)
+    cents = (
+        side["centroids"] if side else _get_ivf_centroids(spark, sf_dir, emb)
+    )
     # Materialize ONCE before the write: a non-deterministic input
     # (sample / limit / unordered head) would otherwise re-evaluate
     # between the append and the count, so the returned row count
@@ -859,7 +903,13 @@ def ann_ivf_topk_indexed(
     leaves disk.  Same probes, rerank, and results as ``ann_ivf_topk``
     (pinned by tests/test_ivf_index.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    side = _read_quantizer_sidecar(index_path)
+    # the index's OWN persisted quantizer when present (r12): correct
+    # across sessions and across source-table growth; pre-r12 artifacts
+    # fall back to the session trainer
+    cents = (
+        side["centroids"] if side else _get_ivf_centroids(spark, sf_dir, emb)
+    )
     # tracked persist (review r5): the probes pipeline is consumed twice
     # — once by the probed-cells collect below and again inside the
     # rerank join — and without a persist the serve path re-scanned the
@@ -1223,7 +1273,13 @@ def _get_ivfpq_codebooks(
     return books
 
 
-def _ivfpq_state(spark: SparkSession, sf_dir: str, emb: DataFrame):
+def _ivfpq_state(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    cents: list[list[float]] | None = None,
+    books_np=None,
+):
     """Bounded driver state shared by the in-session and indexed IVFPQ
     paths: (books, probe ids, probed cells per probe, per-(probe,
     probed-cell) ADC tables) — every array corpus-size-independent by
@@ -1233,8 +1289,10 @@ def _ivfpq_state(spark: SparkSession, sf_dir: str, emb: DataFrame):
     a cell join."""
     import numpy as np
 
-    cents = _get_ivf_centroids(spark, sf_dir, emb)
-    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    if cents is None:
+        cents = _get_ivf_centroids(spark, sf_dir, emb)
+    if books_np is None:
+        books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
     C = np.asarray(cents, dtype=np.float64)  # (K, DIM)
     k_cells = len(cents)
     nprobe = min(_IVF_NPROBE, k_cells)
@@ -1463,6 +1521,7 @@ def build_ivfpq_index(
         vectors if vectors is not None else emb, cents, books_np
     )
     coded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    _write_quantizer_sidecar(index_path, cents, books_np.tolist())
     return len(cents)
 
 
@@ -1478,8 +1537,12 @@ def ivfpq_index_add(
     severed, so the count can never diverge from the written rows via
     a recomputed non-deterministic input."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _get_ivf_centroids(spark, sf_dir, emb)
-    books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    side = _read_quantizer_sidecar(index_path)
+    if side and "codebooks" in side:
+        cents, books_np = side["centroids"], _np_books(side["codebooks"])
+    else:
+        cents = _get_ivf_centroids(spark, sf_dir, emb)
+        books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
     coded = _ivfpq_encode_frame(new_vectors, cents, books_np).localCheckpoint(
         eager=True
     )
@@ -1500,7 +1563,16 @@ def ann_ivfpq_topk_indexed(
     Same state, ADC math, shortlist, and rerank as ``ann_ivfpq_topk``
     (result identity pinned by tests/test_ivf_index.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    _, books_np, probe_ids, probed, luts = _ivfpq_state(spark, sf_dir, emb)
+    side = _read_quantizer_sidecar(index_path)
+    _, books_np, probe_ids, probed, luts = _ivfpq_state(
+        spark,
+        sf_dir,
+        emb,
+        cents=side["centroids"] if side else None,
+        books_np=_np_books(side["codebooks"])
+        if side and "codebooks" in side
+        else None,
+    )
     probed_cells = sorted({int(c) for row in probed for c in row})
     corpus = (
         spark.read.parquet(index_path)

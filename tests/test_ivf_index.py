@@ -252,3 +252,56 @@ def test_ivfpq_index_is_much_smaller_than_ivf_index(spark, tmp_path):
     assert nbytes(ivfpq) * 4 < nbytes(ivf)
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_index_quantizer_sidecar_survives_session_state(spark, tmp_path):
+    """r12: both index builds persist their quantizer as a sidecar, and
+    the serve + add paths READ it — so a fresh session (simulated by
+    clearing the memos and then POISONING them with a wrong quantizer)
+    still probes the cells the index actually assigned.  Before the
+    sidecar, the indexed query retrained from the source table: right
+    on an immutable corpus, silently wrong once the corpus grows."""
+    ivf = str(tmp_path / "ivf_index")
+    pq = str(tmp_path / "ivfpq_index")
+    S.build_ivf_index(spark, SF, ivf)
+    S.build_ivfpq_index(spark, SF, pq)
+    assert (tmp_path / "ivf_index" / "_quantizer.json").exists()
+    side = S._read_quantizer_sidecar(pq)
+    assert side and "codebooks" in side
+
+    base_ivf = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, ivf).collect()]
+    base_pq = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, pq).collect()
+    ]
+
+    # simulate a fresh session with a DIFFERENT would-be quantizer: the
+    # memo now holds rotated centroids / zeroed codebooks — if any serve
+    # or add path consulted the session trainer, results would change
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+    good = side["centroids"]
+    poison = good[1:] + good[:1]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = poison
+    S._PQ_CODEBOOK_CACHE.setdefault(spark, {})[f"{SF}#ivfpq-residual"] = [
+        [[0.0] * S._PQ_SUB for _ in range(len(side["codebooks"][0]))]
+        for _ in range(S._PQ_M)
+    ]
+    try:
+        again_ivf = [
+            tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, ivf).collect()
+        ]
+        again_pq = [
+            tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, pq).collect()
+        ]
+        assert again_ivf == base_ivf
+        assert again_pq == base_pq
+        # adds under poison must also encode with the INDEX's quantizer:
+        # appending a batch then re-querying stays consistent with a
+        # clean-session append (row parity via the returned count)
+        emb = S.load_table(spark, SF, "embeddings")
+        batch = emb.filter("vec_id >= 990")
+        n = S.ivfpq_index_add(spark, SF, pq, batch)
+        assert n == batch.count()
+    finally:
+        S.clear_ivf_cache(spark)
+        S.clear_pq_cache(spark)

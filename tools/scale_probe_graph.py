@@ -56,7 +56,8 @@ def _timed(label, fn, runs=2):
 def main() -> int:
     # run a subset with `python tools/scale_probe_graph.py [tenx] [skew] [xl]`
     # (each family alone fits a ~10 min harness timeout; default: the two
-    # cheap parts — `xl` is the 8M-node decade probe, ~10-15 min alone)
+    # cheap parts — `xl`/`xxl` are the 8M/16M decade probes, each
+    # ~10-30 min alone)
     parts = set(sys.argv[1:]) or {"tenx", "skew"}
     spark = get_spark(app_name="dgc-graph-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,7 +102,14 @@ def main() -> int:
     # SCALE.md coloring curve one decade past the 4M point (VERDICT r10
     # #6) AND keeps the hub so the degree-capped palette + AQE skew
     # paths are exercised at curve scale, not just at 100k.
-    for part, n, hub_deg in (("skew", 100_000, 10_000), ("xl", 8_000_000, 50_000)):
+    # `xxl` (r12, VERDICT r11 #7): one decade further — 16M nodes /
+    # ~100M directed edges, same 50k hub; confirms the round count
+    # stays flat (<=10) while wall grows ~linearly with edges.
+    for part, n, hub_deg in (
+        ("skew", 100_000, 10_000),
+        ("xl", 8_000_000, 50_000),
+        ("xxl", 16_000_000, 50_000),
+    ):
         if part not in parts:
             continue
         node_ids, bg = generate_graph_distributed(spark, n, 8, seed=42)
