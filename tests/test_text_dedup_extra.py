@@ -696,7 +696,10 @@ def test_budget_cut_two_step_division_is_exact_and_bounded():
     import random
 
     rng = random.Random(12)
-    cases = [(1, 1, 1), (2**31, 1, 2**31), (2**40, 7, 2**42), (2**47 - 1, 1, 2**47 - 1)]
+    # edge cases at the construction's k = n div w maximum
+    cases = [(1, 1, 1)]
+    for n_e, w_e in [(2**31, 1), (2**42, 7), (2**47 - 1, 1), (2**47 - 1, 63)]:
+        cases.append((n_e // w_e, w_e, n_e))
     for _ in range(200):
         n = rng.randrange(1, 2**47)
         w = rng.randrange(1, 64)
