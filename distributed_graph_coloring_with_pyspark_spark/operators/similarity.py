@@ -2248,6 +2248,7 @@ _ANN_TOPK_FNS = {
     "ivf": ann_ivf_topk,
     "pq_adc": ann_pq_topk,
     "ivfpq": ann_ivfpq_topk,
+    "opq": ann_opq_topk,  # r12: the rotated composite joins the report
 }
 
 
@@ -2295,7 +2296,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pairs = exact.count()  # n_probes × K (bounded)
     out = None
-    for name in ("hyperplane_lsh", "ivf", "ivfpq", "pq_adc"):
+    for name in ("hyperplane_lsh", "ivf", "ivfpq", "opq", "pq_adc"):
         tier = ann_topk_frame_cached(spark, sf_dir, name).select(
             F.col("probe_id").alias("t_probe"), F.col("neighbor_id").alias("t_nbr")
         )

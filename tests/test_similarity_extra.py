@@ -288,7 +288,7 @@ def test_ann_recall_report_consistent_with_gates(spark):
     )
 
     rows = {r.method: r for r in ann_recall_report(spark, SF).collect()}
-    assert set(rows) == {"hyperplane_lsh", "ivf", "ivfpq", "pq_adc"}
+    assert set(rows) == {"hyperplane_lsh", "ivf", "ivfpq", "opq", "pq_adc"}
     exact = {
         (r.probe_id, r.neighbor_id) for r in knn_exact_topk(spark, SF).collect()
     }
@@ -305,6 +305,7 @@ def test_ann_recall_report_consistent_with_gates(spark):
     assert rows["ivf"].recall >= 0.85
     assert rows["pq_adc"].recall >= 0.85
     assert rows["ivfpq"].recall >= 0.85
+    assert rows["opq"].recall >= 0.85
 
 
 def test_ann_recall_report_reuses_session_artifacts(spark):
@@ -329,13 +330,14 @@ def test_ann_recall_report_reuses_session_artifacts(spark):
         "hyperplane_lsh",
         "ivf",
         "ivfpq",
+        "opq",
         "pq_adc",
     }
     cached_ivf = ann_topk_frame_cached(spark, SF, "ivf")
     assert ann_topk_frame_cached(spark, SF, "ivf") is cached_ivf
     second = ann_recall_report(spark, SF).collect()
     assert [r.asDict() for r in second] == [r.asDict() for r in first]
-    assert clear_ann_topk_cache(spark) == 5
+    assert clear_ann_topk_cache(spark) == 6
     assert _ANN_TOPK_CACHE.get(spark) is None
     rebuilt = ann_recall_report(spark, SF).collect()
     assert [r.asDict() for r in rebuilt] == [r.asDict() for r in first]
