@@ -298,6 +298,22 @@ def main() -> int:
         spark.catalog.refreshByPath(ivfpq_path)
         return ann_ivfpq_topk_indexed(spark, sf_dir, ivfpq_path)
 
+    # r13 (VERDICT r12 #1): the OPQ tier persisted — the build trains
+    # the rotation once and encodes rotated codes; the cold serve drops
+    # every session memo first, so its median prices a true fresh-
+    # session serve reading rotation+codebooks from the sidecar.
+    opq_path = os.path.join(ivf_dir, "opq_index")
+
+    def bench_build_opq_index(spark, sf_dir):
+        build_ivfpq_index(spark, sf_dir, opq_path, opq=True)
+        return None  # the partitioned write already materialized
+
+    def bench_ann_opq_serve_cold(spark, sf_dir):
+        clear_ivf_cache(spark)
+        clear_pq_cache(spark)
+        spark.catalog.refreshByPath(opq_path)
+        return ann_ivfpq_topk_indexed(spark, sf_dir, opq_path)
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
@@ -305,6 +321,8 @@ def main() -> int:
     ann_family["ivfpq_index_build"] = bench_build_ivfpq_index
     ann_family["ann_ivfpq_topk_indexed"] = bench_ann_ivfpq_topk_indexed
     ann_family["ann_ivfpq_serve_cold"] = bench_ann_ivfpq_serve_cold
+    ann_family["opq_index_build"] = bench_build_opq_index
+    ann_family["ann_opq_serve_cold"] = bench_ann_opq_serve_cold
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup

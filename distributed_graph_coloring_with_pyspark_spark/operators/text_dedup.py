@@ -1982,25 +1982,32 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # second scan the docstring already prices; recomputation is
         # safe because hv is a pure function of (salt, doc_id)
         keyed_p = docs.select("doc_id", h.alias("hv")).persist()
-        n = keyed_p.count()
-        frac = min(1.0, (par * 20) / max(n, 1))
-        sample = sorted(
-            r["hv"]
-            for r in keyed_p.select("hv").sample(False, frac, 7 + epoch).collect()
-        )
-        step = max(1, len(sample) // par)
-        cuts = sample[step::step][: par - 1]
-        if cuts:
-            cut_arr = F.array(*[F.lit(c) for c in cuts])
-            bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("hv")))
-        else:
-            bucket = F.lit(0)
-        keyed = keyed_p.withColumn("pid", bucket.cast("int"))
-        totals = sorted(
-            (r["pid"], r["c"])
-            for r in keyed.groupBy("pid").agg(F.count("*").alias("c")).collect()
-        )
-        keyed_p.unpersist(False)  # all eager consumers done; see above
+        try:  # finally-release (ADVICE r12): a failed collect must not
+            # leak the cached frame — this persist is deliberately NOT
+            # session-tracked (see the r11 note above), so nothing else
+            # would ever reclaim it
+            n = keyed_p.count()
+            frac = min(1.0, (par * 20) / max(n, 1))
+            sample = sorted(
+                r["hv"]
+                for r in keyed_p.select("hv")
+                .sample(False, frac, 7 + epoch)
+                .collect()
+            )
+            step = max(1, len(sample) // par)
+            cuts = sample[step::step][: par - 1]
+            if cuts:
+                cut_arr = F.array(*[F.lit(c) for c in cuts])
+                bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("hv")))
+            else:
+                bucket = F.lit(0)
+            keyed = keyed_p.withColumn("pid", bucket.cast("int"))
+            totals = sorted(
+                (r["pid"], r["c"])
+                for r in keyed.groupBy("pid").agg(F.count("*").alias("c")).collect()
+            )
+        finally:
+            keyed_p.unpersist(False)  # all eager consumers done; see above
         offsets, acc = [], 0
         for pid, c in totals:
             offsets.append((pid, acc))

@@ -54,7 +54,17 @@ def compact_parquet(
     ``partitionBy`` would have EVERY task write a sliver of every
     partition, i.e. up to n×|values| small files, recreating the
     disease being cured.  Downstream readers keep their static
-    partition pruning (pinned in tests/test_maintenance_lifecycle.py)."""
+    partition pruning (pinned in tests/test_maintenance_lifecycle.py).
+
+    Root-level underscore-prefixed SIDECAR files (``_quantizer.json``
+    on the IVF/IVFPQ indexes — parquet readers skip them like
+    ``_SUCCESS``, so spark.read never carries them through a rewrite)
+    are copied to the compaction target (ADVICE r12): without this a
+    compacted serving index silently lost its persisted quantizer and
+    every later serve/add fell back to session retraining —
+    reintroducing the cross-session mis-probe the sidecar exists to
+    prevent (tests/test_ivf_index.py poisons the session memos after
+    compaction to pin this)."""
     files = _part_files(src_path)
     bytes_in = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
@@ -64,6 +74,18 @@ def compact_parquet(
         shuffled.write.mode("overwrite").partitionBy(*partition_by).parquet(out_path)
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    import shutil
+
+    for name in os.listdir(src_path) if os.path.isdir(src_path) else []:
+        # carry sidecars (docstring above); src may be a bare .parquet file
+        if (
+            name.startswith("_")
+            and name != "_SUCCESS"
+            and os.path.isfile(os.path.join(src_path, name))
+        ):
+            shutil.copy2(
+                os.path.join(src_path, name), os.path.join(out_path, name)
+            )
     out = spark.read.parquet(out_path)
     return spark.createDataFrame(
         [(len(files), int(bytes_in), len(_part_files(out_path)), out.count())],

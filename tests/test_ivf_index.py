@@ -127,15 +127,30 @@ def test_ivf_index_compaction_preserves_answers(spark, tmp_path):
     rows_comp = sorted(tuple(r) for r in spark.read.parquet(compacted).collect())
     assert rows_comp == rows_incr  # content identity, cells preserved
 
-    got = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, compacted).collect()]
     want = [tuple(r) for r in S.ann_ivf_topk(spark, SF).collect()]
-    assert got == want
 
-    # pruning survives the rewrite: probed-cell IN list still reaches
-    # the compacted parquet source as a PartitionFilter
-    plan = plan_string(S.ann_ivf_topk_indexed(spark, SF, compacted))
-    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
+    # r13 (ADVICE r12 medium): compaction must CARRY the quantizer
+    # sidecar — a compacted index served in a fresh session would
+    # otherwise silently retrain.  Pin it the hard way: poison the
+    # session memo; the compacted index must still answer from its own
+    # persisted quantizer.
+    side = S._read_quantizer_sidecar(spark, compacted)
+    assert side and "centroids" in side, "compaction dropped _quantizer.json"
     S.clear_ivf_cache(spark)
+    good = side["centroids"]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = good[1:] + good[:1]
+    try:
+        got = [
+            tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, compacted).collect()
+        ]
+        assert got == want
+
+        # pruning survives the rewrite: probed-cell IN list still reaches
+        # the compacted parquet source as a PartitionFilter
+        plan = plan_string(S.ann_ivf_topk_indexed(spark, SF, compacted))
+        assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
+    finally:
+        S.clear_ivf_cache(spark)
 
 
 def test_ivfpq_index_roundtrip_and_pruning(spark, tmp_path):
@@ -218,18 +233,33 @@ def test_ivfpq_index_incremental_add_equals_full_build(spark, tmp_path):
     want = [tuple(r) for r in S.ann_ivfpq_topk(spark, SF).collect()]
     assert got == want
 
-    # compaction: fewer files, same rows, same answers, pruning intact
+    # compaction: fewer files, same rows, same answers, pruning intact —
+    # and (r13, ADVICE r12) the quantizer sidecar carried, pinned by
+    # poisoning BOTH session memos before the compacted-index serve
     files_before = len(glob.glob(f"{incr}/cell=*/*.parquet"))
     compacted = str(tmp_path / "ivfpq_compacted")
     compact_parquet(spark, incr, compacted, partition_by=["cell"])
     assert len(glob.glob(f"{compacted}/cell=*/*.parquet")) < files_before
     assert canon(compacted) == canon(full)
-    after = S.ann_ivfpq_topk_indexed(spark, SF, compacted)
-    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan_string(after))
-    assert [tuple(r) for r in after.collect()] == want
-
+    side = S._read_quantizer_sidecar(spark, compacted)
+    assert side and "codebooks" in side, "compaction dropped _quantizer.json"
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+    good = side["centroids"]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = good[1:] + good[:1]
+    S._PQ_CODEBOOK_CACHE.setdefault(spark, {})[f"{SF}#ivfpq-residual"] = [
+        [[0.0] * S._PQ_SUB for _ in range(len(side["codebooks"][0]))]
+        for _ in range(S._PQ_M)
+    ]
+    try:
+        after = S.ann_ivfpq_topk_indexed(spark, SF, compacted)
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan_string(after)
+        )
+        assert [tuple(r) for r in after.collect()] == want
+    finally:
+        S.clear_ivf_cache(spark)
+        S.clear_pq_cache(spark)
 
 
 def test_ivfpq_index_is_much_smaller_than_ivf_index(spark, tmp_path):
@@ -266,7 +296,7 @@ def test_index_quantizer_sidecar_survives_session_state(spark, tmp_path):
     S.build_ivf_index(spark, SF, ivf)
     S.build_ivfpq_index(spark, SF, pq)
     assert (tmp_path / "ivf_index" / "_quantizer.json").exists()
-    side = S._read_quantizer_sidecar(pq)
+    side = S._read_quantizer_sidecar(spark, pq)
     assert side and "codebooks" in side
 
     base_ivf = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, ivf).collect()]
@@ -305,3 +335,122 @@ def test_index_quantizer_sidecar_survives_session_state(spark, tmp_path):
     finally:
         S.clear_ivf_cache(spark)
         S.clear_pq_cache(spark)
+
+
+def test_opq_index_serves_rotated_tier_from_disk(spark, tmp_path):
+    """r13 (VERDICT r12 #1): build_ivfpq_index(opq=True) persists the
+    learned rotation in the sidecar and encodes codes in the rotated
+    residual space — the indexed serve must equal the in-session
+    ``ann_opq_topk`` answer EXACTLY (same deterministic ADC cut), keep
+    static partition pruning, and survive poisoned session memos (the
+    rotation comes from the index, never the session trainer)."""
+    idx = str(tmp_path / "opq_index")
+    n_cells = S.build_ivfpq_index(spark, SF, idx, opq=True)
+    assert n_cells == S._IVF_K
+
+    side = S._read_quantizer_sidecar(spark, idx)
+    assert side and "rotation" in side and "codebooks" in side
+    import numpy as np
+
+    R = np.asarray(side["rotation"])
+    assert R.shape == (S._DIM, S._DIM)
+    assert np.allclose(R.T @ R, np.eye(S._DIM), atol=1e-9)  # orthogonal
+
+    want = [tuple(r) for r in S.ann_opq_topk(spark, SF).collect()]
+    assert want
+
+    indexed = S.ann_ivfpq_topk_indexed(spark, SF, idx)
+    plan = plan_string(indexed)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan), plan[:2000]
+    assert [tuple(r) for r in indexed.collect()] == want
+
+    # poisoned-memo extension: wrong rotation + wrong books + rotated
+    # centroids in the session memos must not leak into the serve path
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+    good = side["centroids"]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = good[1:] + good[:1]
+    S._PQ_CODEBOOK_CACHE.setdefault(spark, {})[f"{SF}#opq"] = (
+        np.eye(S._DIM),  # identity rotation — NOT the trained one
+        [
+            [[0.0] * S._PQ_SUB for _ in range(len(side["codebooks"][0]))]
+            for _ in range(S._PQ_M)
+        ],
+    )
+    try:
+        again = [
+            tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, idx).collect()
+        ]
+        assert again == want
+    finally:
+        S.clear_ivf_cache(spark)
+        S.clear_pq_cache(spark)
+
+
+def test_opq_index_incremental_add_equals_full_build(spark, tmp_path):
+    """Adds against an OPQ index must encode in the index's ROTATED
+    space (sidecar rotation), so partial build + adds equals the full
+    rotated build row-for-row — the lifecycle pin the plain-PQ tier
+    already carries, extended to the rotation."""
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(5)) != 0)
+    batch = emb.filter(F.pmod("vec_id", F.lit(5)) == 0)
+
+    incr = str(tmp_path / "opq_incr")
+    full = str(tmp_path / "opq_full")
+    S.build_ivfpq_index(spark, SF, incr, vectors=base, opq=True)
+    n = S.ivfpq_index_add(spark, SF, incr, batch)
+    assert n == batch.count() > 0
+    S.build_ivfpq_index(spark, SF, full, opq=True)
+
+    def canon(path):
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert canon(incr) == canon(full)
+    got = [tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, incr).collect()]
+    want = [tuple(r) for r in S.ann_opq_topk(spark, SF).collect()]
+    assert got == want
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
+def test_corrupt_sidecar_falls_back_to_session_trainer(spark, tmp_path):
+    """ADVICE r12: a truncated/corrupt ``_quantizer.json`` (external
+    tampering — the temp+rename write can't produce one) must WARN and
+    fall back to the session-memoized trainer, not fail every
+    subsequent serve with a JSONDecodeError."""
+    import warnings
+
+    idx = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, SF, idx)
+    want = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, idx).collect()]
+
+    (tmp_path / "ivf_index" / "_quantizer.json").write_text('{"centro')  # truncate
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert S._read_quantizer_sidecar(spark, idx) is None
+        assert any("sidecar" in str(w.message) for w in caught)
+    # serve still works via the session memo (same immutable corpus)
+    got = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, idx).collect()]
+    assert got == want
+    S.clear_ivf_cache(spark)
+
+
+def test_sidecar_write_is_tempfile_then_rename(spark, tmp_path):
+    """The durability contract itself: after a build the index dir holds
+    the final sidecar and NO leftover temp file, and rewriting an
+    existing sidecar (rebuild into the same path) succeeds."""
+    idx = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, SF, idx)
+    S.build_ivf_index(spark, SF, idx)  # overwrite path: rename over existing
+    names = {p.name for p in (tmp_path / "ivf_index").iterdir()}
+    assert "_quantizer.json" in names
+    assert not any(n.endswith(".tmp") for n in names), names
+    S.clear_ivf_cache(spark)

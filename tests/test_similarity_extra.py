@@ -519,3 +519,51 @@ def test_opq_rotation_gates(spark):
         (r.probe_id, r.neighbor_id) for r in S.ann_opq_topk(spark, SF).collect()
     }
     assert len(opq & exact) / len(exact) >= 0.85
+
+
+def test_kcenter_both_variants_on_tiny_corpus(spark, tmp_path):
+    """ADVICE r12: degenerate corpora (n <= K) must not crash either
+    variant — the sketched audit's conditional max can go NULL on such
+    inputs, which must surface as a NULL radius, not a TypeError.  With
+    the sketch covering everything the two variants must also agree."""
+    import pandas as pd
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _DIM,
+        kcenter_select,
+        kcenter_select_sketched,
+    )
+
+    tiny = str(tmp_path)
+    rows = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [
+                [1.0] + [0.0] * (_DIM - 1),
+                [0.0, 1.0] + [0.0] * (_DIM - 2),
+                [1.0] + [0.0] * (_DIM - 1),  # duplicate of vec 0
+            ],
+            "label": [0, 0, 0],
+        }
+    )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tiny}/embeddings.parquet")
+
+    ex = kcenter_select(spark, tiny).orderBy("sel_rank").collect()
+    sk = kcenter_select_sketched(spark, tiny).orderBy("sel_rank").collect()
+    assert [(r.sel_rank, r.vec_id) for r in ex] == [(0, 0), (1, 1), (2, 2)]
+    assert [(r.sel_rank, r.vec_id) for r in sk] == [(0, 0), (1, 1), (2, 2)]
+    # rank-2 center is the duplicate: its max-min radius is exactly 0
+    assert ex[2].dist_at_selection == sk[2].dist_at_selection == 0.0
+
+    # single-row corpus: both variants emit the bare seed manifest
+    one = str(tmp_path / "one")
+    spark.createDataFrame(
+        rows.iloc[:1], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{one}/embeddings.parquet")
+    for fn in (kcenter_select, kcenter_select_sketched):
+        got = fn(spark, one).collect()
+        assert [(r.sel_rank, r.vec_id, r.dist_at_selection) for r in got] == [
+            (0, 0, None)
+        ]
