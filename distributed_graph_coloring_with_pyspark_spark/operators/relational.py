@@ -2362,3 +2362,13 @@ for _rot in ("cube_part_stats", "cross_region_status_grid"):
 # text_dedup's promoted repetition_stats takes.
 PYTEST_QUERIES["asof_purchase_after_click"] = QUERIES.pop("asof_purchase_after_click")
 PYTEST_ORACLES["asof_purchase_after_click"] = ORACLES.pop("asof_purchase_after_click")
+
+# Round-13 rotation (VERDICT r12 #6): nations_setops (set algebra over
+# the fixed 25-row nation dim — near-constant output, hash-green since
+# r1) and approx_distinct_users (single HLL aggregate, hash-green since
+# r2) free the driver rows text_dedup's promoted pack_sequences and
+# curate_corpus take.  Same oracle contract at the pytest gate
+# (tests/test_relational_extra.py), still benched in relational_extra.
+for _rot in ("nations_setops", "approx_distinct_users"):
+    PYTEST_QUERIES[_rot] = QUERIES.pop(_rot)
+    PYTEST_ORACLES[_rot] = ORACLES.pop(_rot)

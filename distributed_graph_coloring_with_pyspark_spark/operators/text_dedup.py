@@ -3873,3 +3873,14 @@ ORACLES["epoch_shuffle_manifest"] = PYTEST_ORACLES.pop("epoch_shuffle_manifest")
 # frees in relational.py; same oracle, now value-hashed by the driver.
 QUERIES["repetition_stats"] = PYTEST_QUERIES.pop("repetition_stats")
 ORACLES["repetition_stats"] = PYTEST_ORACLES.pop("repetition_stats")
+
+# Round-13 rotation (VERDICT r12 #6): promote the two strongest
+# never-driver-exposed DuckDB-oracled surfaces — pack_sequences (the
+# two-pass prefix-sum packing manifest, oracle-checked at the pytest
+# gate since r5) and curate_corpus (the chained survivor-dedup funnel,
+# oracle-checked since r7) — onto the rows relational.py frees
+# (nations_setops, approx_distinct_users).  Same oracles, now
+# value-hashed by the driver; their pytest property gates stay.
+for _rot in ("pack_sequences", "curate_corpus"):
+    QUERIES[_rot] = PYTEST_QUERIES.pop(_rot)
+    ORACLES[_rot] = PYTEST_ORACLES.pop(_rot)

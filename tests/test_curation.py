@@ -38,6 +38,7 @@ def test_curation_pipeline_matches_oracle(spark):
     srows = [tuple(r) for r in sdf.collect()]
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
     ddf = con.sql(PYTEST_ORACLES["curation_pipeline_e2e"])
     assert sorted(sdf.columns) == sorted(ddf.columns)
     drows = ddf.fetchall()
@@ -95,3 +96,56 @@ def test_gate_selects_target_enriched_slice(spark):
     gated = docs.join(_gated_ids(spark, SF), "doc_id")
     got = gated.filter(F.col("lang") == "en").count() / gated.count()
     assert got > base, (got, base)
+
+
+def test_funnel_decontamination_and_coverage_invariants(spark):
+    """r13 (VERDICT r12 #2) stage boundaries, pinned independently of
+    the chained oracle: (a) the decontamination drop set is exactly
+    eval-suite ∪ flagged-train and NONE of it reaches the final
+    selection; (b) every coverage center is a quality-gated,
+    decontaminated doc and ALL of them reach the final selection; (c)
+    both stages actually bind on this fixture (the funnel without them
+    would ship different data)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        _COVERAGE_K,
+        _coverage_center_ids,
+        _dsir_selected_ids,
+        _selected_ids_with_stages,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.operators.similarity import (
+        _DECON_EVAL_MOD,
+        embedding_contamination,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = docs.join(_gated_ids(spark, SF), "doc_id").select(
+        "doc_id", "lang", "text"
+    )
+    n_src = src.count()
+    final, dropped, centers = _selected_ids_with_stages(spark, SF, src, n_src)
+    fin = {r.doc_id for r in final.collect()}
+    drop = {r.doc_id for r in dropped.collect()}
+
+    # (a) drop set = suite ∪ flagged, and final is clean of it
+    flagged = {
+        r.train_vec_id for r in embedding_contamination(spark, SF).collect()
+    }
+    suite = {d for d in drop if d % _DECON_EVAL_MOD == 0}
+    assert drop == suite | flagged
+    assert not (fin & drop)
+
+    # (b) centers: gated, decontaminated, k of them, all shipped
+    gated = {r.doc_id for r in src.select("doc_id").collect()}
+    assert len(centers) == _COVERAGE_K
+    assert set(centers) <= gated - drop
+    assert set(centers) <= fin
+
+    # (c) both stages BIND here: decon removes DSIR picks, coverage
+    # adds docs DSIR had cut
+    sel = {r.doc_id for r in _dsir_selected_ids(src, n_src).collect()}
+    assert sel & drop, "decontamination stage vacuous on this fixture"
+    assert set(centers) - sel, "coverage stage vacuous on this fixture"
+
+    # centers are deterministic: a second computation agrees
+    pool = src.select("doc_id").join(dropped, "doc_id", "left_anti")
+    assert _coverage_center_ids(spark, SF, pool) == centers

@@ -74,7 +74,13 @@ def test_oracle_column_names_match(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    rows = entry_mod.queries()["approx_distinct_users"](spark, SF).collect()
+    # demoted to the relational pytest gate in the r13 rotation — the
+    # 5% HLL error pin stays here regardless of registry residence
+    from distributed_graph_coloring_with_pyspark_spark.operators.relational import (
+        PYTEST_QUERIES as REL_PYTEST,
+    )
+
+    rows = REL_PYTEST["approx_distinct_users"](spark, SF).collect()
     assert rows
     assert all(r.approx_ok_5pct for r in rows), rows
 
