@@ -100,6 +100,7 @@ structural monotonicity checks.
 from __future__ import annotations
 
 import math
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -252,6 +253,37 @@ def _dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suite.unionByName(flagged)
 
 
+# the decontamination drop set is a session artifact like the gate
+# weights (train once, consume from every funnel action): without the
+# memo the contamination GEMM subtree re-evaluated under each consumer
+# action (measured 3.7 s of the funnel's 9.1 s at sf0.1).  Priced by
+# the decon_build bench line (memo cleared per run — the
+# jaccard_pair_build treatment); released by release_session_caches.
+_DECON_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def dropped_ids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted stage-2a drop set for (session, corpus), built on
+    first use (one contamination pass + the suite TakeOrdered)."""
+    per_session = _DECON_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = _dropped_ids(spark, sf_dir).persist()
+        df.count()  # populate eagerly: every consumer reads the cache
+        per_session[sf_dir] = df
+    return df
+
+
+def clear_decon_cache(spark: SparkSession) -> int:
+    """Unpersist and drop this session's memoized drop sets."""
+    per_session = _DECON_CACHE.pop(spark, None) or {}
+    for df in per_session.values():
+        df.unpersist(False)
+    return len(per_session)
+
+
 def _seq_cos(a: list[float], b: list[float]) -> float:
     """Sequential left-to-right double cosine — term-for-term the DuckDB
     ``list_sum(list_transform(list_zip(...)))`` expression AND the
@@ -340,14 +372,22 @@ def _selected_ids_with_stages(
     coverage center id list) — split out so the invariants tests can
     pin each boundary (dropped ∩ final = ∅; centers ⊆ final)."""
     sel = _dsir_selected_ids(src, n_src)
-    dropped = _dropped_ids(spark, sf_dir)
+    dropped = dropped_ids_cached(spark, sf_dir)
     sel_clean = sel.join(dropped, "doc_id", "left_anti")
     pool = src.select("doc_id").join(dropped, "doc_id", "left_anti")
     centers = _coverage_center_ids(spark, sf_dir, pool)
     if centers:
-        final = sel_clean.unionByName(
-            spark.createDataFrame([(int(c),) for c in centers], "doc_id long")
-        ).distinct()
+        # the centers enter as a PURE-LITERAL plan (range + explode),
+        # not createDataFrame: a parallelized local list is a fresh
+        # LogicalRDD per call, which breaks CacheManager plan-identity
+        # for every downstream persist — repeated funnel runs then
+        # repaid the whole tail (measured 7.4 s vs 3 s warm at sf0.1)
+        cdf = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(int(c)) for c in centers])
+            ).alias("doc_id")
+        )
+        final = sel_clean.unionByName(cdf).distinct()
     else:
         final = sel_clean
     return final, dropped, centers

@@ -74,6 +74,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
 
     from .cache import release_tracked
     from .operators.classifier import clear_classifier_cache
+    from .operators.curation import clear_decon_cache
     from .operators.graph_bridge import clear_customer_graph_cache
     from .operators.similarity import (
         clear_ann_topk_cache,
@@ -101,6 +102,7 @@ def release_session_caches(spark: SparkSession) -> dict[str, int]:
         "bpe_models": clear_bpe_cache(spark),
         "unigram_models": clear_unigram_cache(spark),
         "classifier": clear_classifier_cache(spark),
+        "decon_drop_sets": clear_decon_cache(spark),
         "tracked_frames": release_tracked(spark),
     }
     # Long-session hygiene (r6): iterative queries leave localCheckpoint

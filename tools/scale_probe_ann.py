@@ -94,6 +94,14 @@ def main() -> int:
         "ann_ivf_topk": S.ann_ivf_topk,
         "ann_pq_topk": S.ann_pq_topk,
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
+        # r13 (VERDICT r12 #7): the two r12 flagship additions join the
+        # committed 10× probes — the rotated composite (one extra
+        # DIM×DIM matmul in the Arrow batches; should track ivfpq) and
+        # the two-scan sketched k-center (vs the exact variant's K
+        # corpus scans; its factor should track the scan pair, not K×)
+        "ann_opq_topk": S.ann_opq_topk,
+        "kcenter_select_sketched": S.kcenter_select_sketched,
+        "kcenter_select": S.kcenter_select,
     }
     for label, sf_dir in (("1x (2k vectors)", SF), ("10x (20k vectors)", big)):
         release_session_caches(spark)
