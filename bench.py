@@ -182,6 +182,9 @@ def main() -> int:
     from distributed_graph_coloring_with_pyspark_spark.streaming.ingest import (
         QUERIES as INGEST_QUERIES,
     )
+    from distributed_graph_coloring_with_pyspark_spark.streaming.vector_ingest import (
+        QUERIES as VECTOR_INGEST_QUERIES,
+    )
     from distributed_graph_coloring_with_pyspark_spark.sources.corpus_io import (
         QUERIES as CORPUS_IO_QUERIES,
     )
@@ -517,7 +520,12 @@ def main() -> int:
 
     families: list[tuple[str, dict]] = [
         ("registry", registry),
-        ("streaming", _not_in_registry({**STREAMING_QUERIES, **INGEST_QUERIES})),
+        (
+            "streaming",
+            _not_in_registry(
+                {**STREAMING_QUERIES, **INGEST_QUERIES, **VECTOR_INGEST_QUERIES}
+            ),
+        ),
         ("ann", _not_in_registry(ann_family)),
         ("multimodal", _not_in_registry(dict(MM_PYTEST_QUERIES))),
         (

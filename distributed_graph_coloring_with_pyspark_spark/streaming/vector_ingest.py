@@ -1,0 +1,243 @@
+"""Streaming vector-index maintenance — the ONLINE form of the ANN
+serving family (r13): embedding batches arrive as a Structured
+Streaming file source and are encoded + landed into the persisted
+IVFPQ(+OPQ) inverted file under the index's FIXED sidecar quantizer,
+so a serving index absorbs a continuous embedding feed with no rebuild
+and no retrain.  This is the deployment loop a 100 TB vector store
+actually runs (new embeddings land continuously; rebuilding the
+inverted file per arrival is corpus-quadratic over time) and it
+composes the engine's already-pinned pieces:
+
+- the quantizer trio (coarse centroids, residual PQ codebooks, and —
+  when the base was built ``opq=True`` — the learned rotation) comes
+  from the index's ``_quantizer.json`` SIDECAR, never the session
+  trainer, so every epoch encodes in exactly the space the stored
+  codes live in (the cross-session contract
+  tests/test_ivf_index.py pins for batch adds);
+- per-epoch encoding is the shared ``_ivfpq_encode_frame`` Arrow pass
+  (cell + residual in Catalyst, codeword argmin in numpy) — batch-
+  sized work, one partitioned write touching only the batch's cells;
+- state is (epoch, cell)-partitioned parquet maintained by
+  ``foreachBatch`` with dynamic partition overwrite: a REPLAYED epoch
+  overwrites exactly its own ``epoch=N`` partitions, so restarts are
+  exactly-once (the streaming_scd2 / neardup-gate idempotency
+  pattern) — a plain append (the batch ``ivfpq_index_add``) would
+  double-write on replay;
+- the serve path is UNCHANGED: ``ann_ivfpq_topk_indexed`` reads the
+  (epoch, cell) layout through the same probed-cell PartitionFilter
+  (cell stays a physical partition key; the extra epoch level is
+  transparent to pruning) and the same sidecar.
+
+Equivalence contract (tests/test_streaming_vector_ingest.py): the
+streamed index holds exactly the (vec_id, cell, codes) rows of the
+batch lifecycle — ``build_ivfpq_index(vectors=base, opq=True)`` +
+``ivfpq_index_add`` per slice — and serves identical top-k, including
+under poisoned session memos and across a kill/restart resume.
+
+100 TB notes: per-epoch cost ∝ batch size (encode + a write into the
+batch's cells); the standing index is never read by ingestion.  The
+quantizer is fixed at base-build time by design — distribution drift
+degrades cell balance, not correctness, and the production answer is
+periodic retrain + rebuild (the ``ivf_index_add`` note).  Epoch
+proliferation is the small-files disease ``compact_parquet`` already
+treats (it carries the sidecar since r13); a nightly compaction to a
+single epoch level keeps file counts bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    _get_ivf_centroids,
+    _get_ivfpq_codebooks,
+    _get_opq_state,
+    _ivfpq_encode_frame,
+    _np_books,
+    _read_quantizer_sidecar,
+    _write_quantizer_sidecar,
+)
+from ..sources.tables import load_table
+from .ingest import write_arrival_file
+
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+_N_SLICES = 4  # arrival slices for the corpus-driven entry below
+_BASE_EPOCH = -1  # streaming epoch ids start at 0; the base build
+# lands under epoch=-1 so no micro-batch can dynamic-overwrite it
+
+
+def build_streaming_ivfpq_base(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    base_vectors: DataFrame,
+    opq: bool = True,
+) -> int:
+    """The base build of a STREAM-MAINTAINED inverted file: same
+    quantizer training and encode as ``build_ivfpq_index`` (session-
+    memoized corpus-trained trio; ``opq=True`` stores the rotation),
+    but laid out (epoch, cell)-partitioned under ``epoch=-1`` so the
+    streaming epochs' dynamic overwrites can never touch it.  Returns
+    the number of cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _get_ivf_centroids(spark, sf_dir, emb)
+    if opq:
+        rot, books = _get_opq_state(spark, sf_dir, emb)
+        books_np = _np_books(books)
+    else:
+        rot = None
+        books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
+    coded = _ivfpq_encode_frame(
+        base_vectors, cents, books_np, rotate_np=rot
+    ).withColumn("epoch", F.lit(_BASE_EPOCH))
+    coded.write.mode("overwrite").partitionBy("epoch", "cell").parquet(index_path)
+    _write_quantizer_sidecar(
+        spark,
+        index_path,
+        cents,
+        books_np.tolist(),
+        rotation=rot.tolist() if rot is not None else None,
+    )
+    return len(cents)
+
+
+def _index_epoch(
+    spark: SparkSession, index_path: str, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """One micro-batch: encode under the index's sidecar quantizer and
+    land the codes as this epoch's partitions (dynamic overwrite —
+    replay-idempotent)."""
+    import numpy as np
+
+    b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if b.isEmpty():
+        return  # replayed empty epoch
+    side = _read_quantizer_sidecar(spark, index_path)
+    if not side or "codebooks" not in side:
+        raise ValueError(
+            f"streaming ingest needs a built base index at {index_path} "
+            "(quantizer sidecar missing)"
+        )
+    books_np = _np_books(side["codebooks"])
+    rot = (
+        np.asarray(side["rotation"], dtype=np.float64)
+        if side.get("rotation") is not None
+        else None
+    )
+    coded = _ivfpq_encode_frame(
+        b, side["centroids"], books_np, rotate_np=rot
+    ).withColumn("epoch", F.lit(int(epoch_id)))
+    (
+        coded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell")
+        .parquet(index_path)
+    )
+
+
+def streaming_vector_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drive the ingest over every file currently in ``src_dir`` (one
+    micro-batch per file) and return the per-epoch index report →
+    (epoch, n_vectors, n_cells).  Restartable: pass the same
+    ``checkpoint_dir`` and ``index_path`` to resume exactly-once after
+    a stop — replayed epochs overwrite their own partitions only."""
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    w = stream.writeStream.outputMode("append").foreachBatch(
+        lambda df, eid: _index_epoch(spark, index_path, df, eid)
+    )
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(index_path)
+        .groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.countDistinct("cell").cast("long").alias("n_cells"),
+        )
+        .orderBy("epoch")
+    )
+
+
+def streaming_vector_ingest_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-contained (spark, sf_dir) entry for bench/pytest: base =
+    the mod-4 ≠ 0 embeddings; the mod-4 == 0 remainder arrives as
+    ``_N_SLICES`` vec_id-ordered slices fed one at a time (write →
+    drain, deterministic arrival order); returns the per-epoch report.
+    State lives in a per-call temp dir."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="vec_ingest_")
+    src = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
+        arriving = emb.filter(F.pmod("vec_id", F.lit(4)) == 0)
+        build_streaming_ivfpq_base(spark, sf_dir, idx, base, opq=True)
+
+        stream = (
+            spark.readStream.schema(VEC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        w = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: _index_epoch(spark, idx, df, eid))
+            .option("checkpointLocation", ckpt)
+        )
+        q = w.start()
+        try:
+            for i in range(_N_SLICES):
+                write_arrival_file(
+                    arriving.filter(
+                        F.pmod(F.col("vec_id") / 4, F.lit(_N_SLICES)) == i
+                    ),
+                    src,
+                    f"slice{i}",
+                )
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(idx)
+            .groupBy("epoch")
+            .agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.countDistinct("cell").cast("long").alias("n_cells"),
+            )
+            .orderBy("epoch")
+            .localCheckpoint(eager=True)  # sever from the temp dir
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# pytest-gated (content + serve equivalence vs the batch lifecycle,
+# kill/restart resume — tests/test_streaming_vector_ingest.py); benched
+# with the streaming family.
+QUERIES = {"streaming_vector_ingest": streaming_vector_ingest_corpus}

@@ -158,6 +158,11 @@ def test_release_session_caches_all_at_once(spark):
     )
 
     CL.trained_weights_cached(spark, SF, "full")  # r11 classifier memo
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        curation as CU,
+    )
+
+    CU.dropped_ids_cached(spark, SF)  # r13 decontamination drop set
     released = release_session_caches(spark)
     assert set(released) == {
         "customer_graph",
@@ -171,6 +176,7 @@ def test_release_session_caches_all_at_once(spark):
         "bpe_models",
         "unigram_models",
         "classifier",
+        "decon_drop_sets",
         "tracked_frames",
     }
     assert all(n >= 1 for n in released.values()), released

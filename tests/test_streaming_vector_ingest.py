@@ -1,0 +1,148 @@
+"""Streaming vector-index maintenance (streaming/vector_ingest.py):
+the streamed (epoch, cell)-partitioned IVFPQ+OPQ index must hold
+exactly the batch lifecycle's rows (base build + ivfpq_index_add per
+slice), serve identical top-k through the UNCHANGED indexed query —
+partition pruning and sidecar quantizer included — and resume
+exactly-once across a stop/restart."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from distributed_graph_coloring_with_pyspark_spark.operators import similarity as S
+from distributed_graph_coloring_with_pyspark_spark.plans.audit import plan_string
+from distributed_graph_coloring_with_pyspark_spark.sources.tables import load_table
+from distributed_graph_coloring_with_pyspark_spark.streaming import vector_ingest as VI
+from distributed_graph_coloring_with_pyspark_spark.streaming.ingest import (
+    write_arrival_file,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _slices(emb):
+    base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
+    arr = emb.filter(F.pmod("vec_id", F.lit(4)) == 0)
+    return base, [
+        arr.filter(F.pmod(F.col("vec_id") / 4, F.lit(VI._N_SLICES)) == i)
+        for i in range(VI._N_SLICES)
+    ]
+
+
+def _canon(spark, path):
+    return sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(path).select("vec_id", "cell", "codes").collect()
+    )
+
+
+def test_streamed_index_equals_batch_lifecycle_and_serves(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+
+    # batch twin: the already-pinned build + incremental-add lifecycle
+    bidx = str(tmp_path / "batch_idx")
+    S.build_ivfpq_index(spark, SF, bidx, vectors=base, opq=True)
+    n_added = sum(S.ivfpq_index_add(spark, SF, bidx, s) for s in slices)
+    assert n_added == emb.count() - base.count() > 0
+
+    # streamed index: base build, then all slices as one-file epochs
+    sidx = str(tmp_path / "stream_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    n_cells = VI.build_streaming_ivfpq_base(spark, SF, sidx, base, opq=True)
+    assert n_cells == S._IVF_K
+    for i, s in enumerate(slices):
+        write_arrival_file(s, str(src), f"slice{i}")
+    report = VI.streaming_vector_index_ingest(
+        spark, str(src), sidx, checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+
+    # content identity: same (vec_id, cell, codes) multiset — the
+    # sidecar quantizer (incl. the OPQ rotation) governed both paths
+    assert _canon(spark, sidx) == _canon(spark, bidx)
+
+    # per-epoch report: base at epoch=-1 plus one epoch per non-empty
+    # slice, totals covering the corpus
+    by_epoch = {r.epoch: r.n_vectors for r in report}
+    assert by_epoch[VI._BASE_EPOCH] == base.count()
+    assert sum(by_epoch.values()) == emb.count()
+    assert all(r.n_cells <= S._IVF_K for r in report)
+
+    # serve: the UNCHANGED indexed query answers identically from the
+    # (epoch, cell) layout, keeps cell partition-pruning, and reads the
+    # quantizer from the sidecar even under poisoned session memos
+    want = [tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, bidx).collect()]
+    streamed_q = S.ann_ivfpq_topk_indexed(spark, SF, sidx)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan_string(streamed_q)
+    ), plan_string(streamed_q)[:2000]
+    assert [tuple(r) for r in streamed_q.collect()] == want
+
+    side = S._read_quantizer_sidecar(spark, sidx)
+    assert side and "rotation" in side
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+    good = side["centroids"]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = good[1:] + good[:1]
+    try:
+        again = [
+            tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, sidx).collect()
+        ]
+        assert again == want
+    finally:
+        S.clear_ivf_cache(spark)
+        S.clear_pq_cache(spark)
+
+
+def test_streaming_vector_ingest_resume_exactly_once(spark, tmp_path):
+    """Stop after two slices, restart with the same checkpoint for the
+    rest, then run a THIRD pass with nothing new: the final index must
+    equal the batch twin (no missing epochs) and the idle pass must
+    change nothing (no duplicate appends — the dynamic-overwrite
+    replay contract)."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+
+    bidx = str(tmp_path / "batch_idx")
+    S.build_ivfpq_index(spark, SF, bidx, vectors=base, opq=True)
+    for s in slices:
+        S.ivfpq_index_add(spark, SF, bidx, s)
+
+    sidx = str(tmp_path / "stream_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    VI.build_streaming_ivfpq_base(spark, SF, sidx, base, opq=True)
+
+    for i in (0, 1):
+        write_arrival_file(slices[i], str(src), f"slice{i}")
+    VI.streaming_vector_index_ingest(spark, str(src), sidx, checkpoint_dir=ckpt)
+    for i in (2, 3):
+        write_arrival_file(slices[i], str(src), f"slice{i}")
+    VI.streaming_vector_index_ingest(spark, str(src), sidx, checkpoint_dir=ckpt)
+
+    want = _canon(spark, bidx)
+    assert _canon(spark, sidx) == want
+
+    # idle restart: nothing new to process, nothing may change
+    VI.streaming_vector_index_ingest(spark, str(src), sidx, checkpoint_dir=ckpt)
+    assert _canon(spark, sidx) == want
+
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
+def test_corpus_entry_report_shape(spark):
+    """The bench/pytest (spark, sf_dir) entry: epochs are the base plus
+    the arrival slices, counts cover the corpus exactly once."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = VI.streaming_vector_ingest_corpus(spark, SF).collect()
+    assert rows[0].epoch == VI._BASE_EPOCH
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    assert len(rows) >= 2  # base + at least one arrival epoch
+    assert all(r.n_cells <= S._IVF_K for r in rows)
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
