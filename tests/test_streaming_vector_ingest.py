@@ -146,3 +146,47 @@ def test_corpus_entry_report_shape(spark):
     assert all(r.n_cells <= S._IVF_K for r in rows)
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_streamed_index_compacts_to_flat_cell_layout(spark, tmp_path):
+    """The nightly close of the streaming lifecycle: compacting the
+    (epoch, cell) streamed index with partition_by=["cell"] flattens
+    the epoch level (epoch becomes a plain data column the serve path
+    never selects), sheds the per-epoch file slivers, CARRIES the
+    quantizer sidecar (r13 compact_parquet contract), and serves
+    identically — so ingest → compact → serve is a closed loop."""
+    import glob
+
+    from distributed_graph_coloring_with_pyspark_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+    sidx = str(tmp_path / "stream_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    VI.build_streaming_ivfpq_base(spark, SF, sidx, base, opq=True)
+    for i, s in enumerate(slices):
+        write_arrival_file(s, str(src), f"slice{i}")
+    VI.streaming_vector_index_ingest(
+        spark, str(src), sidx, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    want = [tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, sidx).collect()]
+
+    flat = str(tmp_path / "flat_idx")
+    compact_parquet(spark, sidx, flat, partition_by=["cell"])
+    # epoch level flattened: cell dirs at the root, sidecar carried
+    assert glob.glob(f"{flat}/cell=*") and not glob.glob(f"{flat}/epoch=*")
+    assert (tmp_path / "flat_idx" / "_quantizer.json").exists()
+    assert len(glob.glob(f"{flat}/cell=*/*.parquet")) < len(
+        glob.glob(f"{sidx}/epoch=*/cell=*/*.parquet")
+    )
+
+    served = S.ann_ivfpq_topk_indexed(spark, SF, flat)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*cell[^\]]*IN", plan_string(served)
+    )
+    assert [tuple(r) for r in served.collect()] == want
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
