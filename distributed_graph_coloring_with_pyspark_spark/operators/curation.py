@@ -271,7 +271,14 @@ def dropped_ids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = per_session.get(sf_dir)
     if df is None:
         df = _dropped_ids(spark, sf_dir).persist()
-        df.count()  # populate eagerly: every consumer reads the cache
+        try:
+            df.count()  # populate eagerly: every consumer reads the cache
+        except BaseException:
+            # a failed populate (executor loss, OOM) must not leave a
+            # persisted frame reachable by neither the memo nor
+            # clear_decon_cache (review r13)
+            df.unpersist(False)
+            raise
         per_session[sf_dir] = df
     return df
 
@@ -284,24 +291,25 @@ def clear_decon_cache(spark: SparkSession) -> int:
     return len(per_session)
 
 
-def _seq_cos(a: list[float], b: list[float]) -> float:
-    """Sequential left-to-right double cosine — term-for-term the DuckDB
-    ``list_sum(list_transform(list_zip(...)))`` expression AND the
-    Catalyst ``F.aggregate`` fold (similarity.cosine), so a driver-side
-    greedy over collected doubles reproduces either engine bit-for-bit
-    (numpy's pairwise-blocked dot would NOT — that is why the standalone
-    k-center operators are python-oracle-gated while this stage can sit
-    inside the chained SQL equality)."""
-    num = 0.0
-    for x, y in zip(a, b):
-        num += x * y
-    na = 0.0
-    for x in a:
-        na += x * x
-    nb = 0.0
-    for y in b:
-        nb += y * y
-    return num / (math.sqrt(na) * math.sqrt(nb))
+def _round6(x: float) -> float:
+    """floor(x·10⁶ + 0.5)/10⁶ — the house cross-engine rounding (the
+    quantize_embeddings_int8 discipline): Python's round() is
+    half-to-even while DuckDB's is half-away-from-zero, so both the
+    driver greedy and the oracle CTE chain use this identical floor
+    expression instead (review r13; distances here are ≥ −2⁻⁵², so the
+    non-negative form is exact)."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+# On cosine parity: the greedy below computes cosines with sequential
+# left-to-right double folds — term-for-term the DuckDB
+# ``list_sum(list_transform(list_zip(...)))`` expression AND the
+# Catalyst ``F.aggregate`` fold (similarity.cosine) — so a driver-side
+# greedy over collected doubles reproduces either engine bit-for-bit
+# (numpy's pairwise-blocked dot would NOT; that is why the standalone
+# k-center operators are python-oracle-gated while this stage can sit
+# inside the chained SQL equality).  Row norms are computed once per
+# sketch row (the same sqrt(Σx²) value, reused — not a reassociation).
 
 
 def _coverage_center_ids(
@@ -315,11 +323,12 @@ def _coverage_center_ids(
     deterministic sample independent of physical layout, drawn by a
     TakeOrderedAndProject (plan-asserted, the contamination-suite
     discipline).  Greedy = seed at the sketch's smallest vec_id, then
-    repeatedly add the row maximizing the 6-dp-rounded max-min cosine
-    distance to the selected set, ties to the smallest vec_id — every
-    float op sequential-double (``_seq_cos``) so the DuckDB CTE chain
-    (``_coverage_chain``) replays it exactly.  At 100 TB: one lean
-    TakeOrdered scan + O(K·S) driver flops of bounded state."""
+    repeatedly add the row maximizing the ``_round6``-gridded max-min
+    cosine distance to the selected set, ties to the smallest vec_id —
+    every float op sequential-double (see the parity note above) so the
+    DuckDB CTE chain (``_coverage_chain``) replays it exactly.  At
+    100 TB: one lean TakeOrdered scan + O(K·S) driver cosines of
+    bounded state (incremental farthest-point form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pool = emb.join(
         pool_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
@@ -344,25 +353,45 @@ def _coverage_center_ids(
         ((int(r.vec_id), [float(v) for v in r.x]) for r in rows),
         key=lambda t: t[0],
     )
-    sel = [sketch[0]]  # seed: smallest vec_id in the sketch
-    chosen = {sketch[0][0]}
-    while len(sel) < min(_COVERAGE_K, len(sketch)):
+    # Incremental farthest-point sweep (review r13: the naive form was
+    # O(K²·S) pure-python cosines with norms recomputed per pair):
+    # track each candidate's running max cosine to the selected set and
+    # fold in ONLY the newest center per round — float max is exact and
+    # order-independent, and caching sqrt(Σx²) per row reuses the very
+    # value _seq_cos recomputed, so the scores (and the oracle CTE
+    # chain's full re-max) are bit-identical; O(K·S) cosines total.
+    sa = []
+    for _, x in sketch:
+        n = 0.0
+        for v in x:
+            n += v * v
+        sa.append(math.sqrt(n))
+
+    def _cos(i: int, j: int) -> float:
+        num = 0.0
+        for x, y in zip(sketch[i][1], sketch[j][1]):
+            num += x * y
+        return num / (sa[i] * sa[j])
+
+    chosen = [0]  # seed: smallest vec_id in the sketch
+    chosen_set = {0}
+    maxcos = [-math.inf] * len(sketch)
+    while len(chosen) < min(_COVERAGE_K, len(sketch)):
+        newest = chosen[-1]
         best_key: tuple[float, int] | None = None
-        best: tuple[int, list[float]] | None = None
-        for vid, x in sketch:
-            if vid in chosen:
+        best = -1
+        for i in range(len(sketch)):
+            if i in chosen_set:
                 continue
-            mc = _seq_cos(x, sel[0][1])
-            for _, c in sel[1:]:
-                v = _seq_cos(x, c)
-                if v > mc:
-                    mc = v
-            key = (round(1.0 - mc, 6), -vid)
+            v = _cos(i, newest)
+            if v > maxcos[i]:
+                maxcos[i] = v
+            key = (_round6(1.0 - maxcos[i]), -sketch[i][0])
             if best_key is None or key > best_key:
-                best_key, best = key, (vid, x)
-        sel.append(best)
-        chosen.add(best[0])
-    return sorted(chosen)
+                best_key, best = key, i
+        chosen.append(best)
+        chosen_set.add(best)
+    return sorted(sketch[i][0] for i in chosen)
 
 
 def _selected_ids_with_stages(
@@ -639,8 +668,11 @@ def _coverage_chain(k: int = _COVERAGE_K) -> str:
     """Generated CTE chain replaying the stage-2b greedy in SQL — the
     ``_gd_chain`` pattern applied to k-center: covsel0 is the sketch's
     smallest vec_id; each step scores every unselected sketch row by
-    round(1 − max cosine to the selected set, 6) (DuckDB's list ops are
-    sequential-double, matching ``_seq_cos`` exactly) and admits the
+    floor((1 − max cosine to the selected set)·10⁶ + 0.5)/10⁶ — the
+    ``_round6`` grid, written as the identical floor expression in both
+    engines because DuckDB and Python round() disagree on halves —
+    (DuckDB's list ops are sequential-double, matching the driver
+    greedy exactly) and admits the
     (d desc, vec_id) winner.  A sketch smaller than k self-caps: the
     step's pick CTE goes empty and covsel stops growing — the same
     ``min(k, |sketch|)`` the python greedy applies."""
@@ -661,8 +693,8 @@ def _coverage_chain(k: int = _COVERAGE_K) -> str:
             f""",
     covd{j} AS (
         SELECT s.vec_id,
-               round(1.0 - max({_COV_COS_SQL}
-               ), 6) AS d
+               floor((1.0 - max({_COV_COS_SQL}
+               )) * 1000000.0 + 0.5) / 1000000.0 AS d
         FROM cov_sketch s CROSS JOIN covsel{j - 1} c
         WHERE s.vec_id NOT IN (SELECT vec_id FROM covsel{j - 1})
         GROUP BY s.vec_id

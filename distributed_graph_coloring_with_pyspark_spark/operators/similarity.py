@@ -773,22 +773,42 @@ def _write_quantizer_sidecar(
         out.write(bytearray(data))
     finally:
         out.close()
-    if fs.exists(final):  # HDFS/local rename refuse an existing target
-        fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"sidecar rename failed: {tmp} -> {final}")
+    # Atomic OVERWRITE rename via FileContext (review r13): the
+    # FileSystem API's rename refuses an existing target, and a
+    # delete-then-rename pair leaves a crash window with NO sidecar at
+    # all — which would silently fall back to the session trainer on a
+    # legacy-looking index.  FileContext.rename(…, OVERWRITE) is the
+    # Hadoop-blessed atomic replace on HDFS and the local FS alike.
+    rename_opts = spark._sc._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration()
+    )
+    fc.rename(tmp, final, rename_opts)
 
 
 def _read_quantizer_sidecar(spark: SparkSession, index_path: str):
     """The index's persisted quantizer, or None for a pre-r12 artifact
-    (callers then fall back to the session-memoized trainer).  A
-    corrupt/truncated sidecar also returns None with a warning (ADVICE
-    r12) — the write path's temp+rename makes that unreachable for
-    crashes mid-write, so this guards only external tampering — rather
-    than failing every subsequent serve with a JSONDecodeError."""
+    with NO sidecar (callers then fall back to the session-memoized
+    trainer — correct for those artifacts, which were always built from
+    the session's corpus-trained quantizer).
+
+    A sidecar that EXISTS but cannot be read or parsed RAISES instead
+    (tightened in r13 after review): since the OPQ tier landed, the
+    session fallback is no longer guaranteed equivalent — an OPQ index
+    served or (worse) APPENDED TO with the unrotated session quantizer
+    silently returns wrong neighbors / permanently mixes wrong-space
+    codes into the index.  The write path is atomic (temp + FileContext
+    OVERWRITE rename), so an unreadable sidecar means external
+    tampering or real IO failure — both deserve a loud, actionable
+    error, not a warning the job outlives.  (ADVICE r12 asked that
+    corruption not surface as a bare JSONDecodeError on every serve;
+    the clear diagnosis is kept, the silent fallback is not, because
+    it stopped being safe.)"""
     import json
     import os
-    import warnings
 
     jvm, fs, p = _sidecar_fs(
         spark, os.path.join(index_path, _QUANTIZER_SIDECAR)
@@ -802,17 +822,24 @@ def _read_quantizer_sidecar(spark: SparkSession, index_path: str):
         finally:
             stream.close()
         return json.loads(data.decode("utf-8"))
-    except Exception as exc:  # truncated JSON, checksum mismatch, IO —
-        # all mean the same thing here: the sidecar is not trustworthy
-        # (the local FS is checksummed, so external tampering surfaces
-        # as a ChecksumException rather than a parse error)
-        warnings.warn(
-            f"unreadable quantizer sidecar at {index_path} "
-            f"({type(exc).__name__}); falling back to the "
-            "session-trained quantizer",
-            stacklevel=2,
-        )
-        return None
+    except Exception as exc:  # truncated JSON, checksum mismatch, IO
+        raise ValueError(
+            f"quantizer sidecar at {index_path} exists but is unreadable "
+            f"({type(exc).__name__}) — refusing to serve or modify the "
+            "index with a possibly-inequivalent session-trained "
+            "quantizer; restore the sidecar or rebuild the index"
+        ) from exc
+
+
+def _sidecar_rotation(side):
+    """The persisted OPQ rotation as float64, or None for an unrotated
+    index — the one place the payload key is interpreted (three
+    consumers: batch add, indexed serve, streaming ingest)."""
+    import numpy as np
+
+    if side and side.get("rotation") is not None:
+        return np.asarray(side["rotation"], dtype=np.float64)
+    return None
 
 
 def _ivf_probes(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
@@ -1750,9 +1777,8 @@ def ivfpq_index_add(
     a recomputed non-deterministic input.  An OPQ-built index carries
     its rotation in the sidecar, so adds encode in the SAME rotated
     space the stored codes live in — partial build + adds equals the
-    full rotated build row-for-row (pinned)."""
-    import numpy as np
-
+    full rotated build row-for-row (pinned); an unreadable sidecar
+    RAISES in ``_read_quantizer_sidecar`` before anything is appended."""
     emb = load_table(spark, sf_dir, "embeddings")
     side = _read_quantizer_sidecar(spark, index_path)
     if side and "codebooks" in side:
@@ -1760,11 +1786,7 @@ def ivfpq_index_add(
     else:
         cents = _get_ivf_centroids(spark, sf_dir, emb)
         books_np = _np_books(_get_ivfpq_codebooks(spark, sf_dir, emb, cents))
-    rot = (
-        np.asarray(side["rotation"], dtype=np.float64)
-        if side and side.get("rotation") is not None
-        else None
-    )
+    rot = _sidecar_rotation(side)
     coded = _ivfpq_encode_frame(
         new_vectors, cents, books_np, rotate_np=rot
     ).localCheckpoint(eager=True)
@@ -1788,15 +1810,9 @@ def ann_ivfpq_topk_indexed(
     ROTATED tier: the stored codes live in the rotated residual space,
     so the probe-residual LUTs are built with the same rotation — the
     from-disk twin of ``ann_opq_topk``, identity-pinned likewise."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
     side = _read_quantizer_sidecar(spark, index_path)
-    rot = (
-        np.asarray(side["rotation"], dtype=np.float64)
-        if side and side.get("rotation") is not None
-        else None
-    )
+    rot = _sidecar_rotation(side)
     _, books_np, probe_ids, probed, luts = _ivfpq_state(
         spark,
         sf_dir,

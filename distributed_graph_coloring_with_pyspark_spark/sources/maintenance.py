@@ -64,7 +64,13 @@ def compact_parquet(
     every later serve/add fell back to session retraining —
     reintroducing the cross-session mis-probe the sidecar exists to
     prevent (tests/test_ivf_index.py poisons the session memos after
-    compaction to pin this)."""
+    compaction to pin this).  The carry uses the same LOCAL-filesystem
+    listing as the size scan above — this whole function is documented
+    posix-bound; an HDFS/S3 deployment must replace BOTH the size scan
+    and this carry with FileSystem calls (the sidecar read/write in
+    similarity.py already goes through that API), because a missed
+    carry leaves the target sidecar-less and the reader treats an
+    ABSENT sidecar as a legacy artifact (session-trainer fallback)."""
     files = _part_files(src_path)
     bytes_in = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))

@@ -58,6 +58,7 @@ from ..operators.similarity import (
     _ivfpq_encode_frame,
     _np_books,
     _read_quantizer_sidecar,
+    _sidecar_rotation,
     _write_quantizer_sidecar,
 )
 from ..sources.tables import load_table
@@ -104,37 +105,52 @@ def build_streaming_ivfpq_base(
     return len(cents)
 
 
-def _index_epoch(
-    spark: SparkSession, index_path: str, batch_df: DataFrame, epoch_id: int
-) -> None:
-    """One micro-batch: encode under the index's sidecar quantizer and
-    land the codes as this epoch's partitions (dynamic overwrite —
-    replay-idempotent)."""
-    import numpy as np
-
-    b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
-    if b.isEmpty():
-        return  # replayed empty epoch
+def _index_quantizer(spark: SparkSession, index_path: str):
+    """(centroids, books_np, rotation|None) from the index's sidecar —
+    read ONCE per streaming query (the quantizer is fixed at base-build
+    time by design, so re-reading per micro-batch was pure per-arrival
+    overhead; review r13).  Raises if no base was built."""
     side = _read_quantizer_sidecar(spark, index_path)
     if not side or "codebooks" not in side:
         raise ValueError(
             f"streaming ingest needs a built base index at {index_path} "
             "(quantizer sidecar missing)"
         )
-    books_np = _np_books(side["codebooks"])
-    rot = (
-        np.asarray(side["rotation"], dtype=np.float64)
-        if side.get("rotation") is not None
-        else None
+    return side["centroids"], _np_books(side["codebooks"]), _sidecar_rotation(side)
+
+
+def _index_epoch(
+    index_path: str, quant, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """One micro-batch: encode under the index's FIXED quantizer
+    ``quant`` (the sidecar trio, resolved at query start) and land the
+    codes as this epoch's partitions (dynamic overwrite —
+    replay-idempotent)."""
+    b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if b.isEmpty():
+        return  # replayed empty epoch
+    cents, books_np, rot = quant
+    coded = _ivfpq_encode_frame(b, cents, books_np, rotate_np=rot).withColumn(
+        "epoch", F.lit(int(epoch_id))
     )
-    coded = _ivfpq_encode_frame(
-        b, side["centroids"], books_np, rotate_np=rot
-    ).withColumn("epoch", F.lit(int(epoch_id)))
     (
         coded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch", "cell")
         .parquet(index_path)
+    )
+
+
+def _epoch_report(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-epoch index report → (epoch, n_vectors, n_cells)."""
+    return (
+        spark.read.parquet(index_path)
+        .groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.countDistinct("cell").cast("long").alias("n_cells"),
+        )
+        .orderBy("epoch")
     )
 
 
@@ -149,13 +165,14 @@ def streaming_vector_index_ingest(
     (epoch, n_vectors, n_cells).  Restartable: pass the same
     ``checkpoint_dir`` and ``index_path`` to resume exactly-once after
     a stop — replayed epochs overwrite their own partitions only."""
+    quant = _index_quantizer(spark, index_path)  # once per query
     stream = (
         spark.readStream.schema(VEC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
     w = stream.writeStream.outputMode("append").foreachBatch(
-        lambda df, eid: _index_epoch(spark, index_path, df, eid)
+        lambda df, eid: _index_epoch(index_path, quant, df, eid)
     )
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
@@ -164,15 +181,7 @@ def streaming_vector_index_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
-        spark.read.parquet(index_path)
-        .groupBy("epoch")
-        .agg(
-            F.count("*").cast("long").alias("n_vectors"),
-            F.countDistinct("cell").cast("long").alias("n_cells"),
-        )
-        .orderBy("epoch")
-    )
+    return _epoch_report(spark, index_path)
 
 
 def streaming_vector_ingest_corpus(
@@ -198,6 +207,7 @@ def streaming_vector_ingest_corpus(
         base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
         arriving = emb.filter(F.pmod("vec_id", F.lit(4)) == 0)
         build_streaming_ivfpq_base(spark, sf_dir, idx, base, opq=True)
+        quant = _index_quantizer(spark, idx)  # once per query
 
         stream = (
             spark.readStream.schema(VEC_STREAM_SCHEMA)
@@ -206,15 +216,17 @@ def streaming_vector_ingest_corpus(
         )
         w = (
             stream.writeStream.outputMode("append")
-            .foreachBatch(lambda df, eid: _index_epoch(spark, idx, df, eid))
+            .foreachBatch(lambda df, eid: _index_epoch(idx, quant, df, eid))
             .option("checkpointLocation", ckpt)
         )
         q = w.start()
         try:
             for i in range(_N_SLICES):
                 write_arrival_file(
+                    # integer slice key: `div` is exact long division —
+                    # a double vec_id/4 would mis-bucket past 2^53
                     arriving.filter(
-                        F.pmod(F.col("vec_id") / 4, F.lit(_N_SLICES)) == i
+                        F.pmod(F.expr("vec_id div 4"), F.lit(_N_SLICES)) == i
                     ),
                     src,
                     f"slice{i}",
@@ -222,17 +234,9 @@ def streaming_vector_ingest_corpus(
                 q.processAllAvailable()
         finally:
             q.stop()
-        out = (
-            spark.read.parquet(idx)
-            .groupBy("epoch")
-            .agg(
-                F.count("*").cast("long").alias("n_vectors"),
-                F.countDistinct("cell").cast("long").alias("n_cells"),
-            )
-            .orderBy("epoch")
-            .localCheckpoint(eager=True)  # sever from the temp dir
+        return _epoch_report(spark, idx).localCheckpoint(
+            eager=True  # sever from the temp dir
         )
-        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

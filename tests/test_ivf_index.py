@@ -421,23 +421,33 @@ def test_opq_index_incremental_add_equals_full_build(spark, tmp_path):
     S.clear_pq_cache(spark)
 
 
-def test_corrupt_sidecar_falls_back_to_session_trainer(spark, tmp_path):
-    """ADVICE r12: a truncated/corrupt ``_quantizer.json`` (external
-    tampering — the temp+rename write can't produce one) must WARN and
-    fall back to the session-memoized trainer, not fail every
-    subsequent serve with a JSONDecodeError."""
-    import warnings
+def test_corrupt_sidecar_raises_absent_sidecar_falls_back(spark, tmp_path):
+    """Sidecar failure policy (review r13): a sidecar that EXISTS but
+    is unreadable (tampering — the atomic temp+rename write can't
+    produce one) must RAISE with an actionable message, never silently
+    fall back — since the OPQ tier, the session trainer is not
+    guaranteed equivalent and a fallback could serve wrong neighbors or
+    append wrong-space codes.  An ABSENT sidecar (pre-r12 artifact) is
+    the legacy case and still falls back to the session trainer."""
+    import pytest
 
     idx = str(tmp_path / "ivf_index")
     S.build_ivf_index(spark, SF, idx)
     want = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, idx).collect()]
 
-    (tmp_path / "ivf_index" / "_quantizer.json").write_text('{"centro')  # truncate
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        assert S._read_quantizer_sidecar(spark, idx) is None
-        assert any("sidecar" in str(w.message) for w in caught)
-    # serve still works via the session memo (same immutable corpus)
+    sidecar = tmp_path / "ivf_index" / "_quantizer.json"
+    sidecar.write_text('{"centro')  # truncate (stale checksum too)
+    with pytest.raises(ValueError, match="unreadable"):
+        S._read_quantizer_sidecar(spark, idx)
+    with pytest.raises(ValueError, match="unreadable"):
+        S.ann_ivf_topk_indexed(spark, SF, idx).collect()
+
+    # absent sidecar: legacy fallback to the session memo still serves
+    sidecar.unlink()
+    crc = tmp_path / "ivf_index" / "._quantizer.json.crc"
+    if crc.exists():
+        crc.unlink()
+    assert S._read_quantizer_sidecar(spark, idx) is None
     got = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, idx).collect()]
     assert got == want
     S.clear_ivf_cache(spark)

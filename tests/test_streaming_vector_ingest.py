@@ -26,7 +26,7 @@ def _slices(emb):
     base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
     arr = emb.filter(F.pmod("vec_id", F.lit(4)) == 0)
     return base, [
-        arr.filter(F.pmod(F.col("vec_id") / 4, F.lit(VI._N_SLICES)) == i)
+        arr.filter(F.pmod(F.expr("vec_id div 4"), F.lit(VI._N_SLICES)) == i)
         for i in range(VI._N_SLICES)
     ]
 
