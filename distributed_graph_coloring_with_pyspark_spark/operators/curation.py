@@ -345,7 +345,14 @@ def _coverage_center_ids(
         .limit(_COVERAGE_SKETCH)
     )
     sk_plan = sketch_q._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in sk_plan, sk_plan[:800]
+    if "TakeOrderedAndProject" not in sk_plan:  # not assert: the
+        # bounded-collect guarantee must hold under python -O too
+        # (ADVICE r13)
+        raise RuntimeError(
+            "coverage sketch did not compile to TakeOrderedAndProject — "
+            "refusing an unbounded driver collect; plan head:\n"
+            + sk_plan[:800]
+        )
     rows = sketch_q.collect()
     if not rows:
         return []

@@ -787,6 +787,18 @@ def _write_quantizer_sidecar(
         fs.getUri(), spark._jsc.hadoopConfiguration()
     )
     fc.rename(tmp, final, rename_opts)
+    # On a ChecksumFileSystem (the local FS), fs.create(tmp) wrote a
+    # '.<tmp>.crc' companion that the raw FileContext rename does NOT
+    # move — delete the orphan (and any stale final-name companion a
+    # pre-fix writer left) so the index dir holds no checksum file
+    # describing bytes that are gone (ADVICE r13).  Object stores and
+    # HDFS have no client-side .crc companions; exists() is just false.
+    for crc_name in (f".{tmp.getName()}.crc", f".{final.getName()}.crc"):
+        crc = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(index_path, crc_name)
+        )
+        if fs.exists(crc):
+            fs.delete(crc, False)
 
 
 def _read_quantizer_sidecar(spark: SparkSession, index_path: str):
@@ -2265,7 +2277,14 @@ def embedding_contamination(
     # TakeOrderedAndProject — per-partition top-``eval_cap``, driver
     # merge — never a global sort feeding a full collect.
     suite_plan = suite._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in suite_plan, suite_plan[:800]
+    if "TakeOrderedAndProject" not in suite_plan:  # not assert: the
+        # bounded-collect guarantee must hold under python -O too
+        # (ADVICE r13)
+        raise RuntimeError(
+            "eval-suite cut did not compile to TakeOrderedAndProject — "
+            "refusing an unbounded driver collect; plan head:\n"
+            + suite_plan[:800]
+        )
     eval_rows = suite.collect()
     if not eval_rows:  # no holdout → nothing can be contaminated
         return spark.createDataFrame(

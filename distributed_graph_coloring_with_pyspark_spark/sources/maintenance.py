@@ -83,10 +83,17 @@ def compact_parquet(
     import shutil
 
     for name in os.listdir(src_path) if os.path.isdir(src_path) else []:
-        # carry sidecars (docstring above); src may be a bare .parquet file
+        # carry sidecars (docstring above); src may be a bare .parquet
+        # file.  NOT carried (ADVICE r13): _SUCCESS (the target write
+        # made its own), legacy parquet summary files
+        # (_metadata/_common_metadata — they describe the SOURCE file
+        # set, which no longer exists in the target; a summary-aware
+        # reader consulting a stale copy would look for vanished
+        # files), and checksum companions (.crc).
         if (
             name.startswith("_")
-            and name != "_SUCCESS"
+            and name not in ("_SUCCESS", "_metadata", "_common_metadata")
+            and not name.endswith(".crc")
             and os.path.isfile(os.path.join(src_path, name))
         ):
             shutil.copy2(

@@ -58,6 +58,7 @@ from ..operators.similarity import (
     _ivfpq_encode_frame,
     _np_books,
     _read_quantizer_sidecar,
+    _sidecar_fs,
     _sidecar_rotation,
     _write_quantizer_sidecar,
 )
@@ -154,6 +155,34 @@ def _epoch_report(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
 
+_INGEST_CHECKPOINT = "_ingest_checkpoint"  # default: lives inside the
+# index dir (underscore-prefixed — parquet readers skip it), so the
+# batch-id sequence travels WITH the state it numbers
+
+
+def _existing_stream_epochs(spark: SparkSession, index_path: str) -> bool:
+    """True when ``index_path`` already holds streamed ``epoch>=0``
+    partitions (the base build's ``epoch=-1`` does not count)."""
+    _, fs, p = _sidecar_fs(spark, index_path)
+    if not fs.exists(p):
+        return False
+    return any(
+        st.getPath().getName().startswith("epoch=")
+        and not st.getPath().getName().startswith("epoch=-")
+        for st in fs.listStatus(p)
+    )
+
+
+def _checkpoint_has_progress(
+    spark: SparkSession, checkpoint_dir: str
+) -> bool:
+    """True when the Structured Streaming checkpoint has committed at
+    least one offset — i.e. a restart would RESUME batch numbering, not
+    restart it at 0."""
+    _, fs, p = _sidecar_fs(spark, os.path.join(checkpoint_dir, "offsets"))
+    return fs.exists(p) and len(fs.listStatus(p)) > 0
+
+
 def streaming_vector_index_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -164,18 +193,40 @@ def streaming_vector_index_ingest(
     micro-batch per file) and return the per-epoch index report →
     (epoch, n_vectors, n_cells).  Restartable: pass the same
     ``checkpoint_dir`` and ``index_path`` to resume exactly-once after
-    a stop — replayed epochs overwrite their own partitions only."""
+    a stop — replayed epochs overwrite their own partitions only.
+
+    ``checkpoint_dir`` defaults to ``<index_path>/_ingest_checkpoint``
+    (ADVICE r13): the un-checkpointed form restarted batch ids at 0 on
+    every call, and the dynamic partition overwrite then silently
+    REPLACED existing ``epoch=0..`` partitions with the new arrivals —
+    data loss on plain API misuse.  Defaulting the checkpoint into the
+    index dir makes repeat calls resume; and a FRESH checkpoint (default
+    or explicit) against an index that already holds streamed epochs
+    refuses to start rather than renumber over them."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(index_path, _INGEST_CHECKPOINT)
+    if not _checkpoint_has_progress(
+        spark, checkpoint_dir
+    ) and _existing_stream_epochs(spark, index_path):
+        raise ValueError(
+            f"index at {index_path} already holds streamed epoch>=0 "
+            f"partitions but checkpoint {checkpoint_dir} has no committed "
+            "offsets — starting fresh would renumber batches from 0 and "
+            "dynamic-overwrite existing epochs; pass the original "
+            "checkpoint_dir to resume, or compact the index to a new "
+            "path first"
+        )
     quant = _index_quantizer(spark, index_path)  # once per query
     stream = (
         spark.readStream.schema(VEC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    w = stream.writeStream.outputMode("append").foreachBatch(
-        lambda df, eid: _index_epoch(index_path, quant, df, eid)
+    w = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: _index_epoch(index_path, quant, df, eid))
+        .option("checkpointLocation", checkpoint_dir)
     )
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     try:
         q.processAllAvailable()

@@ -463,4 +463,14 @@ def test_sidecar_write_is_tempfile_then_rename(spark, tmp_path):
     names = {p.name for p in (tmp_path / "ivf_index").iterdir()}
     assert "_quantizer.json" in names
     assert not any(n.endswith(".tmp") for n in names), names
+    # no ORPHAN checksum companions either (ADVICE r13): the raw
+    # FileContext rename does not move the local ChecksumFileSystem's
+    # '.<tmp>.crc', so the writer deletes it explicitly.  Spark's own
+    # paired '._SUCCESS.crc' (its data file exists) is fine.
+    orphans = [
+        n
+        for n in names
+        if n.endswith(".crc") and n[1 : -len(".crc")] not in names
+    ]
+    assert not orphans, orphans
     S.clear_ivf_cache(spark)

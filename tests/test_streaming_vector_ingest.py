@@ -148,6 +148,50 @@ def test_corpus_entry_report_shape(spark):
     S.clear_pq_cache(spark)
 
 
+def test_default_checkpoint_resumes_and_fresh_checkpoint_refuses(
+    spark, tmp_path
+):
+    """ADVICE r13: an un-checkpointed ingest call restarted batch ids
+    at 0 and dynamic-overwrote existing epoch partitions — silent data
+    loss on API misuse.  Now (a) checkpoint_dir defaults to
+    ``<index>/_ingest_checkpoint`` so repeat default calls RESUME, and
+    (b) a checkpoint with no committed offsets against an index that
+    already holds streamed epochs REFUSES to start."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+    sidx = str(tmp_path / "stream_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    VI.build_streaming_ivfpq_base(spark, SF, sidx, base, opq=True)
+
+    write_arrival_file(slices[0], str(src), "slice0")
+    VI.streaming_vector_index_ingest(spark, str(src), sidx)  # default ckpt
+    assert (tmp_path / "stream_idx" / VI._INGEST_CHECKPOINT).exists()
+
+    # second default call resumes the same checkpoint: slice1 lands as a
+    # NEW epoch, slice0's rows are not duplicated or replaced
+    write_arrival_file(slices[1], str(src), "slice1")
+    VI.streaming_vector_index_ingest(spark, str(src), sidx)
+    bidx = str(tmp_path / "batch_idx")
+    S.build_ivfpq_index(spark, SF, bidx, vectors=base, opq=True)
+    S.ivfpq_index_add(spark, SF, bidx, slices[0])
+    S.ivfpq_index_add(spark, SF, bidx, slices[1])
+    want = _canon(spark, bidx)
+    assert _canon(spark, sidx) == want
+
+    # a FRESH checkpoint against the streamed index refuses to start
+    # (its first batch would renumber from 0 over the existing epoch)
+    with pytest.raises(ValueError, match="renumber"):
+        VI.streaming_vector_index_ingest(
+            spark, str(src), sidx, checkpoint_dir=str(tmp_path / "fresh_ckpt")
+        )
+    assert _canon(spark, sidx) == want  # index untouched by the refusal
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
 def test_streamed_index_compacts_to_flat_cell_layout(spark, tmp_path):
     """The nightly close of the streaming lifecycle: compacting the
     (epoch, cell) streamed index with partition_by=["cell"] flattens
