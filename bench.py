@@ -198,6 +198,7 @@ def main() -> int:
         build_ivfpq_index,
         clear_ivf_cache,
         clear_pq_cache,
+        rebuild_ivfpq_index,
     )
     from distributed_graph_coloring_with_pyspark_spark.session import (
         get_spark,
@@ -317,6 +318,19 @@ def main() -> int:
         spark.catalog.refreshByPath(opq_path)
         return ann_ivfpq_topk_indexed(spark, sf_dir, opq_path)
 
+    # r14 (VERDICT r13 #1): drift recovery — retrain the trio on the
+    # current corpus + full re-encode into a fresh dir.  Fresh target
+    # per run; no memo is consulted by design, so the median IS the
+    # full retrain+re-encode cost (the background job a deployment
+    # schedules when ingest drift degrades cell balance).
+    def bench_ivfpq_index_rebuild(spark, sf_dir):
+        import shutil
+
+        target = os.path.join(ivf_dir, "rebuilt")
+        shutil.rmtree(target, ignore_errors=True)
+        rebuild_ivfpq_index(spark, sf_dir, opq_path, target)
+        return None  # the partitioned write already materialized
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
@@ -326,6 +340,7 @@ def main() -> int:
     ann_family["ann_ivfpq_serve_cold"] = bench_ann_ivfpq_serve_cold
     ann_family["opq_index_build"] = bench_build_opq_index
     ann_family["ann_opq_serve_cold"] = bench_ann_opq_serve_cold
+    ann_family["ivfpq_index_rebuild"] = bench_ivfpq_index_rebuild
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup

@@ -38,7 +38,12 @@ under poisoned session memos and across a kill/restart resume.
 batch's cells); the standing index is never read by ingestion.  The
 quantizer is fixed at base-build time by design — distribution drift
 degrades cell balance, not correctness, and the production answer is
-periodic retrain + rebuild (the ``ivf_index_add`` note).  Epoch
+periodic retrain + rebuild, which since r14 is a real operator:
+``rebuild_ivfpq_index`` (operators/similarity.py) retrains the trio on
+the current corpus, re-encodes from the source embeddings into a fresh
+dir + sidecar, and ``write_index_pointer`` publishes it atomically
+under serving traffic (VERDICT r13 #1; pins in tests/test_ivf_index).
+Epoch
 proliferation is the small-files disease ``compact_parquet`` already
 treats (it carries the sidecar since r13); a nightly compaction to a
 single epoch level keeps file counts bounded.

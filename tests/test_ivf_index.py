@@ -421,6 +421,142 @@ def test_opq_index_incremental_add_equals_full_build(spark, tmp_path):
     S.clear_pq_cache(spark)
 
 
+def test_rebuild_equals_from_scratch_build(spark, tmp_path):
+    """r14 (VERDICT r13 #1, pin a): ``rebuild_ivfpq_index`` — which
+    retrains the quantizer trio fresh on the current corpus and
+    re-encodes from the SOURCE embeddings, never touching session memos
+    — must equal a from-scratch ``build_ivfpq_index`` on the same
+    corpus row-for-row, for both tiers; the tier is inherited from the
+    old index's sidecar when ``opq`` is not given."""
+    old = str(tmp_path / "old_idx")
+    S.build_ivfpq_index(spark, SF, old, opq=True)
+
+    def canon(path):
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    rebuilt = str(tmp_path / "rebuilt_idx")
+    n = S.rebuild_ivfpq_index(spark, SF, old, rebuilt)  # opq inherited
+    assert n == S._IVF_K
+    assert canon(rebuilt) == canon(old)
+    side = S._read_quantizer_sidecar(spark, rebuilt)
+    assert side and side.get("rotation") is not None  # tier inherited
+
+    # plain tier too, and the memo-independence claim: poison the
+    # session memos first — a rebuild that consulted them would encode
+    # garbage
+    plain = str(tmp_path / "plain_idx")
+    S.build_ivfpq_index(spark, SF, plain, opq=False)
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+    good = side["centroids"]
+    S._IVF_CENTROID_CACHE.setdefault(spark, {})[SF] = good[1:] + good[:1]
+    try:
+        replain = str(tmp_path / "replain_idx")
+        S.rebuild_ivfpq_index(spark, SF, plain, replain)
+        assert canon(replain) == canon(plain)
+    finally:
+        S.clear_ivf_cache(spark)
+        S.clear_pq_cache(spark)
+
+
+def test_rebuild_serve_continuity_via_pointer(spark, tmp_path):
+    """r14 (VERDICT r13 #1, pin b): a versioned root + ``_current.json``
+    pointer serves the OLD index all through a rebuild and switches in
+    ONE atomic publish — and the serve/add entry points resolve the
+    root transparently."""
+    root = tmp_path / "index_root"
+    root.mkdir()
+    v1 = str(root / "v1")
+    S.build_ivfpq_index(spark, SF, v1, opq=True)
+    S.write_index_pointer(spark, str(root), v1)
+    # pointer is stored relative → the root is relocatable
+    import json
+
+    assert json.loads((root / "_current.json").read_text()) == {"current": "v1"}
+
+    want_v1 = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, v1).collect()
+    ]
+    via_root = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, str(root)).collect()
+    ]
+    assert via_root == want_v1
+
+    # rebuild into v2: v1's files untouched, root still serves v1
+    v1_files = sorted(p.name for p in (root / "v1").rglob("*"))
+    v2 = str(root / "v2")
+    S.rebuild_ivfpq_index(spark, SF, str(root), v2)  # old = resolved root
+    assert sorted(p.name for p in (root / "v1").rglob("*")) == v1_files
+    assert [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, str(root)).collect()
+    ] == want_v1
+
+    # atomic publish: one pointer write flips the root to v2
+    S.write_index_pointer(spark, str(root), v2)
+    want_v2 = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, v2).collect()
+    ]
+    assert [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, str(root)).collect()
+    ] == want_v2
+
+    # adds through the root land in the ACTIVE version only (re-adding
+    # existing ids is fine here — this pin is about ROUTING, and the
+    # append path doesn't dedup by contract)
+    emb = S.load_table(spark, SF, "embeddings")
+    batch = emb.filter("vec_id < 10")
+    before_v1 = spark.read.parquet(v1).count()
+    n = S.ivfpq_index_add(spark, SF, str(root), batch)
+    assert n == batch.count() > 0
+    assert spark.read.parquet(v1).count() == before_v1
+    assert spark.read.parquet(v2).count() == emb.count() + n
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
+def test_rebuild_recovers_recall_after_drift(spark, tmp_path):
+    """r14 (VERDICT r13 #1, pin c): the drift scenario end-to-end — an
+    index whose quantizer was trained on the ORIGINAL corpus absorbs
+    arrivals via incremental adds (encoded under the frozen stale
+    quantizer, by design); the rebuild retrains on the grown corpus and
+    its recall against exact KNN must be >= the stale index's."""
+    from pyspark.sql import functions as F
+
+    emb = S.load_table(spark, SF, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(4)) != 0)
+    arrivals = emb.filter(F.pmod("vec_id", F.lit(4)) == 0)
+
+    stale = str(tmp_path / "stale_idx")
+    # quantizer trained on BASE only (the corpus as of base-build time)
+    S.rebuild_ivfpq_index(spark, SF, None, stale, vectors=base, opq=True)
+    S.ivfpq_index_add(spark, SF, stale, arrivals)
+    assert spark.read.parquet(stale).count() == emb.count()
+
+    rebuilt = str(tmp_path / "rebuilt_idx")
+    S.rebuild_ivfpq_index(spark, SF, stale, rebuilt)  # current = full table
+
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in S.knn_exact_topk(spark, SF).collect()
+    }
+
+    def recall(idx):
+        got = {
+            (r.probe_id, r.neighbor_id)
+            for r in S.ann_ivfpq_topk_indexed(spark, SF, idx).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_stale, r_rebuilt = recall(stale), recall(rebuilt)
+    assert r_rebuilt >= r_stale, (r_stale, r_rebuilt)
+    assert r_rebuilt >= 0.85  # the family floor holds on the rebuild
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
 def test_corrupt_sidecar_raises_absent_sidecar_falls_back(spark, tmp_path):
     """Sidecar failure policy (review r13): a sidecar that EXISTS but
     is unreadable (tampering — the atomic temp+rename write can't
