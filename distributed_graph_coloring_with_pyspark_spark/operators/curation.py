@@ -38,11 +38,15 @@ oracle-checked operator):
 2a. DECONTAMINATE (r13) — drop every selected doc that would leak the
    eval benchmark into training: members of the BOUNDED eval suite
    itself (first ``_DECON_EVAL_CAP`` mod-``_DECON_EVAL_MOD`` rows by
-   vec_id — the ``embedding_contamination`` contract, doc_id ≡ vec_id
-   by the fixture's construction) plus every train doc that operator
-   flags as a semantic near-dup of the suite (max cosine ≥ τ).  A
-   funnel without this stage ships eval-contaminated data no matter
-   how good its gates are.
+   vec_id — the ``embedding_contamination`` contract) plus every train
+   doc that operator flags as a semantic near-dup of the suite (max
+   cosine ≥ τ).  Vec_ids reach doc_ids through an EXPLICIT
+   (doc_id, vec_id) mapping frame (r14, VERDICT r13 #3 — real
+   pipelines' doc↔embedding bridge is neither identity nor total:
+   unembedded docs pass through, chunk-sharing docs all drop);
+   ``doc_vec_map=None`` keeps the fixture's 1:1 identity on the
+   direct join-free plan.  A funnel without this stage ships
+   eval-contaminated data no matter how good its gates are.
 2b. COVERAGE (r13) — DSIR pulls hard toward the target domain, which
    collapses corpus diversity; this stage re-admits a k-center
    COVERAGE FLOOR: ``_COVERAGE_K`` greedy max-min diversity centers
@@ -233,24 +237,38 @@ def _dsir_selected_ids(src: DataFrame, n_src: int) -> DataFrame:
     )
 
 
-def _dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dropped_ids(
+    spark: SparkSession, sf_dir: str, doc_vec_map: DataFrame | None = None
+) -> DataFrame:
     """Stage 2a: the doc_ids decontamination removes — the bounded eval
     suite itself (a training set must never contain the benchmark) plus
     every train doc ``embedding_contamination`` flags as a semantic
-    near-dup of it.  doc_id ≡ vec_id (the fixture's 1:1 construction;
-    docs without an embedding row can never be flagged and pass
-    through, exactly as a real pipeline treats unembedded stragglers)."""
+    near-dup of it.
+
+    ``doc_vec_map`` (r14, VERDICT r13 #3) is the explicit
+    (doc_id, vec_id) bridge a real pipeline has between its document
+    store and its embedding store — neither identity nor total: a doc
+    with no embedding row can never be flagged and passes through
+    (exactly how a pipeline treats unembedded stragglers), and several
+    docs may share one embedding (chunk-level vectors).  ``None``
+    keeps the fixture's 1:1 construction (doc_id ≡ vec_id) on the
+    DIRECT plan — no mapping join is paid when there is no mapping."""
     emb = load_table(spark, sf_dir, "embeddings")
-    suite = (
+    suite_vec = (
         emb.filter(F.pmod(F.col("vec_id"), F.lit(_DECON_EVAL_MOD)) == 0)
         .orderBy("vec_id")
         .limit(_DECON_EVAL_CAP)
-        .select(F.col("vec_id").alias("doc_id"))
+        .select("vec_id")
     )
-    flagged = embedding_contamination(spark, sf_dir).select(
-        F.col("train_vec_id").alias("doc_id")
+    flagged_vec = embedding_contamination(spark, sf_dir).select(
+        F.col("train_vec_id").alias("vec_id")
     )
-    return suite.unionByName(flagged)
+    drop_vec = suite_vec.unionByName(flagged_vec)
+    if doc_vec_map is None:
+        return drop_vec.select(F.col("vec_id").alias("doc_id"))
+    return drop_vec.join(
+        doc_vec_map.select("doc_id", "vec_id"), "vec_id"
+    ).select("doc_id")
 
 
 # the decontamination drop set is a session artifact like the gate
@@ -264,9 +282,16 @@ _DECON_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = 
 )
 
 
-def dropped_ids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dropped_ids_cached(
+    spark: SparkSession, sf_dir: str, doc_vec_map: DataFrame | None = None
+) -> DataFrame:
     """Persisted stage-2a drop set for (session, corpus), built on
-    first use (one contamination pass + the suite TakeOrdered)."""
+    first use (one contamination pass + the suite TakeOrdered).  An
+    explicit ``doc_vec_map`` bypasses the memo — a DataFrame is not a
+    hashable memo key, and the mapped form is the integration path,
+    not the benched steady state."""
+    if doc_vec_map is not None:
+        return _dropped_ids(spark, sf_dir, doc_vec_map)
     per_session = _DECON_CACHE.setdefault(spark, {})
     df = per_session.get(sf_dir)
     if df is None:
@@ -313,35 +338,51 @@ def _round6(x: float) -> float:
 
 
 def _coverage_center_ids(
-    spark: SparkSession, sf_dir: str, pool_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    pool_ids: DataFrame,
+    doc_vec_map: DataFrame | None = None,
 ) -> list[int]:
     """Stage 2b: greedy max-min k-center over a bounded deterministic
     sketch of the pool — the coverage floor's center doc_ids.
 
     Sketch = the ``_COVERAGE_SKETCH`` pool rows smallest by the salted
-    hash md5('kcov:' || vec_id) (ties by vec_id) — an unbiased
+    hash md5('kcov:' || doc_id) (ties by doc_id) — an unbiased
     deterministic sample independent of physical layout, drawn by a
     TakeOrderedAndProject (plan-asserted, the contamination-suite
-    discipline).  Greedy = seed at the sketch's smallest vec_id, then
+    discipline).  Greedy = seed at the sketch's smallest doc_id, then
     repeatedly add the row maximizing the ``_round6``-gridded max-min
-    cosine distance to the selected set, ties to the smallest vec_id —
+    cosine distance to the selected set, ties to the smallest doc_id —
     every float op sequential-double (see the parity note above) so the
     DuckDB CTE chain (``_coverage_chain``) replays it exactly.  At
     100 TB: one lean TakeOrdered scan + O(K·S) driver cosines of
-    bounded state (incremental farthest-point form)."""
+    bounded state (incremental farthest-point form).
+
+    Rows are keyed by DOC id (r14): under the default identity mapping
+    this is the same value the pre-r14 vec_id-keyed sketch hashed, and
+    under an explicit ``doc_vec_map`` it makes the greedy well-defined
+    on the document side (a doc without an embedding simply can't be a
+    center; chunk-sharing docs enter as distinct rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pool = emb.join(
-        pool_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
-    )
+    if doc_vec_map is None:
+        pool = emb.join(
+            pool_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("doc_id"), "embedding")
+    else:
+        pool = (
+            pool_ids.join(doc_vec_map.select("doc_id", "vec_id"), "doc_id")
+            .join(emb, "vec_id")
+            .select("doc_id", "embedding")
+        )
     sketch_q = (
         pool.select(
-            "vec_id",
+            "doc_id",
             _as_double(F.col("embedding")).alias("x"),
             _hash32_col(
-                F.concat(F.lit("kcov:"), F.col("vec_id").cast("string"))
+                F.concat(F.lit("kcov:"), F.col("doc_id").cast("string"))
             ).alias("hk"),
         )
-        .orderBy("hk", "vec_id")
+        .orderBy("hk", "doc_id")
         .limit(_COVERAGE_SKETCH)
     )
     sk_plan = sketch_q._jdf.queryExecution().executedPlan().toString()
@@ -357,7 +398,7 @@ def _coverage_center_ids(
     if not rows:
         return []
     sketch = sorted(
-        ((int(r.vec_id), [float(v) for v in r.x]) for r in rows),
+        ((int(r.doc_id), [float(v) for v in r.x]) for r in rows),
         key=lambda t: t[0],
     )
     # Incremental farthest-point sweep (review r13: the naive form was
@@ -380,7 +421,7 @@ def _coverage_center_ids(
             num += x * y
         return num / (sa[i] * sa[j])
 
-    chosen = [0]  # seed: smallest vec_id in the sketch
+    chosen = [0]  # seed: smallest doc_id in the sketch
     chosen_set = {0}
     maxcos = [-math.inf] * len(sketch)
     while len(chosen) < min(_COVERAGE_K, len(sketch)):
@@ -402,16 +443,20 @@ def _coverage_center_ids(
 
 
 def _selected_ids_with_stages(
-    spark: SparkSession, sf_dir: str, src: DataFrame, n_src: int
+    spark: SparkSession,
+    sf_dir: str,
+    src: DataFrame,
+    n_src: int,
+    doc_vec_map: DataFrame | None = None,
 ):
     """Stages 2–2b chained: (final selection ids DF, dropped ids DF,
     coverage center id list) — split out so the invariants tests can
     pin each boundary (dropped ∩ final = ∅; centers ⊆ final)."""
     sel = _dsir_selected_ids(src, n_src)
-    dropped = dropped_ids_cached(spark, sf_dir)
+    dropped = dropped_ids_cached(spark, sf_dir, doc_vec_map)
     sel_clean = sel.join(dropped, "doc_id", "left_anti")
     pool = src.select("doc_id").join(dropped, "doc_id", "left_anti")
-    centers = _coverage_center_ids(spark, sf_dir, pool)
+    centers = _coverage_center_ids(spark, sf_dir, pool, doc_vec_map)
     if centers:
         # the centers enter as a PURE-LITERAL plan (range + explode),
         # not createDataFrame: a parallelized local list is a fresh
@@ -454,10 +499,16 @@ def _clean_token_counts(uniq_toks: DataFrame) -> DataFrame:
     )
 
 
-def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_pipeline_e2e(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_vec_map: DataFrame | None = None,
+) -> DataFrame:
     """The eight-stage funnel → packed-sequence manifest with shards:
     (seq_id, shard, n_docs, n_full_docs, n_tokens) — see module
-    docstring."""
+    docstring.  ``doc_vec_map`` (r14): the explicit (doc_id, vec_id)
+    bridge the decontamination + coverage stages consult; default None
+    = the fixture's identity (doc_id ≡ vec_id) on the direct plan."""
     docs = load_table(spark, sf_dir, "documents")
     src = persist_tracked(
         spark,
@@ -468,7 +519,9 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded action: the DSIR cut size (same class as dsir_select's
     # metadata count — here it must count the GATED frame)
     n_src = src.count()
-    sel, _, _ = _selected_ids_with_stages(spark, sf_dir, src, n_src)
+    sel, _, _ = _selected_ids_with_stages(
+        spark, sf_dir, src, n_src, doc_vec_map
+    )
     sel_docs = src.join(sel, "doc_id").select("doc_id", "text")
     canon = sel_docs.groupBy(F.sha2(F.col("text"), 256).alias("hsh")).agg(
         F.min("doc_id").alias("doc_id")
@@ -671,53 +724,83 @@ _COV_COS_SQL = """
                 * sqrt(list_sum(list_transform(c.x, v -> v * v))))"""
 
 
-def _coverage_chain(k: int = _COVERAGE_K) -> str:
+def _coverage_chain(
+    k: int = _COVERAGE_K, mapping_table: str | None = None
+) -> str:
     """Generated CTE chain replaying the stage-2b greedy in SQL — the
     ``_gd_chain`` pattern applied to k-center: covsel0 is the sketch's
-    smallest vec_id; each step scores every unselected sketch row by
+    smallest doc_id; each step scores every unselected sketch row by
     floor((1 − max cosine to the selected set)·10⁶ + 0.5)/10⁶ — the
     ``_round6`` grid, written as the identical floor expression in both
     engines because DuckDB and Python round() disagree on halves —
     (DuckDB's list ops are sequential-double, matching the driver
     greedy exactly) and admits the
-    (d desc, vec_id) winner.  A sketch smaller than k self-caps: the
+    (d desc, doc_id) winner.  A sketch smaller than k self-caps: the
     step's pick CTE goes empty and covsel stops growing — the same
-    ``min(k, |sketch|)`` the python greedy applies."""
+    ``min(k, |sketch|)`` the python greedy applies.  ``mapping_table``
+    (r14): the registered (doc_id, vec_id) bridge; None = the fixture
+    identity join."""
+    if mapping_table is None:
+        sketch_src = "embeddings e JOIN poolc p ON e.vec_id = p.doc_id"
+    else:
+        sketch_src = (
+            f"poolc p JOIN {mapping_table} m ON m.doc_id = p.doc_id "
+            "JOIN embeddings e ON e.vec_id = m.vec_id"
+        )
     parts = [
         f""",
     cov_sketch AS MATERIALIZED (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS x
-        FROM embeddings e JOIN poolc p ON e.vec_id = p.doc_id
-        ORDER BY {_hash32_sql("'kcov:' || e.vec_id")}, e.vec_id
+        SELECT p.doc_id, e.embedding::DOUBLE[] AS x
+        FROM {sketch_src}
+        ORDER BY {_hash32_sql("'kcov:' || p.doc_id")}, p.doc_id
         LIMIT {_COVERAGE_SKETCH}
     ),
     covsel0 AS MATERIALIZED (
-        SELECT vec_id, x FROM cov_sketch ORDER BY vec_id LIMIT 1
+        SELECT doc_id, x FROM cov_sketch ORDER BY doc_id LIMIT 1
     )"""
     ]
     for j in range(1, k):
         parts.append(
             f""",
     covd{j} AS (
-        SELECT s.vec_id,
+        SELECT s.doc_id,
                floor((1.0 - max({_COV_COS_SQL}
                )) * 1000000.0 + 0.5) / 1000000.0 AS d
         FROM cov_sketch s CROSS JOIN covsel{j - 1} c
-        WHERE s.vec_id NOT IN (SELECT vec_id FROM covsel{j - 1})
-        GROUP BY s.vec_id
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM covsel{j - 1})
+        GROUP BY s.doc_id
     ),
-    covpick{j} AS (SELECT vec_id FROM covd{j} ORDER BY d DESC, vec_id LIMIT 1),
+    covpick{j} AS (SELECT doc_id FROM covd{j} ORDER BY d DESC, doc_id LIMIT 1),
     covsel{j} AS MATERIALIZED (
-        SELECT vec_id, x FROM covsel{j - 1}
+        SELECT doc_id, x FROM covsel{j - 1}
         UNION ALL
-        SELECT s.vec_id, s.x FROM cov_sketch s JOIN covpick{j} USING (vec_id)
+        SELECT s.doc_id, s.x FROM cov_sketch s JOIN covpick{j} USING (doc_id)
     )"""
         )
     return "".join(parts)
 
 
+def _dropped_sql(mapping_table: str | None) -> str:
+    """Body of the ``dropped`` CTE: the eval-suite ∪ flagged vec_ids
+    carried to doc_ids — through the registered (doc_id, vec_id)
+    mapping table when one is named, else the fixture identity."""
+    if mapping_table is None:
+        return (
+            "SELECT vec_id AS doc_id FROM evalsuite "
+            "UNION SELECT vec_id AS doc_id FROM contamf"
+        )
+    return (
+        f"SELECT m.doc_id FROM evalsuite JOIN {mapping_table} m "
+        "USING (vec_id) "
+        f"UNION SELECT m.doc_id FROM contamf JOIN {mapping_table} m "
+        "USING (vec_id)"
+    )
+
+
 def _curation_oracle(
-    steps: int = _CLS_STEPS, lr: float = _CLS_LR
+    steps: int = _CLS_STEPS,
+    lr: float = _CLS_LR,
+    mapping_table: str | None = None,
 ) -> str:
     hd = _hash32_sql("g")
     W, L, NS = _SUBSTR_W, _PACK_SEQ_LEN, _FUNNEL_SHARDS
@@ -780,15 +863,15 @@ def _curation_oracle(
         ) CROSS JOIN kk WHERE rk <= kk.k
     ),
     evalsuite AS MATERIALIZED (
-        SELECT vec_id AS doc_id FROM embeddings
+        SELECT vec_id FROM embeddings
         WHERE vec_id % {_DECON_EVAL_MOD} = 0
         ORDER BY vec_id LIMIT {_DECON_EVAL_CAP}
     ),
     contamf AS MATERIALIZED (
-        SELECT train_vec_id AS doc_id FROM ({_CONTAMINATION_EMB_ORACLE})
+        SELECT train_vec_id AS vec_id FROM ({_CONTAMINATION_EMB_ORACLE})
     ),
     dropped AS MATERIALIZED (
-        SELECT doc_id FROM evalsuite UNION SELECT doc_id FROM contamf
+        {_dropped_sql(mapping_table)}
     ),
     selc AS MATERIALIZED (
         SELECT doc_id FROM sel
@@ -797,11 +880,11 @@ def _curation_oracle(
     poolc AS MATERIALIZED (
         SELECT doc_id FROM src
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-    ){_coverage_chain()},
+    ){_coverage_chain(mapping_table=mapping_table)},
     selfinal AS MATERIALIZED (
         SELECT doc_id FROM selc
         UNION
-        SELECT vec_id AS doc_id FROM covsel{_COVERAGE_K - 1}
+        SELECT doc_id FROM covsel{_COVERAGE_K - 1}
     ),
     seld AS MATERIALIZED (
         SELECT d.doc_id, d.text FROM documents d JOIN selfinal USING (doc_id)

