@@ -464,6 +464,7 @@ def main() -> int:
         PYTEST_QUERIES as CLS_PYTEST_QUERIES,
     )
     from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        EXPORT_QUERIES as CURATION_EXPORT_QUERIES,
         PYTEST_QUERIES as CURATION_QUERIES,
     )
     from distributed_graph_coloring_with_pyspark_spark.operators.unigram_lm import (
@@ -583,6 +584,11 @@ def main() -> int:
                 "curation_gate_build": bench_classifier_train_build,
                 "decon_build": bench_decon_build,
                 **CURATION_QUERIES,
+                # r14: the terminal shard write, priced after the funnel
+                # so its median reads the warm shared front and the
+                # line isolates the export tail (token placement +
+                # gzip shard write)
+                **CURATION_EXPORT_QUERIES,
             }),
         ),
         ("events_extra", _not_in_registry({**EVENTS_EXTRA_QUERIES, **EVENTS_SKETCH_QUERIES})),

@@ -136,6 +136,7 @@ from .text_dedup import (
     _DSIR_FRACTION_NUM,
     _PACK_SEQ_LEN,
     _SUBSTR_W,
+    _doc_spans,
     _hash32_col,
     _hash32_sql,
     _pack_manifest,
@@ -474,41 +475,60 @@ def _selected_ids_with_stages(
     return final, dropped, centers
 
 
-def _clean_token_counts(uniq_toks: DataFrame) -> DataFrame:
-    """Stages 4: per-doc token count AFTER ExactSubstr removal over the
-    (doc_id, t array<string>) frame — the apply_substring_dedup window
-    machinery (text_dedup.py:1213), counts only (the funnel packs
-    counts, not text)."""
+def _removed_indices(uniq_toks: DataFrame) -> DataFrame:
+    """The (doc_id, idx) token positions ExactSubstr strips — every
+    token covered only by LATER occurrences of a duplicated
+    ``_SUBSTR_W``-token window (the apply_substring_dedup window
+    machinery, text_dedup.py:1213).  Shared by the manifest's count
+    path and the shard export's token path (r14)."""
     wins = uniq_toks.select(
         "doc_id", F.posexplode(_window_hashes(F.col("t"))).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     occ = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
     later = wins.withColumn("occ", occ).filter(F.col("occ") >= 2)
-    removed = later.select(
+    return later.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + (_SUBSTR_W - 1))
         ).alias("idx"),
     ).distinct()
+
+
+def _clean_token_counts(uniq_toks: DataFrame) -> DataFrame:
+    """Stages 4: per-doc token count AFTER ExactSubstr removal over the
+    (doc_id, t array<string>) frame — counts only (the manifest packs
+    counts, not text; the 8-byte projection keeps this path's shuffles
+    lean)."""
     stream = uniq_toks.select(
         "doc_id", F.posexplode("t").alias("idx0", "tok")
     ).select("doc_id", (F.col("idx0") + 1).alias("idx"))
-    kept = stream.join(removed, ["doc_id", "idx"], "left_anti")
+    kept = stream.join(_removed_indices(uniq_toks), ["doc_id", "idx"], "left_anti")
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tok")
     )
 
 
-def curation_pipeline_e2e(
+def _kept_tokens(uniq_toks: DataFrame) -> DataFrame:
+    """The surviving token stream itself — (doc_id, idx, tok) after
+    ExactSubstr removal, token values carried (the export path; the
+    manifest path uses the leaner count-only twin above)."""
+    stream = uniq_toks.select(
+        "doc_id", F.posexplode("t").alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    return stream.join(_removed_indices(uniq_toks), ["doc_id", "idx"], "left_anti")
+
+
+def _funnel_uniq_toks(
     spark: SparkSession,
     sf_dir: str,
     doc_vec_map: DataFrame | None = None,
 ) -> DataFrame:
-    """The eight-stage funnel → packed-sequence manifest with shards:
-    (seq_id, shard, n_docs, n_full_docs, n_tokens) — see module
-    docstring.  ``doc_vec_map`` (r14): the explicit (doc_id, vec_id)
-    bridge the decontamination + coverage stages consult; default None
-    = the fixture's identity (doc_id ≡ vec_id) on the direct plan."""
+    """Stages 1–3 + tokenization: the gated, DSIR-selected,
+    decontaminated, coverage-floored, exactly-deduplicated survivor
+    frame as (doc_id, t array<string>), persisted — the shared front of
+    the manifest query and the shard export (identical plan
+    construction, so CacheManager reuses one materialization across
+    both surfaces in a session)."""
     docs = load_table(spark, sf_dir, "documents")
     src = persist_tracked(
         spark,
@@ -526,12 +546,25 @@ def curation_pipeline_e2e(
     canon = sel_docs.groupBy(F.sha2(F.col("text"), 256).alias("hsh")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    uniq_toks = persist_tracked(
+    return persist_tracked(
         spark,
         sel_docs.join(canon.select("doc_id"), "doc_id").select(
             "doc_id", _tokens().alias("t")
         ),
     )
+
+
+def curation_pipeline_e2e(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_vec_map: DataFrame | None = None,
+) -> DataFrame:
+    """The eight-stage funnel → packed-sequence manifest with shards:
+    (seq_id, shard, n_docs, n_full_docs, n_tokens) — see module
+    docstring.  ``doc_vec_map`` (r14): the explicit (doc_id, vec_id)
+    bridge the decontamination + coverage stages consult; default None
+    = the fixture's identity (doc_id ≡ vec_id) on the direct plan."""
+    uniq_toks = _funnel_uniq_toks(spark, sf_dir, doc_vec_map)
     clean = _clean_token_counts(uniq_toks)
     manifest = _pack_manifest(spark, clean)
     # The measured quality of the gate this funnel just applied
@@ -551,6 +584,105 @@ def curation_pipeline_e2e(
         F.round(F.lit(m["accuracy"]).cast("double"), 4).alias("gate_acc"),
         F.round(F.lit(m["auc"]).cast("double"), 4).alias("gate_auc"),
     ).orderBy("seq_id")
+
+
+def export_packed_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    doc_vec_map: DataFrame | None = None,
+) -> DataFrame:
+    """Terminal WRITE stage of the funnel (r14, VERDICT r13 #4): the
+    funnel used to stop at the packed-sequence MANIFEST; this
+    materializes the packed token sequences themselves as the artifact
+    a trainer actually mounts — one gzip JSONL file per shard, each row
+    ``{seq_id, tokens: [...]}``, shard = seq_id mod ``_FUNNEL_SHARDS``
+    (the corpus_io export discipline).  Returns the per-shard receipt →
+    (shard, n_seqs, n_tokens) a consumer reconciles against the
+    manifest (tests pin receipt ≡ manifest rollup AND read-back token
+    stream ≡ the funnel's cleaned survivor stream, order included).
+
+    Placement: each surviving token's GLOBAL position is its doc's span
+    start (``_doc_spans`` — the exact cut points the manifest used)
+    plus its kept-rank inside the doc (a per-doc window: docs are
+    bounded-length, so the partitionBy("doc_id") window never funnels
+    the corpus through one task).  seq_id = gpos div L; the in-sequence
+    offset orders tokens inside ``collect_list`` via ``array_sort`` on
+    (off, tok) structs — one hash aggregation, no global sort; the
+    write repartitions to one task per shard and sorts within, so every
+    shard file is ONE gzip member with rows in seq_id order
+    (deterministic bytes, resumable per-shard re-export)."""
+    import tempfile
+
+    out = out_dir or tempfile.mkdtemp(prefix="funnel_shards_")
+    uniq_toks = _funnel_uniq_toks(spark, sf_dir, doc_vec_map)
+    spans = _doc_spans(spark, _clean_token_counts(uniq_toks))
+    L = _PACK_SEQ_LEN
+    wdoc = Window.partitionBy("doc_id").orderBy("idx")
+    placed = (
+        _kept_tokens(uniq_toks)
+        .withColumn("rk", F.row_number().over(wdoc))
+        .join(spans.select("doc_id", "start"), "doc_id")
+        .select(
+            "tok",
+            (F.col("start") + F.col("rk") - 1).alias("gpos"),
+        )
+    )
+    seqs = persist_tracked(
+        spark,
+        placed.select(
+            "tok",
+            F.floor(F.col("gpos") / L).cast("long").alias("seq_id"),
+            (F.col("gpos") % L).alias("off"),
+        )
+        .groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list(F.struct("off", "tok"))).alias("ps"))
+        .select(
+            "seq_id",
+            (F.col("seq_id") % _FUNNEL_SHARDS).cast("int").alias("shard"),
+            F.transform("ps", lambda p: p["tok"]).alias("tokens"),
+        ),
+    )
+    (
+        seqs.repartition(_FUNNEL_SHARDS, "shard")
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    return (
+        seqs.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum(F.size("tokens")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+PACKED_SHARDS_SCHEMA = "seq_id long, tokens array<string>"
+
+
+def read_packed_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read a shard export back with the explicit schema (no inference
+    pass); the partition column ``shard`` is recovered from the
+    directory layout."""
+    return spark.read.schema(PACKED_SHARDS_SCHEMA + ", shard int").json(path)
+
+
+def export_packed_shards_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained bench entry (the export_corpus_jsonl discipline):
+    export to a temp dir, return the receipt, clean up the files."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="funnel_shards_bench_")
+    try:
+        m = export_packed_shards(spark, sf_dir, out)
+        return spark.createDataFrame(m.collect(), m.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -954,3 +1086,8 @@ def _curation_oracle(
 
 PYTEST_QUERIES = {"curation_pipeline_e2e": curation_pipeline_e2e}
 PYTEST_ORACLES = {"curation_pipeline_e2e": _curation_oracle()}
+
+# gzip-shard writes aren't DuckDB-oracle-able (xxhash-free here, but the
+# receipt's contract is manifest reconciliation + byte round-trip —
+# tests/test_curation.py pins both); benched with the curation family.
+EXPORT_QUERIES = {"curation_export_shards": export_packed_shards_bench}

@@ -2821,11 +2821,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_manifest(spark, toks)
 
 
-def _pack_manifest(spark: SparkSession, toks: DataFrame) -> DataFrame:
-    """The packing core of ``pack_sequences`` over any (doc_id, n_tok)
-    frame — shared with the end-to-end curation funnel
-    (operators/curation.py), which packs its CLEANED survivor stream
-    with the same two-pass prefix-sum scan."""
+def _doc_spans(spark: SparkSession, toks: DataFrame) -> DataFrame:
+    """Every doc's global token span [start, end) in doc_id order —
+    the two-pass prefix-sum core of ``_pack_manifest``, factored out
+    (r14) so the shard EXPORT (operators/curation.py:
+    export_packed_shards) can place each kept token at its global
+    position with the exact same cut points the manifest used."""
     par = spark.sparkContext.defaultParallelism
     # the persist is now a pure scan-saver (3 tiny actions + the final
     # plan read it); correctness no longer depends on it — bucket ids
@@ -2858,8 +2859,7 @@ def _pack_manifest(spark: SparkSession, toks: DataFrame) -> DataFrame:
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    L = _PACK_SEQ_LEN
-    spans = (
+    return (
         base.withColumn("cum", F.sum("n_tok").over(w))
         .join(F.broadcast(off_df), "pid")
         .select(
@@ -2869,6 +2869,15 @@ def _pack_manifest(spark: SparkSession, toks: DataFrame) -> DataFrame:
             (F.col("base") + F.col("cum")).alias("end"),
         )
     )
+
+
+def _pack_manifest(spark: SparkSession, toks: DataFrame) -> DataFrame:
+    """The packing core of ``pack_sequences`` over any (doc_id, n_tok)
+    frame — shared with the end-to-end curation funnel
+    (operators/curation.py), which packs its CLEANED survivor stream
+    with the same two-pass prefix-sum scan."""
+    L = _PACK_SEQ_LEN
+    spans = _doc_spans(spark, toks)
     ex = spans.select(
         "start",
         "end",

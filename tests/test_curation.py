@@ -127,6 +127,54 @@ def test_funnel_stage_monotonicity(spark):
     assert sum(r["n_docs"] for r in manifest) >= len(manifest)
 
 
+def test_export_packed_shards_roundtrip(spark, tmp_path):
+    """r14 (VERDICT r13 #4): the terminal shard write — the receipt
+    must reconcile with the manifest exactly (same sequences, same
+    shard assignment, same token totals), each shard must be ONE gzip
+    JSONL member, and the read-back token stream, concatenated in
+    seq_id order, must BE the funnel's cleaned survivor token stream in
+    (doc_id, idx) order — the full byte round-trip."""
+    import glob
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        _funnel_uniq_toks,
+        _kept_tokens,
+        export_packed_shards,
+        read_packed_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    receipt = {
+        r.shard: (r.n_seqs, r.n_tokens)
+        for r in export_packed_shards(spark, SF, out).collect()
+    }
+    manifest = curation_pipeline_e2e(spark, SF).collect()
+    roll: dict[int, tuple[int, int]] = {}
+    for r in manifest:
+        s, t = roll.get(r.shard, (0, 0))
+        roll[r.shard] = (s + 1, t + r.n_tokens)
+    assert receipt == roll
+
+    files = glob.glob(f"{out}/shard=*/*.json.gz")
+    assert len(files) == len(receipt)  # one gzip member per shard
+
+    rows = read_packed_shards(spark, out).collect()
+    assert {r.seq_id: len(r.tokens) for r in rows} == {
+        r.seq_id: r.n_tokens for r in manifest
+    }
+    assert all(r.shard == r.seq_id % _FUNNEL_SHARDS for r in rows)
+
+    stream_back = [
+        t for r in sorted(rows, key=lambda r: r.seq_id) for t in r.tokens
+    ]
+    kept = (
+        _kept_tokens(_funnel_uniq_toks(spark, SF))
+        .orderBy("doc_id", "idx")
+        .collect()
+    )
+    assert stream_back == [r.tok for r in kept]
+
+
 def test_gate_plan_take_ordered(spark):
     """The rank gate must cut via TakeOrderedAndProject (the module-wide
     limit-then-rank discipline), never a partitionBy-less window."""
