@@ -1215,3 +1215,12 @@ ORACLES = {"graph_assortativity": PYTEST_ORACLES.pop("graph_assortativity")}
 # events_key_skew_report frees in streaming/events.py.
 QUERIES["graph_local_clustering"] = PYTEST_QUERIES.pop("graph_local_clustering")
 ORACLES["graph_local_clustering"] = PYTEST_ORACLES.pop("graph_local_clustering")
+
+# Round-14 rotation (VERDICT r13 #5): triangle_count — the
+# degree-ordered-orientation triangle counter, DuckDB-oracled at the
+# pytest gate since r6 and never driver-exposed (the oracle counts via
+# the independent id-ordered orientation, so the driver hash
+# cross-checks the two orientations) — takes the driver row
+# events_props_variant frees in streaming/events.py.
+QUERIES["triangle_count"] = PYTEST_QUERIES.pop("triangle_count")
+ORACLES["triangle_count"] = PYTEST_ORACLES.pop("triangle_count")

@@ -2854,3 +2854,15 @@ QUERIES["quantize_embeddings_int8"] = PYTEST_QUERIES.pop(
 ORACLES["quantize_embeddings_int8"] = PYTEST_ORACLES.pop(
     "quantize_embeddings_int8"
 )
+
+# Round-14 rotation (VERDICT r13 #5): embedding_contamination — the
+# bounded-eval-matrix GEMM decontamination scan (DuckDB-oracled at the
+# pytest gate since r9, and since r13 the builder behind the funnel's
+# stage-2a drop set) — takes the driver row dedup_exact frees in
+# text_dedup.py; same oracle, now value-hashed by the driver at sf0.01.
+QUERIES["embedding_contamination"] = PYTEST_QUERIES.pop(
+    "embedding_contamination"
+)
+ORACLES["embedding_contamination"] = PYTEST_ORACLES.pop(
+    "embedding_contamination"
+)

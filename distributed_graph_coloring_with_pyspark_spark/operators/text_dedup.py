@@ -3893,3 +3893,12 @@ ORACLES["repetition_stats"] = PYTEST_ORACLES.pop("repetition_stats")
 for _rot in ("pack_sequences", "curate_corpus"):
     QUERIES[_rot] = PYTEST_QUERIES.pop(_rot)
     ORACLES[_rot] = PYTEST_ORACLES.pop(_rot)
+
+# Round-14 rotation (VERDICT r13 #5): dedup_exact (single sha256
+# groupBy, hash-green every driver round since r2; exact-dedup coverage
+# stays driver-checked inside dedup_incremental_e2e and the curation
+# funnel's canonical stage) moves to the tests/test_text_dedup_extra.py
+# gate with the same oracle — its driver row goes to similarity's
+# promoted embedding_contamination.
+PYTEST_QUERIES["dedup_exact"] = QUERIES.pop("dedup_exact")
+PYTEST_ORACLES["dedup_exact"] = ORACLES.pop("dedup_exact")

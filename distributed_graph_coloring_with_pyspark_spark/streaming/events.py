@@ -1649,3 +1649,11 @@ STREAMING_ORACLES = {
 # oracle at the tests/test_streaming_batch_equivalence.py EXTRA gate.
 EXTRA_QUERIES["events_json_kv"] = QUERIES.pop("events_json_kv")
 EXTRA_ORACLES["events_json_kv"] = ORACLES.pop("events_json_kv")
+
+# Round-14 rotation (VERDICT r13 #5): events_props_variant returns to
+# the EXTRA pytest gate (Spark-4 VARIANT props extraction, hash-green
+# every driver round since its r7 promotion; same oracle re-run by
+# tests/test_streaming_batch_equivalence.py) — its driver row goes to
+# graph_analytics' promoted triangle_count.
+EXTRA_QUERIES["events_props_variant"] = QUERIES.pop("events_props_variant")
+EXTRA_ORACLES["events_props_variant"] = ORACLES.pop("events_props_variant")
