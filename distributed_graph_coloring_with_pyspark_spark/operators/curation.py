@@ -147,6 +147,18 @@ from .text_dedup import (
 _GATE_ROUND_DP = 4  # score grid for the rank cut (see module docstring)
 _GATE_FRACTION_NUM, _GATE_FRACTION_DEN = 1, 2  # keep top half by score
 _FUNNEL_SHARDS = 8
+# Coverage-stage knobs — DEFAULTS for the fixture/oracle contract, both
+# threaded as parameters end-to-end (r14, VERDICT r13 #7: Spark funnel
+# and generated oracle CTE chain take the same values, pinned equal by
+# tests at non-default settings).  Sizing at 100 TB: the sketch is the
+# greedy's whole world, so size it to the DIVERSITY you must not miss,
+# not to the corpus — S rows see every pool mode of frequency ≳ K/S
+# with high probability, and the driver cost is O(K·S) sequential
+# cosines + one S-row TakeOrdered collect (S=10⁵ at DIM=64 float64 is
+# ~50 MB driver state and ~10⁸ flops — minutes, corpus-size-free).  K
+# is a floor, not a budget: it only needs to exceed the number of
+# corpus modes DSIR can starve (10¹–10² in practice); raising K buys
+# linearly more driver greedy, nothing distributed.
 _COVERAGE_K = 8  # diversity centers unioned back into the selection
 _COVERAGE_SKETCH = 1024  # bounded greedy pool (TakeOrdered, asserted)
 
@@ -343,6 +355,8 @@ def _coverage_center_ids(
     sf_dir: str,
     pool_ids: DataFrame,
     doc_vec_map: DataFrame | None = None,
+    k: int = _COVERAGE_K,
+    sketch_size: int = _COVERAGE_SKETCH,
 ) -> list[int]:
     """Stage 2b: greedy max-min k-center over a bounded deterministic
     sketch of the pool — the coverage floor's center doc_ids.
@@ -384,7 +398,7 @@ def _coverage_center_ids(
             ).alias("hk"),
         )
         .orderBy("hk", "doc_id")
-        .limit(_COVERAGE_SKETCH)
+        .limit(int(sketch_size))
     )
     sk_plan = sketch_q._jdf.queryExecution().executedPlan().toString()
     if "TakeOrderedAndProject" not in sk_plan:  # not assert: the
@@ -425,7 +439,7 @@ def _coverage_center_ids(
     chosen = [0]  # seed: smallest doc_id in the sketch
     chosen_set = {0}
     maxcos = [-math.inf] * len(sketch)
-    while len(chosen) < min(_COVERAGE_K, len(sketch)):
+    while len(chosen) < min(k, len(sketch)):
         newest = chosen[-1]
         best_key: tuple[float, int] | None = None
         best = -1
@@ -449,6 +463,8 @@ def _selected_ids_with_stages(
     src: DataFrame,
     n_src: int,
     doc_vec_map: DataFrame | None = None,
+    coverage_k: int = _COVERAGE_K,
+    coverage_sketch: int = _COVERAGE_SKETCH,
 ):
     """Stages 2–2b chained: (final selection ids DF, dropped ids DF,
     coverage center id list) — split out so the invariants tests can
@@ -457,7 +473,9 @@ def _selected_ids_with_stages(
     dropped = dropped_ids_cached(spark, sf_dir, doc_vec_map)
     sel_clean = sel.join(dropped, "doc_id", "left_anti")
     pool = src.select("doc_id").join(dropped, "doc_id", "left_anti")
-    centers = _coverage_center_ids(spark, sf_dir, pool, doc_vec_map)
+    centers = _coverage_center_ids(
+        spark, sf_dir, pool, doc_vec_map, coverage_k, coverage_sketch
+    )
     if centers:
         # the centers enter as a PURE-LITERAL plan (range + explode),
         # not createDataFrame: a parallelized local list is a fresh
@@ -522,6 +540,8 @@ def _funnel_uniq_toks(
     spark: SparkSession,
     sf_dir: str,
     doc_vec_map: DataFrame | None = None,
+    coverage_k: int = _COVERAGE_K,
+    coverage_sketch: int = _COVERAGE_SKETCH,
 ) -> DataFrame:
     """Stages 1–3 + tokenization: the gated, DSIR-selected,
     decontaminated, coverage-floored, exactly-deduplicated survivor
@@ -540,7 +560,7 @@ def _funnel_uniq_toks(
     # metadata count — here it must count the GATED frame)
     n_src = src.count()
     sel, _, _ = _selected_ids_with_stages(
-        spark, sf_dir, src, n_src, doc_vec_map
+        spark, sf_dir, src, n_src, doc_vec_map, coverage_k, coverage_sketch
     )
     sel_docs = src.join(sel, "doc_id").select("doc_id", "text")
     canon = sel_docs.groupBy(F.sha2(F.col("text"), 256).alias("hsh")).agg(
@@ -558,13 +578,20 @@ def curation_pipeline_e2e(
     spark: SparkSession,
     sf_dir: str,
     doc_vec_map: DataFrame | None = None,
+    coverage_k: int = _COVERAGE_K,
+    coverage_sketch: int = _COVERAGE_SKETCH,
 ) -> DataFrame:
     """The eight-stage funnel → packed-sequence manifest with shards:
     (seq_id, shard, n_docs, n_full_docs, n_tokens) — see module
     docstring.  ``doc_vec_map`` (r14): the explicit (doc_id, vec_id)
     bridge the decontamination + coverage stages consult; default None
-    = the fixture's identity (doc_id ≡ vec_id) on the direct plan."""
-    uniq_toks = _funnel_uniq_toks(spark, sf_dir, doc_vec_map)
+    = the fixture's identity (doc_id ≡ vec_id) on the direct plan.
+    ``coverage_k`` / ``coverage_sketch`` (r14, VERDICT r13 #7): the
+    stage-2b knobs, threaded to the greedy AND the generated oracle
+    chain (see the sizing note at the constants)."""
+    uniq_toks = _funnel_uniq_toks(
+        spark, sf_dir, doc_vec_map, coverage_k, coverage_sketch
+    )
     clean = _clean_token_counts(uniq_toks)
     manifest = _pack_manifest(spark, clean)
     # The measured quality of the gate this funnel just applied
@@ -857,7 +884,9 @@ _COV_COS_SQL = """
 
 
 def _coverage_chain(
-    k: int = _COVERAGE_K, mapping_table: str | None = None
+    k: int = _COVERAGE_K,
+    mapping_table: str | None = None,
+    sketch_size: int = _COVERAGE_SKETCH,
 ) -> str:
     """Generated CTE chain replaying the stage-2b greedy in SQL — the
     ``_gd_chain`` pattern applied to k-center: covsel0 is the sketch's
@@ -885,7 +914,7 @@ def _coverage_chain(
         SELECT p.doc_id, e.embedding::DOUBLE[] AS x
         FROM {sketch_src}
         ORDER BY {_hash32_sql("'kcov:' || p.doc_id")}, p.doc_id
-        LIMIT {_COVERAGE_SKETCH}
+        LIMIT {int(sketch_size)}
     ),
     covsel0 AS MATERIALIZED (
         SELECT doc_id, x FROM cov_sketch ORDER BY doc_id LIMIT 1
@@ -933,6 +962,8 @@ def _curation_oracle(
     steps: int = _CLS_STEPS,
     lr: float = _CLS_LR,
     mapping_table: str | None = None,
+    coverage_k: int = _COVERAGE_K,
+    coverage_sketch: int = _COVERAGE_SKETCH,
 ) -> str:
     hd = _hash32_sql("g")
     W, L, NS = _SUBSTR_W, _PACK_SEQ_LEN, _FUNNEL_SHARDS
@@ -1012,11 +1043,11 @@ def _curation_oracle(
     poolc AS MATERIALIZED (
         SELECT doc_id FROM src
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-    ){_coverage_chain(mapping_table=mapping_table)},
+    ){_coverage_chain(coverage_k, mapping_table, coverage_sketch)},
     selfinal AS MATERIALIZED (
         SELECT doc_id FROM selc
         UNION
-        SELECT doc_id FROM covsel{_COVERAGE_K - 1}
+        SELECT doc_id FROM covsel{coverage_k - 1}
     ),
     seld AS MATERIALIZED (
         SELECT d.doc_id, d.text FROM documents d JOIN selfinal USING (doc_id)

