@@ -1936,6 +1936,7 @@ def rebuild_ivfpq_index(
     new_path: str,
     vectors: DataFrame | None = None,
     opq: bool | None = None,
+    epoch_layout: bool | None = None,
 ) -> int:
     """DRIFT RECOVERY for a served IVFPQ(+OPQ) index (r14, VERDICT r13
     #1 — the capability the streaming-ingest story hand-waved as
@@ -1964,10 +1965,22 @@ def rebuild_ivfpq_index(
     ``old_path``'s sidecar (rotation present → rotated tier).  Returns
     the number of cells.
 
+    A STREAM-MAINTAINED old index (epoch-partitioned —
+    streaming/vector_ingest.py) rebuilds into the same (epoch, cell)
+    layout with everything under ``epoch=-1``: a flat cell layout would
+    break parquet partition discovery the moment the ingest loop lands
+    its next ``epoch=N`` dir (mixed partition depths in one dir), while
+    the epoch=-1 base composes — a FRESH ingest checkpoint against the
+    rebuilt version starts cleanly at batch 0 (no epoch>=0 partitions
+    exist yet, so the fresh-checkpoint guard stays quiet).  Layout is
+    inherited from ``old_path``; ``epoch_layout`` overrides it.
+
     100 TB shape: identical to the from-scratch build — Lloyd/OPQ
     training passes + one encode scan + a shuffle-free partitioned
     write; the old index serves throughout, so the rebuild is a
     background job, not downtime."""
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = vectors if vectors is not None else emb
     if opq is None:
@@ -1982,6 +1995,15 @@ def rebuild_ivfpq_index(
             )
             is not None
         )
+    if epoch_layout is None:
+        epoch_layout = False
+        if old_path is not None:
+            old_resolved = resolve_index_path(spark, old_path)
+            _, fs, p = _sidecar_fs(spark, old_resolved)
+            epoch_layout = fs.exists(p) and any(
+                st.getPath().getName().startswith("epoch=")
+                for st in fs.listStatus(p)
+            )
     cents = _train_ivf_centroids(corpus)
     if opq:
         rot, books = _train_opq_pair(corpus, cents)
@@ -1994,7 +2016,12 @@ def rebuild_ivfpq_index(
         )
     books_np = _np_books(books)
     coded = _ivfpq_encode_frame(corpus, cents, books_np, rotate_np=rot)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(new_path)
+    if epoch_layout:
+        coded.withColumn("epoch", F.lit(-1)).write.mode(
+            "overwrite"
+        ).partitionBy("epoch", "cell").parquet(new_path)
+    else:
+        coded.write.mode("overwrite").partitionBy("cell").parquet(new_path)
     _write_quantizer_sidecar(
         spark,
         new_path,

@@ -66,6 +66,7 @@ from ..operators.similarity import (
     _sidecar_fs,
     _sidecar_rotation,
     _write_quantizer_sidecar,
+    resolve_index_path,
 )
 from ..sources.tables import load_table
 from .ingest import write_arrival_file
@@ -207,7 +208,14 @@ def streaming_vector_index_ingest(
     data loss on plain API misuse.  Defaulting the checkpoint into the
     index dir makes repeat calls resume; and a FRESH checkpoint (default
     or explicit) against an index that already holds streamed epochs
-    refuses to start rather than renumber over them."""
+    refuses to start rather than renumber over them.
+
+    ``index_path`` may be a versioned root (r14): the ingest resolves
+    the pointer ONCE at query start and lands epochs in the active
+    version — after a drift rebuild + pointer flip, the next ingest
+    call (with its default checkpoint, which lives INSIDE the version
+    dir) starts a clean batch sequence against the rebuilt index."""
+    index_path = resolve_index_path(spark, index_path)
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(index_path, _INGEST_CHECKPOINT)
     if not _checkpoint_has_progress(

@@ -192,6 +192,63 @@ def test_default_checkpoint_resumes_and_fresh_checkpoint_refuses(
     S.clear_pq_cache(spark)
 
 
+def test_drift_rebuild_composes_with_streaming_ingest(spark, tmp_path):
+    """The full production loop (r14, VERDICT r13 #1 composed with the
+    streaming story): stream epochs into v1 under a versioned root,
+    drift-rebuild into v2 (epoch layout PRESERVED — everything lands at
+    epoch=-1, because a flat cell layout would break partition
+    discovery the moment the ingest loop writes its next epoch=N dir),
+    flip the pointer, and keep ingesting NEW arrivals against the root:
+    the fresh default checkpoint starts at batch 0 without tripping the
+    fresh-checkpoint guard (v2 has no epoch>=0 yet), and the final
+    index equals the batch lifecycle built under the same retrained
+    quantizer."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+    root = tmp_path / "root"
+    root.mkdir()
+    v1 = str(root / "v1")
+    VI.build_streaming_ivfpq_base(spark, SF, v1, base, opq=True)
+    S.write_index_pointer(spark, str(root), v1)
+
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    for i in (0, 1):
+        write_arrival_file(slices[i], str(src1), f"slice{i}")
+    VI.streaming_vector_index_ingest(spark, str(src1), str(root))  # → v1
+
+    # drift rebuild on the corpus AS INGESTED SO FAR (base + slices 0-1)
+    cur = base.unionByName(slices[0]).unionByName(slices[1])
+    v2 = str(root / "v2")
+    S.rebuild_ivfpq_index(spark, SF, str(root), v2, vectors=cur)
+    assert (root / "v2" / "epoch=-1").exists()  # layout inherited
+    S.write_index_pointer(spark, str(root), v2)
+
+    # new arrivals keep flowing against the ROOT: fresh default
+    # checkpoint (inside v2), batch ids restart at 0, guard silent
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    for i in (2, 3):
+        write_arrival_file(slices[i], str(src2), f"slice{i}")
+    VI.streaming_vector_index_ingest(spark, str(src2), str(root))
+
+    # batch twin under the SAME retrained quantizer: fresh-trio build on
+    # `cur` + incremental adds of the late slices
+    bidx = str(tmp_path / "batch_idx")
+    S.rebuild_ivfpq_index(spark, SF, None, bidx, vectors=cur, opq=True)
+    for i in (2, 3):
+        S.ivfpq_index_add(spark, SF, bidx, slices[i])
+    assert _canon(spark, v2) == _canon(spark, bidx)
+
+    want = [tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, bidx).collect()]
+    got = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, str(root)).collect()
+    ]
+    assert got == want
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
 def test_streamed_index_compacts_to_flat_cell_layout(spark, tmp_path):
     """The nightly close of the streaming lifecycle: compacting the
     (epoch, cell) streamed index with partition_by=["cell"] flattens
