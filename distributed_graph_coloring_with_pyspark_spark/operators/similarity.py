@@ -974,8 +974,11 @@ def ivf_index_add(
     correctness (assignment stays nearest-cell), and the production
     answer is periodic re-train + rebuild — the same compaction story
     ``build_minhash_index`` documents for hot buckets.  Returns the
-    number of rows appended."""
+    number of rows appended.  ``index_path`` may be a versioned root
+    (r14): the add resolves the pointer and appends to the ACTIVE
+    version."""
     emb = load_table(spark, sf_dir, "embeddings")
+    index_path = resolve_index_path(spark, index_path)
     side = _read_quantizer_sidecar(spark, index_path)
     cents = (
         side["centroids"] if side else _get_ivf_centroids(spark, sf_dir, emb)
@@ -1007,8 +1010,10 @@ def ann_ivf_topk_indexed(
     partition column, so the parquet scan reads ONLY the probed
     ``cell=N`` directories — ~NPROBE/K of the stored corpus never
     leaves disk.  Same probes, rerank, and results as ``ann_ivf_topk``
-    (pinned by tests/test_ivf_index.py)."""
+    (pinned by tests/test_ivf_index.py).  ``index_path`` may be a
+    versioned root carrying a ``_current.json`` pointer (r14)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    index_path = resolve_index_path(spark, index_path)
     side = _read_quantizer_sidecar(spark, index_path)
     # the index's OWN persisted quantizer when present (r12): correct
     # across sessions and across source-table growth; pre-r12 artifacts

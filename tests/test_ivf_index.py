@@ -517,6 +517,28 @@ def test_rebuild_serve_continuity_via_pointer(spark, tmp_path):
     S.clear_pq_cache(spark)
 
 
+def test_ivf_family_resolves_version_pointer(spark, tmp_path):
+    """The plain-IVF serve/add entry points resolve a versioned root
+    exactly like the IVFPQ pair (r14 symmetry)."""
+    root = tmp_path / "ivf_root"
+    root.mkdir()
+    v1 = str(root / "v1")
+    S.build_ivf_index(spark, SF, v1)
+    S.write_index_pointer(spark, str(root), v1)
+    want = [tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, v1).collect()]
+    got = [
+        tuple(r) for r in S.ann_ivf_topk_indexed(spark, SF, str(root)).collect()
+    ]
+    assert got == want
+    emb = S.load_table(spark, SF, "embeddings")
+    batch = emb.filter("vec_id < 5")
+    before = spark.read.parquet(v1).count()
+    n = S.ivf_index_add(spark, SF, str(root), batch)
+    assert n == batch.count() > 0
+    assert spark.read.parquet(v1).count() == before + n
+    S.clear_ivf_cache(spark)
+
+
 def test_rebuild_recovers_recall_after_drift(spark, tmp_path):
     """r14 (VERDICT r13 #1, pin c): the drift scenario end-to-end — an
     index whose quantizer was trained on the ORIGINAL corpus absorbs
