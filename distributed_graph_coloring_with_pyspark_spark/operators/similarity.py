@@ -1886,8 +1886,6 @@ def write_index_pointer(
     the NEW complete index; never a half-built dir.  ``target_path``
     inside the root is stored RELATIVE (the root stays relocatable);
     anything else is stored verbatim."""
-    import os
-
     root = root_path.rstrip("/")
     tgt = target_path.rstrip("/")
     if tgt.startswith(root + "/"):
@@ -1984,8 +1982,6 @@ def rebuild_ivfpq_index(
     training passes + one encode scan + a shuffle-free partitioned
     write; the old index serves throughout, so the rebuild is a
     background job, not downtime."""
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = vectors if vectors is not None else emb
     if opq is None:
