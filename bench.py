@@ -198,6 +198,7 @@ def main() -> int:
         build_ivfpq_index,
         clear_ivf_cache,
         clear_pq_cache,
+        index_drift_report,
         rebuild_ivfpq_index,
     )
     from distributed_graph_coloring_with_pyspark_spark.session import (
@@ -331,6 +332,13 @@ def main() -> int:
         rebuild_ivfpq_index(spark, sf_dir, opq_path, target)
         return None  # the partitioned write already materialized
 
+    # r14: the drift MONITOR that decides when the rebuild above runs —
+    # one pruned index scan + co-keyed join + Arrow decode pass + two
+    # map-side-combinable aggs; prices the recurring health check a
+    # deployment schedules between rebuilds.
+    def bench_index_drift_report(spark, sf_dir):
+        return index_drift_report(spark, sf_dir, opq_path)
+
     ann_family = dict(ANN_QUERIES)
     ann_family["ivf_index_build"] = bench_build_ivf_index
     ann_family["ann_ivf_topk_indexed"] = bench_ann_ivf_topk_indexed
@@ -341,6 +349,7 @@ def main() -> int:
     ann_family["opq_index_build"] = bench_build_opq_index
     ann_family["ann_opq_serve_cold"] = bench_ann_opq_serve_cold
     ann_family["ivfpq_index_rebuild"] = bench_ivfpq_index_rebuild
+    ann_family["index_drift_report"] = bench_index_drift_report
     ann_family["ann_recall_report"] = ann_recall_report
 
     # The memoized exact-Jaccard pair frame (VERDICT r5 #1): three dedup

@@ -2033,6 +2033,121 @@ def rebuild_ivfpq_index(
     return len(cents)
 
 
+def index_drift_report(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """The MONITOR that decides when ``rebuild_ivfpq_index`` runs (r14
+    — closes the drift lifecycle: ingest → **detect** → rebuild → flip
+    pointer).  Per index segment ("base" = the build / epoch<0
+    partitions, "streamed" = ingested epoch>=0 partitions) →
+    (segment, n_vectors, n_cells_used, top_cell_share, mean_sq_err,
+    max_sq_err), where sq_err is the squared L2 reconstruction error
+    ``|x − (centroid[cell] + R·decode(codes))|²`` of each stored code
+    against its CURRENT raw vector.
+
+    Why these numbers are the drift signal: every arrival is encoded
+    under the quantizer FROZEN at base-build time, so when the arrival
+    distribution shifts, (a) the frozen codebooks stop fitting the new
+    residuals — the streamed segment's ``mean_sq_err`` rises above the
+    base segment's (the codebooks were trained ON the base), and (b)
+    arrivals pile into few coarse cells — ``top_cell_share`` rises and
+    ``n_cells_used`` stalls, which is exactly the cell-balance decay
+    that degrades probe recall.  A deployment alerts on
+    ``streamed.mean_sq_err / base.mean_sq_err`` (≳1.5 is a rebuild
+    trigger in practice) and on ``top_cell_share`` ≫ 1/n_cells.
+
+    ``vectors`` overrides the raw-vector store the codes are checked
+    against (default: the embeddings table, the same convention as
+    ``rebuild_ivfpq_index``); indexed vec_ids absent from it are
+    skipped — a straggler with no raw vector can't be measured.
+    ``index_path`` may be a versioned root (pointer-resolved).
+
+    100 TB shape: ONE pruned-column index scan joined co-keyed to the
+    vector store, one Arrow decode pass, then two map-side-combinable
+    keyed aggregations whose intermediate is ≤ (segments × cells) rows
+    — no window, no collect, driver state is the final ≤2-row report."""
+    import numpy as np
+
+    index_path = resolve_index_path(spark, index_path)
+    side = _read_quantizer_sidecar(spark, index_path)
+    if not side or "codebooks" not in side:
+        raise ValueError(
+            f"index at {index_path} has no quantizer sidecar — the "
+            "drift report decodes stored codes, which needs the index's "
+            "own codebooks (pre-r12 artifacts must be rebuilt)"
+        )
+    cents_np = np.asarray(side["centroids"], dtype=np.float64)
+    books_np = _np_books(side["codebooks"])
+    rot = _sidecar_rotation(side)
+    src = (
+        vectors
+        if vectors is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
+    idx = spark.read.parquet(index_path)
+    segment = (
+        F.when(F.col("epoch") < 0, F.lit("base")).otherwise(F.lit("streamed"))
+        if "epoch" in idx.columns
+        else F.lit("base")
+    )
+    joined = idx.select(
+        "vec_id", "cell", "codes", segment.alias("segment")
+    ).join(src.select("vec_id", "embedding"), "vec_id")
+
+    def decode_errs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            C = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            # codeword m covers residual dims [m·SUB, (m+1)·SUB) — the
+            # _batch_codes layout; stored codes live in the ROTATED
+            # residual space when the sidecar carries a rotation, so
+            # decode rotates BACK (R orthogonal: inverse = transpose)
+            res_hat = np.concatenate(
+                [books_np[m][C[:, m]] for m in range(_PQ_M)], axis=1
+            )
+            if rot is not None:
+                res_hat = res_hat @ rot.T
+            d = X - (cents_np[pdf["cell"].to_numpy()] + res_hat)
+            yield pd.DataFrame(
+                {
+                    "segment": pdf["segment"],
+                    "cell": pdf["cell"],
+                    "sq_err": (d * d).sum(axis=1),
+                }
+            )
+
+    per_row = joined.mapInPandas(
+        decode_errs, "segment string, cell int, sq_err double"
+    )
+    per_cell = per_row.groupBy("segment", "cell").agg(
+        F.count("*").alias("cnt"),
+        F.sum("sq_err").alias("err_sum"),
+        F.max("sq_err").alias("err_max"),
+    )
+    return (
+        per_cell.groupBy("segment")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vectors"),
+            F.count("*").cast("long").alias("n_cells_used"),
+            (F.max("cnt") / F.sum("cnt")).alias("top_cell_share"),
+            (F.sum("err_sum") / F.sum("cnt")).alias("mean_sq_err"),
+            F.max("err_max").alias("max_sq_err"),
+        )
+        .orderBy("segment")
+    )
+
+
 # --- int8 scalar quantization (vector compression) ----------------------
 
 

@@ -632,3 +632,64 @@ def test_sidecar_write_is_tempfile_then_rename(spark, tmp_path):
     ]
     assert not orphans, orphans
     S.clear_ivf_cache(spark)
+
+
+def test_drift_report_matches_numpy_oracle(spark, tmp_path):
+    """index_drift_report (r14 — the drift MONITOR): every reported
+    number replicated independently in numpy from the index parquet +
+    the sidecar JSON (decode codes, un-rotate, add the centroid,
+    square-error against the raw vector)."""
+    import json
+    import math
+
+    import numpy as np
+
+    path = str(tmp_path / "opq_idx")
+    S.build_ivfpq_index(spark, SF, path, opq=True)
+    got = {r.segment: r for r in S.index_drift_report(spark, SF, path).collect()}
+    assert set(got) == {"base"}  # flat build: no streamed epochs
+
+    side = json.load(open(f"{path}/_quantizer.json"))
+    cents = np.asarray(side["centroids"], dtype=np.float64)
+    books = np.asarray(side["codebooks"], dtype=np.float64)
+    rot = np.asarray(side["rotation"], dtype=np.float64)
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in S.load_table(spark, SF, "embeddings").collect()
+    }
+    errs, cells = [], {}
+    for r in spark.read.parquet(path).collect():
+        res_hat = (
+            np.concatenate([books[m][r.codes[m]] for m in range(S._PQ_M)])
+            @ rot.T
+        )
+        d = emb[r.vec_id] - (cents[r.cell] + res_hat)
+        errs.append(float(d @ d))
+        cells[r.cell] = cells.get(r.cell, 0) + 1
+    g = got["base"]
+    assert g.n_vectors == len(errs) == len(emb)
+    assert g.n_cells_used == len(cells)
+    assert math.isclose(
+        g.top_cell_share, max(cells.values()) / len(errs), rel_tol=1e-12
+    )
+    assert math.isclose(g.mean_sq_err, sum(errs) / len(errs), rel_tol=1e-9)
+    assert math.isclose(g.max_sq_err, max(errs), rel_tol=1e-9)
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
+def test_drift_report_requires_sidecar(spark, tmp_path):
+    """A code-bearing index without its quantizer sidecar cannot be
+    decoded — the report must refuse, not fabricate a session
+    quantizer (the codes were NOT encoded under one)."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "opq_idx")
+    S.build_ivfpq_index(spark, SF, path, opq=True)
+    os.remove(os.path.join(path, "_quantizer.json"))
+    with pytest.raises(ValueError, match="sidecar"):
+        S.index_drift_report(spark, SF, path)
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)

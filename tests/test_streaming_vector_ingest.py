@@ -291,3 +291,60 @@ def test_streamed_index_compacts_to_flat_cell_layout(spark, tmp_path):
     assert [tuple(r) for r in served.collect()] == want
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_drift_report_flags_drift_and_clears_after_rebuild(spark, tmp_path):
+    """The full drift LIFECYCLE the r14 monitor closes: ingest a
+    distribution-shifted arrival wave under the frozen base quantizer →
+    index_drift_report's streamed segment shows the rebuild trigger
+    (reconstruction error well above base, balance no better) →
+    rebuild_ivfpq_index retrains on the current corpus, the pointer
+    flips, and the re-report through the SAME versioned root shows the
+    recovered fit."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    root = tmp_path / "root"
+    root.mkdir()
+    v1 = str(root / "v1")
+    VI.build_streaming_ivfpq_base(spark, SF, v1, emb, opq=True)
+    S.write_index_pointer(spark, str(root), v1)
+
+    drifted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: F.lit(4.0) - x)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_arrival_file(drifted, str(src), "drift0")
+    VI.streaming_vector_index_ingest(spark, str(src), str(root))
+
+    allvec = emb.unionByName(drifted)
+    rep = {
+        r.segment: r
+        for r in S.index_drift_report(
+            spark, SF, str(root), vectors=allvec
+        ).collect()
+    }
+    assert set(rep) == {"base", "streamed"}
+    assert rep["streamed"].n_vectors == emb.count()
+    # the frozen codebooks were trained on the BASE distribution: the
+    # shifted arrivals reconstruct far worse — the rebuild trigger
+    assert rep["streamed"].mean_sq_err > 1.5 * rep["base"].mean_sq_err
+    assert rep["streamed"].top_cell_share >= rep["base"].top_cell_share
+
+    # recovery: retrain on the corpus as it NOW is, flip, re-report
+    v2 = str(root / "v2")
+    S.rebuild_ivfpq_index(spark, SF, str(root), v2, vectors=allvec)
+    S.write_index_pointer(spark, str(root), v2)
+    rep2 = {
+        r.segment: r
+        for r in S.index_drift_report(
+            spark, SF, str(root), vectors=allvec
+        ).collect()
+    }
+    assert set(rep2) == {"base"}  # fresh epoch=-1 layout, nothing streamed
+    assert rep2["base"].n_vectors == allvec.count()
+    assert rep2["base"].mean_sq_err < rep["streamed"].mean_sq_err
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
