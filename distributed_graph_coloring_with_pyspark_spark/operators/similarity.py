@@ -2038,6 +2038,7 @@ def index_drift_report(
     sf_dir: str,
     index_path: str,
     vectors: DataFrame | None = None,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """The MONITOR that decides when ``rebuild_ivfpq_index`` runs (r14
     — closes the drift lifecycle: ingest → **detect** → rebuild → flip
@@ -2065,10 +2066,19 @@ def index_drift_report(
     skipped — a straggler with no raw vector can't be measured.
     ``index_path`` may be a versioned root (pointer-resolved).
 
+    ``sample_mod`` > 1 measures a deterministic 1/mod id-slice
+    (``vec_id % mod = 0``, the same rows every run so reports are
+    comparable across schedule ticks): drift is a DISTRIBUTION
+    property, so the estimate converges like any mean — a 1/1000 slice
+    of 10¹⁰ codes is 10⁷ samples, far past where the trigger ratio is
+    stable — and the pmod filter lands on BOTH scan sides before the
+    join, so the monitor's cost shrinks by the same factor.
+
     100 TB shape: ONE pruned-column index scan joined co-keyed to the
     vector store, one Arrow decode pass, then two map-side-combinable
     keyed aggregations whose intermediate is ≤ (segments × cells) rows
-    — no window, no collect, driver state is the final ≤2-row report."""
+    — no window, no collect, driver state is the final ≤2-row report;
+    scheduled monitoring uses ``sample_mod`` to pay 1/mod of that."""
     import numpy as np
 
     index_path = resolve_index_path(spark, index_path)
@@ -2088,6 +2098,10 @@ def index_drift_report(
         else load_table(spark, sf_dir, "embeddings")
     )
     idx = spark.read.parquet(index_path)
+    if sample_mod > 1:
+        keep = F.pmod(F.col("vec_id"), F.lit(int(sample_mod))) == 0
+        idx = idx.filter(keep)
+        src = src.filter(keep)
     segment = (
         F.when(F.col("epoch") < 0, F.lit("base")).otherwise(F.lit("streamed"))
         if "epoch" in idx.columns

@@ -674,6 +674,22 @@ def test_drift_report_matches_numpy_oracle(spark, tmp_path):
     )
     assert math.isclose(g.mean_sq_err, sum(errs) / len(errs), rel_tol=1e-9)
     assert math.isclose(g.max_sq_err, max(errs), rel_tol=1e-9)
+
+    # sample_mod: the deterministic 1/mod id-slice, replicated the same
+    # way (scheduled monitoring pays 1/mod of the scan)
+    s_errs, s_cells = [], {}
+    for r in spark.read.parquet(path).filter("vec_id % 4 = 0").collect():
+        res_hat = (
+            np.concatenate([books[m][r.codes[m]] for m in range(S._PQ_M)])
+            @ rot.T
+        )
+        d = emb[r.vec_id] - (cents[r.cell] + res_hat)
+        s_errs.append(float(d @ d))
+        s_cells[r.cell] = s_cells.get(r.cell, 0) + 1
+    [s] = S.index_drift_report(spark, SF, path, sample_mod=4).collect()
+    assert 0 < s.n_vectors == len(s_errs) < len(errs)
+    assert s.n_cells_used == len(s_cells)
+    assert math.isclose(s.mean_sq_err, sum(s_errs) / len(s_errs), rel_tol=1e-9)
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
 
