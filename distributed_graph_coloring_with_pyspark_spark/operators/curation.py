@@ -384,11 +384,18 @@ def _coverage_center_ids(
             pool_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
         ).select(F.col("vec_id").alias("doc_id"), "embedding")
     else:
-        pool = (
-            pool_ids.join(doc_vec_map.select("doc_id", "vec_id"), "doc_id")
-            .join(emb, "vec_id")
-            .select("doc_id", "embedding")
-        )
+        # canonicalize to ONE embedding per doc — the smallest EMBEDDED
+        # vec_id (review r14): a chunk-sharing doc_id would otherwise
+        # enter the sketch as several rows with the SAME (hk, doc_id)
+        # sort key but different vectors, making the TakeOrdered cut —
+        # and therefore the greedy and its oracle replay —
+        # nondeterministic; min-over-embedded also keeps a doc eligible
+        # when its smallest mapped vec_id has no embedding row
+        mapped = pool_ids.join(
+            doc_vec_map.select("doc_id", "vec_id"), "doc_id"
+        ).join(emb.select("vec_id"), "vec_id")
+        canon = mapped.groupBy("doc_id").agg(F.min("vec_id").alias("vec_id"))
+        pool = canon.join(emb, "vec_id").select("doc_id", "embedding")
     sketch_q = (
         pool.select(
             "doc_id",
@@ -616,39 +623,65 @@ def curation_pipeline_e2e(
 def export_packed_shards(
     spark: SparkSession,
     sf_dir: str,
-    out_dir: str | None = None,
+    out_dir: str,
     doc_vec_map: DataFrame | None = None,
+    coverage_k: int = _COVERAGE_K,
+    coverage_sketch: int = _COVERAGE_SKETCH,
 ) -> DataFrame:
     """Terminal WRITE stage of the funnel (r14, VERDICT r13 #4): the
     funnel used to stop at the packed-sequence MANIFEST; this
     materializes the packed token sequences themselves as the artifact
     a trainer actually mounts — one gzip JSONL file per shard, each row
     ``{seq_id, tokens: [...]}``, shard = seq_id mod ``_FUNNEL_SHARDS``
-    (the corpus_io export discipline).  Returns the per-shard receipt →
+    (the corpus_io export discipline).  ``out_dir`` is REQUIRED — a
+    writer must be told its destination; a defaulted temp dir would
+    leave the artifact somewhere the caller can't find (review r14).
+    Returns the per-shard receipt →
     (shard, n_seqs, n_tokens) a consumer reconciles against the
     manifest (tests pin receipt ≡ manifest rollup AND read-back token
     stream ≡ the funnel's cleaned survivor stream, order included).
+    ``doc_vec_map`` / ``coverage_k`` / ``coverage_sketch`` thread to
+    the SAME funnel front the manifest query uses — an export called
+    with the manifest's knobs ships exactly the manifested corpus
+    (review r14: an unthreaded knob would silently select a different
+    coverage floor than the manifest the trainer reconciles against).
 
     Placement: each surviving token's GLOBAL position is its doc's span
-    start (``_doc_spans`` — the exact cut points the manifest used)
-    plus its kept-rank inside the doc (a per-doc window: docs are
-    bounded-length, so the partitionBy("doc_id") window never funnels
-    the corpus through one task).  seq_id = gpos div L; the in-sequence
-    offset orders tokens inside ``collect_list`` via ``array_sort`` on
-    (off, tok) structs — one hash aggregation, no global sort; the
-    write repartitions to one task per shard and sorts within, so every
-    shard file is ONE gzip member with rows in seq_id order
-    (deterministic bytes, resumable per-shard re-export)."""
-    import tempfile
-
-    out = out_dir or tempfile.mkdtemp(prefix="funnel_shards_")
-    uniq_toks = _funnel_uniq_toks(spark, sf_dir, doc_vec_map)
-    spans = _doc_spans(spark, _clean_token_counts(uniq_toks))
+    start (``_doc_spans`` — the exact cut points the manifest used,
+    here derived from the SAME kept-stream definition it places — the
+    counts→spans path and the token placement share one
+    ``_kept_tokens`` plan (review r14; see the persist note in the
+    body for why the shared plan is recomputed, not materialized)
+    plus its kept-rank inside the doc (a per-doc
+    window: docs are bounded-length, so the partitionBy("doc_id")
+    window never funnels the corpus through one task).  seq_id = gpos
+    div L; the in-sequence offset orders tokens inside
+    ``collect_list`` via ``array_sort`` on (off, tok) structs — one
+    hash aggregation, no global sort; the write repartitions to one
+    task per shard and sorts within on (shard, seq_id) — the partition
+    column leads, so the sort SATISFIES the file writer's required
+    ordering and no writer-inserted re-sort can disturb seq_id order
+    inside a shard (review r14) — so every shard file is ONE gzip
+    member with rows in seq_id order (deterministic bytes, resumable
+    per-shard re-export)."""
+    uniq_toks = _funnel_uniq_toks(
+        spark, sf_dir, doc_vec_map, coverage_k, coverage_sketch
+    )
+    # ONE kept-stream definition feeds both consumers; deliberately NOT
+    # persisted — measured at sf0.1, materializing the corpus-scale
+    # token stream costs more than re-running the removal pass off the
+    # persisted uniq_toks front (8.8 vs 7.0 s warm), and at 100 TB
+    # persisting the pipeline's biggest frame is the memory-pressure
+    # path; the recompute is two removal passes of bounded shuffles
+    kept = _kept_tokens(uniq_toks)
+    counts = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    spans = _doc_spans(spark, counts)
     L = _PACK_SEQ_LEN
     wdoc = Window.partitionBy("doc_id").orderBy("idx")
     placed = (
-        _kept_tokens(uniq_toks)
-        .withColumn("rk", F.row_number().over(wdoc))
+        kept.withColumn("rk", F.row_number().over(wdoc))
         .join(spans.select("doc_id", "start"), "doc_id")
         .select(
             "tok",
@@ -672,11 +705,11 @@ def export_packed_shards(
     )
     (
         seqs.repartition(_FUNNEL_SHARDS, "shard")
-        .sortWithinPartitions("seq_id")
+        .sortWithinPartitions("shard", "seq_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .option("compression", "gzip")
-        .json(out)
+        .json(out_dir)
     )
     return (
         seqs.groupBy("shard")
@@ -903,17 +936,25 @@ def _coverage_chain(
     identity join."""
     if mapping_table is None:
         sketch_src = "embeddings e JOIN poolc p ON e.vec_id = p.doc_id"
+        doc_col = "p.doc_id"
     else:
+        # the Spark side's canonical one-embedding-per-doc rule (review
+        # r14): smallest EMBEDDED vec_id per pool doc, so chunk-sharing
+        # docs enter the sketch exactly once in both engines
         sketch_src = (
-            f"poolc p JOIN {mapping_table} m ON m.doc_id = p.doc_id "
-            "JOIN embeddings e ON e.vec_id = m.vec_id"
+            f"(SELECT m.doc_id, min(m.vec_id) AS vec_id "
+            f"FROM poolc p JOIN {mapping_table} m ON m.doc_id = p.doc_id "
+            "JOIN embeddings e0 ON e0.vec_id = m.vec_id "
+            "GROUP BY m.doc_id) cm "
+            "JOIN embeddings e ON e.vec_id = cm.vec_id"
         )
+        doc_col = "cm.doc_id"
     parts = [
         f""",
     cov_sketch AS MATERIALIZED (
-        SELECT p.doc_id, e.embedding::DOUBLE[] AS x
+        SELECT {doc_col} AS doc_id, e.embedding::DOUBLE[] AS x
         FROM {sketch_src}
-        ORDER BY {_hash32_sql("'kcov:' || p.doc_id")}, p.doc_id
+        ORDER BY {_hash32_sql(f"'kcov:' || {doc_col}")}, {doc_col}
         LIMIT {int(sketch_size)}
     ),
     covsel0 AS MATERIALIZED (

@@ -827,12 +827,34 @@ def _read_quantizer_sidecar(spark: SparkSession, index_path: str):
     corruption not surface as a bare JSONDecodeError on every serve;
     the clear diagnosis is kept, the silent fallback is not, because
     it stopped being safe.)"""
+    return _read_json_sidecar(
+        spark,
+        index_path,
+        _QUANTIZER_SIDECAR,
+        describe="quantizer sidecar",
+        refusal=(
+            "refusing to serve or modify the index with a possibly-"
+            "inequivalent session-trained quantizer; restore the "
+            "sidecar or rebuild the index"
+        ),
+    )
+
+
+def _read_json_sidecar(
+    spark: SparkSession, dir_path: str, name: str, describe: str, refusal: str
+):
+    """Shared Hadoop-FS JSON read for the index's '_'-prefixed control
+    files (quantizer sidecar, version pointer — review r14: the two
+    readers had drifted into near-identical copies): None when the file
+    is ABSENT (each caller's legacy/concrete-dir case), ValueError when
+    it EXISTS but cannot be read or parsed — both writers are atomic
+    (``_atomic_json_write``), so an unreadable control file means
+    tampering or real IO failure, and every caller refuses loudly
+    rather than guessing."""
     import json
     import os
 
-    jvm, fs, p = _sidecar_fs(
-        spark, os.path.join(index_path, _QUANTIZER_SIDECAR)
-    )
+    jvm, fs, p = _sidecar_fs(spark, os.path.join(dir_path, name))
     if not fs.exists(p):
         return None
     try:
@@ -844,10 +866,8 @@ def _read_quantizer_sidecar(spark: SparkSession, index_path: str):
         return json.loads(data.decode("utf-8"))
     except Exception as exc:  # truncated JSON, checksum mismatch, IO
         raise ValueError(
-            f"quantizer sidecar at {index_path} exists but is unreadable "
-            f"({type(exc).__name__}) — refusing to serve or modify the "
-            "index with a possibly-inequivalent session-trained "
-            "quantizer; restore the sidecar or rebuild the index"
+            f"{describe} at {dir_path} exists but is unreadable "
+            f"({type(exc).__name__}) — {refusal}"
         ) from exc
 
 
@@ -1900,25 +1920,23 @@ def read_index_pointer(spark: SparkSession, root_path: str) -> str | None:
     write is atomic, so a broken pointer means tampering or IO failure,
     and guessing a version to serve is how a reader silently serves a
     half-retired index)."""
-    import json
     import os
 
-    jvm, fs, p = _sidecar_fs(spark, os.path.join(root_path, _INDEX_POINTER))
-    if not fs.exists(p):
+    refusal = (
+        "refusing to guess a version; restore the pointer or address "
+        "a concrete index dir"
+    )
+    payload = _read_json_sidecar(
+        spark, root_path, _INDEX_POINTER, "index pointer", refusal
+    )
+    if payload is None:
         return None
-    try:
-        stream = fs.open(p)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        tgt = json.loads(data.decode("utf-8"))["current"]
-    except Exception as exc:
+    tgt = payload.get("current") if isinstance(payload, dict) else None
+    if not isinstance(tgt, str):  # valid JSON, wrong shape: same policy
         raise ValueError(
             f"index pointer at {root_path} exists but is unreadable "
-            f"({type(exc).__name__}) — refusing to guess a version; "
-            "restore the pointer or address a concrete index dir"
-        ) from exc
+            f"(no 'current' target) — {refusal}"
+        )
     if "://" not in tgt and not os.path.isabs(tgt):
         tgt = os.path.join(root_path, tgt)
     return tgt

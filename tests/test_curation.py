@@ -53,7 +53,11 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
     consult an EXPLICIT (doc_id, vec_id) mapping that is neither
     identity nor total — vec_ids are a ×7+3 permutation of doc ids and
     every doc_id % 5 == 0 has NO embedding row (the unembedded-straggler
-    case).  The WHOLE funnel must stay chained-equal to the DuckDB
+    case) nor injective — every doc_id % 3 == 1 carries a SECOND
+    chunk-level vec_id (review r14: chunk-sharing docs must enter the
+    coverage sketch exactly once, via the canonical min-embedded-vec
+    rule, or the TakeOrdered cut is nondeterministic).  The WHOLE
+    funnel must stay chained-equal to the DuckDB
     oracle run with the same mapping registered as a view, and must
     ship different data than the identity funnel (the mapping actually
     threads through, it isn't decorative).  Run at NON-DEFAULT coverage
@@ -65,13 +69,16 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
     )
 
     n_vec = load_table(spark, SF, "embeddings").count()
-    mapping = (
-        load_table(spark, SF, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 5 != 0)
-        .select(
+    docs_ids = load_table(spark, SF, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    mapping = docs_ids.select(
+        "doc_id",
+        ((F.col("doc_id") * 7 + 3) % n_vec).cast("long").alias("vec_id"),
+    ).unionByName(
+        docs_ids.filter(F.col("doc_id") % 3 == 1).select(
             "doc_id",
-            ((F.col("doc_id") * 7 + 3) % n_vec).cast("long").alias("vec_id"),
+            ((F.col("doc_id") * 7 + 4) % n_vec).cast("long").alias("vec_id"),
         )
     )
     sdf = curation_pipeline_e2e(
@@ -88,7 +95,10 @@ def test_funnel_oracle_with_non_identity_mapping(spark):
     con.sql(
         "CREATE VIEW doc_vec_map AS "
         f"SELECT doc_id, (doc_id * 7 + 3) % {n_vec} AS vec_id "
-        "FROM documents WHERE doc_id % 5 != 0"
+        "FROM documents WHERE doc_id % 5 != 0 "
+        "UNION ALL "
+        f"SELECT doc_id, (doc_id * 7 + 4) % {n_vec} AS vec_id "
+        "FROM documents WHERE doc_id % 5 != 0 AND doc_id % 3 = 1"
     )
     ddf = con.sql(
         _curation_oracle(
@@ -182,6 +192,56 @@ def test_export_packed_shards_roundtrip(spark, tmp_path):
         .collect()
     )
     assert stream_back == [r.tok for r in kept]
+
+    # in-FILE order (review r14): each shard file's raw lines must be
+    # in ascending seq_id order WITHOUT re-sorting — the write's
+    # (shard, seq_id) sortWithinPartitions leads with the partition
+    # column, so the file writer inserts no re-sort that could disturb
+    # it; 'deterministic bytes' depends on this, and the read-back
+    # comparison above can't see it
+    import gzip
+    import json as _json
+
+    for f in files:
+        seq_ids = [
+            _json.loads(line)["seq_id"]
+            for line in gzip.open(f, "rt")
+            if line.strip()
+        ]
+        assert seq_ids == sorted(seq_ids), f
+
+
+def test_export_threads_funnel_knobs(spark, tmp_path):
+    """review r14: export_packed_shards must thread doc_vec_map AND the
+    coverage knobs to the SAME funnel front the manifest uses — an
+    export at non-default knobs reconciles against the manifest at the
+    SAME knobs (and not against the default-knob manifest, which
+    selects a different coverage floor)."""
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        export_packed_shards,
+    )
+
+    out = str(tmp_path / "shards_knobbed")
+    receipt = {
+        r.shard: (r.n_seqs, r.n_tokens)
+        for r in export_packed_shards(
+            spark, SF, out, coverage_k=4, coverage_sketch=128
+        ).collect()
+    }
+
+    def rollup(manifest):
+        roll: dict[int, tuple[int, int]] = {}
+        for r in manifest:
+            s, t = roll.get(r.shard, (0, 0))
+            roll[r.shard] = (s + 1, t + r.n_tokens)
+        return roll
+
+    same_knobs = rollup(
+        curation_pipeline_e2e(
+            spark, SF, coverage_k=4, coverage_sketch=128
+        ).collect()
+    )
+    assert receipt == same_knobs
 
 
 def test_gate_plan_take_ordered(spark):
