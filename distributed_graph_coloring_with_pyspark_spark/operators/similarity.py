@@ -2057,6 +2057,7 @@ def index_drift_report(
     index_path: str,
     vectors: DataFrame | None = None,
     sample_mod: int = 1,
+    by_epoch: bool = False,
 ) -> DataFrame:
     """The MONITOR that decides when ``rebuild_ivfpq_index`` runs (r14
     — closes the drift lifecycle: ingest → **detect** → rebuild → flip
@@ -2092,6 +2093,14 @@ def index_drift_report(
     stable — and the pmod filter lands on BOTH scan sides before the
     join, so the monitor's cost shrinks by the same factor.
 
+    ``by_epoch=True`` labels rows by their INGEST EPOCH instead of the
+    base/streamed split (same schema — ``segment`` holds the epoch
+    number as a string, the base build's partitions as "-1") — the
+    drift TREND: a deployment plotting ``mean_sq_err`` per epoch sees
+    WHICH arrival wave drifted and how fast, not just that the streamed
+    aggregate crossed the trigger.  Same plan, the grouping key is just
+    a different label expression.
+
     100 TB shape: ONE pruned-column index scan joined co-keyed to the
     vector store, one Arrow decode pass, then two map-side-combinable
     keyed aggregations whose intermediate is ≤ (segments × cells) rows
@@ -2120,11 +2129,16 @@ def index_drift_report(
         keep = F.pmod(F.col("vec_id"), F.lit(int(sample_mod))) == 0
         idx = idx.filter(keep)
         src = src.filter(keep)
-    segment = (
-        F.when(F.col("epoch") < 0, F.lit("base")).otherwise(F.lit("streamed"))
-        if "epoch" in idx.columns
-        else F.lit("base")
-    )
+    if "epoch" in idx.columns:
+        segment = (
+            F.col("epoch").cast("string")
+            if by_epoch
+            else F.when(F.col("epoch") < 0, F.lit("base")).otherwise(
+                F.lit("streamed")
+            )
+        )
+    else:
+        segment = F.lit("-1") if by_epoch else F.lit("base")
     joined = idx.select(
         "vec_id", "cell", "codes", segment.alias("segment")
     ).join(src.select("vec_id", "embedding"), "vec_id")

@@ -333,6 +333,36 @@ def test_drift_report_flags_drift_and_clears_after_rebuild(spark, tmp_path):
     assert rep["streamed"].mean_sq_err > 1.5 * rep["base"].mean_sq_err
     assert rep["streamed"].top_cell_share >= rep["base"].top_cell_share
 
+    # by_epoch: the TREND view — same numbers, epoch-labelled; "-1" is
+    # the base build, and the streamed epochs roll up (count-weighted
+    # mean, max of maxes) to the segment view's streamed row
+    import math
+
+    per_epoch = {
+        r.segment: r
+        for r in S.index_drift_report(
+            spark, SF, str(root), vectors=allvec, by_epoch=True
+        ).collect()
+    }
+    assert "-1" in per_epoch and len(per_epoch) >= 2
+    b = per_epoch["-1"]
+    assert (b.n_vectors, b.n_cells_used) == (
+        rep["base"].n_vectors,
+        rep["base"].n_cells_used,
+    )
+    assert math.isclose(b.mean_sq_err, rep["base"].mean_sq_err, rel_tol=1e-9)
+    streamed = [r for k, r in per_epoch.items() if int(k) >= 0]
+    assert sum(r.n_vectors for r in streamed) == rep["streamed"].n_vectors
+    wmean = sum(r.mean_sq_err * r.n_vectors for r in streamed) / sum(
+        r.n_vectors for r in streamed
+    )
+    assert math.isclose(wmean, rep["streamed"].mean_sq_err, rel_tol=1e-9)
+    assert math.isclose(
+        max(r.max_sq_err for r in streamed),
+        rep["streamed"].max_sq_err,
+        rel_tol=1e-12,
+    )
+
     # recovery: retrain on the corpus as it NOW is, flip, re-report
     v2 = str(root / "v2")
     S.rebuild_ivfpq_index(spark, SF, str(root), v2, vectors=allvec)
