@@ -709,3 +709,34 @@ def test_drift_report_requires_sidecar(spark, tmp_path):
         S.index_drift_report(spark, SF, path)
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_versioned_root_is_relocatable(spark, tmp_path):
+    """write_index_pointer stores an inside-root target RELATIVE so
+    "the root stays relocatable" (its documented contract) — pin the
+    claim: move the WHOLE versioned root (pointer + version dirs) to a
+    new path and the serve through the moved root must answer
+    identically, resolving the pointer against its new location."""
+    import shutil
+
+    root = tmp_path / "rootA"
+    root.mkdir()
+    v1 = str(root / "v1")
+    S.build_ivfpq_index(spark, SF, v1, opq=True)
+    S.write_index_pointer(spark, str(root), v1)
+    want = [
+        tuple(r)
+        for r in S.ann_ivfpq_topk_indexed(spark, SF, str(root)).collect()
+    ]
+
+    moved = tmp_path / "moved" / "rootB"
+    moved.parent.mkdir()
+    shutil.move(str(root), str(moved))
+    assert S.resolve_index_path(spark, str(moved)) == str(moved / "v1")
+    got = [
+        tuple(r)
+        for r in S.ann_ivfpq_topk_indexed(spark, SF, str(moved)).collect()
+    ]
+    assert got == want
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
