@@ -378,3 +378,58 @@ def test_drift_report_flags_drift_and_clears_after_rebuild(spark, tmp_path):
     assert rep2["base"].mean_sq_err < rep["streamed"].mean_sq_err
     S.clear_ivf_cache(spark)
     S.clear_pq_cache(spark)
+
+
+def test_rebuild_epoch_layout_override_enables_streaming(spark, tmp_path):
+    """The explicit ``epoch_layout=True`` override (otherwise inherited
+    from old_path): rebuilding a FLAT batch index into the (epoch, cell)
+    layout must land everything under epoch=-1, serve identically
+    through the unchanged indexed query, and accept a fresh streaming
+    ingest — the migration path from a batch-built index into the
+    online-maintenance loop."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+
+    flat = str(tmp_path / "flat_idx")
+    S.build_ivfpq_index(spark, SF, flat, vectors=base, opq=True)
+    assert not any(
+        p.name.startswith("epoch=") for p in (tmp_path / "flat_idx").iterdir()
+    )
+
+    # two memo-free rebuilds of the SAME corpus, differing ONLY in the
+    # layout flag: identical codes, identical serve — the layout is
+    # physical, not semantic (the flat source index can't be the serve
+    # twin: its codes carry the session-memoized quantizer, a rebuild
+    # retrains by design)
+    layered = str(tmp_path / "layered_idx")
+    reflat = str(tmp_path / "reflat_idx")
+    S.rebuild_ivfpq_index(
+        spark, SF, flat, layered, vectors=base, epoch_layout=True
+    )
+    S.rebuild_ivfpq_index(
+        spark, SF, flat, reflat, vectors=base, epoch_layout=False
+    )
+    names = {p.name for p in (tmp_path / "layered_idx").iterdir()}
+    assert "epoch=-1" in names and not any(
+        n.startswith("cell=") for n in names
+    )
+    assert _canon(spark, layered) == _canon(spark, reflat)
+    want = [
+        tuple(r) for r in S.ann_ivfpq_topk_indexed(spark, SF, reflat).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in S.ann_ivfpq_topk_indexed(spark, SF, layered).collect()
+    ]
+    assert got == want
+
+    # the migrated index joins the ingest loop: one arrival epoch lands
+    src = tmp_path / "src"
+    src.mkdir()
+    write_arrival_file(slices[0], str(src), "wave0")
+    report = VI.streaming_vector_index_ingest(spark, str(src), layered)
+    by_epoch = {r.epoch: r.n_vectors for r in report.collect()}
+    assert by_epoch[VI._BASE_EPOCH] == base.count()
+    assert sum(v for k, v in by_epoch.items() if k >= 0) == slices[0].count()
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
