@@ -47,6 +47,7 @@ import weakref
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..litutil import lit_double_array
 from ..sources.tables import load_table
 from .text_dedup import _hash32_col, _tokens
 
@@ -112,10 +113,17 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _weight_array(weights: dict[int, float]):
     """Literal weight array [w_bias, w_0, …, w_{B-1}] — the model is
     B+1 doubles of driver state, embedded per-step as plan literals
-    (the coloring loop's per-round-literal discipline; constant size)."""
-    return F.array(
-        *[F.lit(float(weights[b])) for b in range(-1, _CLS_BUCKETS)]
-    )
+    (the coloring loop's per-round-literal discipline; constant size).
+
+    ONE array<double> Literal built in ONE py4j call (r14 opt,
+    litutil.lit_double_array): ``F.array(*[F.lit(v)…])`` — and even
+    ``F.lit(<list>)`` — round-trips every element through py4j, and
+    cProfile put 15 s of a 31 s dual-GD loop inside that construction
+    (two 257-double vectors per step × 15 steps).  Values are
+    bit-identical (repr round-trip + correctly-rounded double parse —
+    see litutil); pinned by the numpy 1e-6 weight oracle and the
+    probe's exact loss/weight agreement (tools/probe_gd_literal.py)."""
+    return lit_double_array(weights[b] for b in range(-1, _CLS_BUCKETS))
 
 
 def _scored_frame(feats: DataFrame, weights: dict[int, float]) -> DataFrame:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..cache import persist_tracked
+from ..litutil import lit_double_array, lit_double_matrix
 from ..sources.tables import load_table
 
 _DIM = 64
@@ -505,7 +506,7 @@ def lsh_signature(emb: Column, planes: list[list[float]]) -> Column:
     ed = _as_double(emb)
     sig = F.lit(0)
     for i, plane in enumerate(planes):
-        pl = F.array(*[F.lit(v) for v in plane])
+        pl = lit_double_array(plane)  # one py4j call per plane (r14 opt)
         bit = F.when(dot(ed, pl) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = sig.bitwiseOR(bit)
     return sig
@@ -609,8 +610,13 @@ def _cell_scores(emb_col: Column, cents: list[list[float]]) -> Column:
     normed = [
         [float(v) / math.sqrt(sum(x * x for x in c)) for v in c] for c in cents
     ]
+    # lit_double_matrix (r14 opt): one py4j call instead of K×DIM —
+    # the JVM-side plan is unchanged (one nested-array Literal), but
+    # ``F.lit(<nested list>)`` built it element-by-element over the
+    # py4j socket (~0.25 s per 16×64 matrix, paid on EVERY plan
+    # construction in the ANN/kcenter/training family)
     return F.transform(
-        F.lit(normed),
+        lit_double_matrix(normed),
         lambda c, i: F.struct((dot(ed, c) / row_norm).alias("s"), i.alias("i")),
     )
 
@@ -1373,9 +1379,7 @@ def _residual_corpus(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
     res = F.zip_with(
         _as_double(F.col("embedding")),
-        F.element_at(
-            F.lit([[float(v) for v in c] for c in cents]), F.col("cell") + 1
-        ),
+        F.element_at(lit_double_matrix(cents), F.col("cell") + 1),
         lambda x, c: x - c,
     )
     return corpus.withColumn("residual", res)
@@ -2833,32 +2837,53 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the seed is the smallest vec_id, each round's distance
     is ROUNDED to 9 dp before the argmax and ties break to the smallest
-    vec_id (a struct-max over (d, -vec_id)), and already-selected ids
-    are excluded explicitly, so an all-duplicates tail cannot re-pick a
-    center.  Scale shape: one bounded action per round (a ONE-ROW
-    struct-max collect) over a scan where the selected matrix rides the
-    plan as a nested-array literal (the `_cell_scores` lesson) — K
-    corpus scans total, driver state K×DIM floats + the manifest.  Not
-    SQL-expressible in one statement (iterative argmax); gated by an
-    exact numpy greedy replication in tests/test_similarity_extra.py."""
+    vec_id, and already-selected ids are excluded explicitly, so an
+    all-duplicates tail cannot re-pick a center.
+
+    EXACT accelerated Gonzalez (r14 optimization — guide §1.2 "remove
+    unnecessary passes"): the naive greedy pays one full corpus scan
+    per round (K scans).  But a point's max-min distance is
+    NON-INCREASING as centers are added, so the top-P corpus rows by
+    CURRENT max-min distance form a candidate pool that provably
+    contains every later greedy pick whose selection distance exceeds
+    the best EXCLUDED point's distance at pool-build time (the bound
+    B): an out-of-pool point's distance can only shrink below B, so an
+    in-pool argmax that clears B + 1e-9 (one 9-dp grid step of
+    cross-engine rounding headroom) IS the global argmax, id-tie-break
+    included.  The greedy runs driver-side over the bounded pool
+    (P×DIM floats, the sketched variant's state budget) and REFRESHES
+    the pool with one TakeOrderedAndProject corpus scan whenever a
+    round's in-pool argmax fails the bound; a refreshed round that
+    STILL fails (pathologically flat data) replays the original
+    per-round struct-max verbatim, so even adversarial corpora keep
+    the exact greedy's output.  Scale shape: seed head + count + a few
+    bounded-collect pool scans (measured 2 at sf0.1, vs K−1 = 15 full
+    scans before) — same answers, pinned by the exact numpy greedy
+    replication in tests/test_similarity_extra.py."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     first = emb.orderBy("vec_id").select("vec_id", "embedding").head(1)
     if not first:
         raise ValueError("k-center selection requires a non-empty corpus")
-    sel: list[tuple[int, list[float], float | None]] = [
-        (int(first[0].vec_id), [float(x) for x in first[0].embedding], None)
-    ]
+    seed_id = int(first[0].vec_id)
+    seed_emb = [float(x) for x in first[0].embedding]
+    sel: list[tuple[int, list[float], float | None]] = [(seed_id, seed_emb, None)]
     k = min(_KCENTER_K, emb.count())
-    while len(sel) < k:
-        cents = [v for _, v, _ in sel]
+
+    def _round_d(cents):
         scores = _cell_scores(F.col("embedding"), cents)
-        d = F.round(1.0 - F.array_max(F.transform(scores, lambda s: s["s"])), 9)
-        pick = (
-            emb.filter(~F.col("vec_id").isin([vid for vid, _, _ in sel]))
+        return F.round(1.0 - F.array_max(F.transform(scores, lambda s: s["s"])), 9)
+
+    def _full_scan_pick(cents, sel_ids):
+        # the original per-round exact argmax — now only the last-resort
+        # fallback for a refreshed round that still fails its bound
+        return (
+            emb.filter(~F.col("vec_id").isin(sel_ids))
             .select(
                 F.max(
                     F.struct(
-                        d.alias("d"),
+                        _round_d(cents).alias("d"),
                         (-F.col("vec_id")).alias("neg_id"),
                         F.col("vec_id").alias("vec_id"),
                         F.col("embedding").alias("embedding"),
@@ -2868,9 +2893,74 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("m.*")
             .collect()[0]
         )
-        sel.append(
-            (int(pick.vec_id), [float(x) for x in pick.embedding], float(pick.d))
-        )
+
+    def _normed_rows(X):
+        n = np.sqrt((X * X).sum(axis=-1, keepdims=True))
+        return X / np.where(n == 0.0, 1.0, n)
+
+    if k > 1:
+        pool_cap = max(16 * _KCENTER_K, 64)
+        pids = np.empty(0, dtype=np.int64)
+        PX = Pn = maxcos = None
+        selected = np.zeros(0, dtype=bool)
+        bound = np.inf  # no pool yet: first round always refreshes
+
+        def _refresh_pool():
+            nonlocal pids, PX, Pn, maxcos, selected, bound
+            cents = [v for _, v, _ in sel]
+            sel_ids = [vid for vid, _, _ in sel]
+            rows = (
+                emb.filter(~F.col("vec_id").isin(sel_ids))
+                .select("vec_id", "embedding", _round_d(cents).alias("d"))
+                .orderBy(F.desc("d"), F.asc("vec_id"))
+                .limit(pool_cap + 1)
+                .collect()
+            )
+            bound = float("-inf")
+            if len(rows) > pool_cap:
+                bound = float(rows[pool_cap].d)  # best excluded current d
+                rows = rows[:pool_cap]
+            pids = np.array([int(r.vec_id) for r in rows], dtype=np.int64)
+            PX = np.array(
+                [[float(v) for v in r.embedding] for r in rows], dtype=np.float64
+            )
+            order = np.argsort(pids)  # ascending ids: np.argmax ties ->
+            pids, PX = pids[order], PX[order]  # smallest id, the oracle rule
+            Pn = _normed_rows(PX) if len(PX) else PX
+            C = _normed_rows(np.asarray(cents, dtype=np.float64))
+            maxcos = (Pn @ C.T).max(axis=1) if len(PX) else np.empty(0)
+            selected = np.zeros(len(pids), dtype=bool)
+
+        while len(sel) < k:
+            refreshed = False
+            while True:
+                d = np.round(1.0 - maxcos, 9) if maxcos is not None else np.empty(0)
+                if len(d):
+                    d[selected] = -np.inf
+                j = int(np.argmax(d)) if len(d) else -1
+                if j >= 0 and d[j] != -np.inf and d[j] > bound + 1e-9:
+                    sel.append(
+                        (int(pids[j]), [float(v) for v in PX[j]], float(d[j]))
+                    )
+                    selected[j] = True
+                    new_center = Pn[j]
+                    break
+                if not refreshed:
+                    _refresh_pool()
+                    refreshed = True
+                    continue
+                pick = _full_scan_pick(
+                    [v for _, v, _ in sel], [vid for vid, _, _ in sel]
+                )
+                picked_emb = [float(x) for x in pick.embedding]
+                sel.append((int(pick.vec_id), picked_emb, float(pick.d)))
+                in_pool = np.flatnonzero(pids == int(pick.vec_id))
+                if len(in_pool):
+                    selected[int(in_pool[0])] = True
+                new_center = _normed_rows(np.asarray(picked_emb, dtype=np.float64))
+                break
+            if len(pids):
+                maxcos = np.maximum(maxcos, Pn @ new_center)
     return spark.createDataFrame(
         [(i, vid, dist) for i, (vid, _, dist) in enumerate(sel)],
         "sel_rank int, vec_id long, dist_at_selection double",

@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.coloring import scoped_shuffle_partitions
 from ..operators.text_dedup import (
     _JACCARD_THRESHOLD,
     _minhash_band_frame,
@@ -160,13 +161,36 @@ def _gate_epoch(
     cur = int(epoch_id)
     kept_dir, idx_dir, dec_dir = _state_paths(state_dir)
     # sever from the streaming source so the several reuses below don't
-    # re-trigger the file scan; batches are file-sized (bounded)
-    b = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-    if b.isEmpty():
-        return  # replayed empty epoch
-    sh_b = b.select(
-        "doc_id", _shingles(_tokens()).alias("shingles")
+    # re-trigger the file scan; batches are file-sized (bounded).  ONE
+    # eager checkpoint carries text AND shingles (r14 opt: the gate
+    # paid two materialization jobs per epoch for frames over the same
+    # batch — guide §1.2, fewer passes)
+    b = batch_df.select(
+        "doc_id", "text", _shingles(_tokens()).alias("shingles")
     ).localCheckpoint(eager=True)
+    n_batch = b.count()  # cheap: counts the checkpointed blocks
+    if n_batch == 0:
+        return  # replayed empty epoch
+    with scoped_shuffle_partitions(spark, n_batch):
+        _gate_epoch_body(spark, cur, kept_dir, idx_dir, dec_dir, b)
+
+
+def _gate_epoch_body(
+    spark: SparkSession,
+    cur: int,
+    kept_dir: str,
+    idx_dir: str,
+    dec_dir: str,
+    b: DataFrame,
+) -> None:
+    """The batch-sized epoch work, run under a shuffle width clamped to
+    the batch row count (r14 opt — coloring.py's scoped-width
+    discipline: a micro-batch's joins are working-set-sized, so a
+    core-count-wide shuffle is pure task-launch overhead; measured
+    ~0.85 s/epoch at sf0.1, scale-adaptive by construction since the
+    width derives from the batch size and never exceeds the session
+    value)."""
+    sh_b = b.select("doc_id", "shingles")
     bands_b = _minhash_band_frame(sh_b)
 
     # --- vs the standing kept corpus (strictly earlier epochs only:
@@ -245,8 +269,19 @@ def _gate_epoch(
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
-    kept_b, dropped_b = _greedy_survivors(cand_batch, pairs)
+    if pairs.isEmpty():
+        # no verified within-batch pair: every candidate wins round 1
+        # (its nbr_min is NULL) — skip the MIS round loop outright
+        # (r14 opt; the checkpointed `pairs` makes this check free)
+        kept_b = cand_batch.select(F.col("doc_id").alias("id"))
+        dropped_b = spark.createDataFrame([], "id long, matched_doc long")
+    else:
+        kept_b, dropped_b = _greedy_survivors(cand_batch, pairs)
 
+    # ONE eagerly-materialized decision frame; the three state writes
+    # derive from it (r14 opt: kept_b/dropped_b are lazy union chains
+    # over the MIS rounds — each of the three writes used to re-execute
+    # that whole chain; now one checkpoint job pays it once)
     decisions = (
         vs_corpus.select(
             "doc_id", F.lit("dup_vs_corpus").alias("verdict"), "matched_doc"
@@ -266,13 +301,17 @@ def _gate_epoch(
             )
         )
         .withColumn("epoch", F.lit(cur))
+        .localCheckpoint(eager=True)
     )
-    kept_docs = b.join(
-        kept_b.withColumnRenamed("id", "doc_id"), "doc_id", "semi"
-    ).withColumn("epoch", F.lit(cur))
-    kept_bands = bands_b.join(
-        kept_b.withColumnRenamed("id", "doc_id"), "doc_id", "semi"
-    ).withColumn("epoch", F.lit(cur))
+    kept_ids = decisions.filter(F.col("verdict") == "novel").select("doc_id")
+    kept_docs = (
+        b.select("doc_id", "text")
+        .join(kept_ids, "doc_id", "semi")
+        .withColumn("epoch", F.lit(cur))
+    )
+    kept_bands = bands_b.join(kept_ids, "doc_id", "semi").withColumn(
+        "epoch", F.lit(cur)
+    )
 
     for df, path in (
         (decisions, dec_dir),
