@@ -646,17 +646,30 @@ def _train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
     spread across the id range, and a corpus with fewer than K vectors
     trains ``min(K, n)`` centroids (every vector its own cell) rather
     than silently duplicating or under-seeding."""
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K * 4).collect()
-    if not seed_ids:
+    # ONE bounded collect fetches ids AND embeddings for the seed
+    # window (r14 opt: the id-only pass + the isin re-scan were two
+    # full passes over the — possibly residual/rotated — upstream for
+    # K·4 rows of driver state); the stride slice of the id-ordered
+    # rows is exactly the old filter(isin).orderBy result
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(_IVF_K * 4).collect()
+    )
+    if not seed_rows:
         raise ValueError("IVF training requires a non-empty corpus")
-    k = min(_IVF_K, len(seed_ids))
-    stride = max(1, len(seed_ids) // k)
-    picks = {r.vec_id for r in seed_ids[::stride][:k]}  # evenly-spread seeds
+    k = min(_IVF_K, len(seed_rows))
+    stride = max(1, len(seed_rows) // k)
     cents = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id").isin(picks)).orderBy("vec_id").collect()
+        [float(x) for x in r.embedding] for r in seed_rows[::stride][:k]
     ]
-    emb = emb.filter(F.col("vec_id") % 3 == 0)  # training sample
+    # materialize the deterministic 1/3 training sample ONCE (r14 opt:
+    # each Lloyd iteration re-ran the full upstream scan; the lazy
+    # localCheckpoint is paid by iteration 1's action and iteration 2
+    # reads the blocks — same rows, same math)
+    emb = (
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select("embedding")
+        .localCheckpoint(eager=False)
+    )
     if not emb.head(1):
         # tiny corpus where the deterministic 1/3 sample is empty —
         # the Forgy seeds stand unrefined (documented small-corpus path)
@@ -1210,22 +1223,33 @@ def _train_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     note documents, past the point where the GEMM pays."""
     import numpy as np
 
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_KS * 4).collect()
-    if not seed_ids:
+    # ONE bounded collect for the seed window (ids + embeddings) — the
+    # id-only pass plus the isin re-scan were two full passes over the
+    # residual/rotated upstream (r14 opt, the _train_ivf_centroids
+    # treatment); the stride slice of the id-ordered rows is exactly
+    # the old filter(isin).orderBy result
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_KS * 4).collect()
+    )
+    if not seed_rows:
         raise ValueError("PQ training requires a non-empty corpus")
-    k = min(_PQ_KS, len(seed_ids))
-    stride = max(1, len(seed_ids) // k)
-    picks = {r.vec_id for r in seed_ids[::stride][:k]}
+    k = min(_PQ_KS, len(seed_rows))
+    stride = max(1, len(seed_rows) // k)
     seeds = np.asarray(
-        [
-            [float(x) for x in r.embedding]
-            for r in emb.filter(F.col("vec_id").isin(picks)).orderBy("vec_id").collect()
-        ]
+        [[float(x) for x in r.embedding] for r in seed_rows[::stride][:k]]
     )
     books = np.stack(
         [seeds[:, m * _PQ_SUB : (m + 1) * _PQ_SUB] for m in range(_PQ_M)]
     )  # (M, k, SUB); k == _PQ_KS unless the corpus is tiny
-    sample = emb.filter(F.col("vec_id") % 3 == 0).select("embedding")
+    # materialize the 1/3 training sample ONCE for both refinement
+    # iterations (r14 opt: the %3 filter cannot push below the OPQ
+    # rotate mapInPandas, so each iteration re-ran the full
+    # residual+rotate chain; the lazy localCheckpoint pays it once)
+    sample = (
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select("embedding")
+        .localCheckpoint(eager=False)
+    )
     if not sample.head(1):
         return books.tolist()  # tiny corpus: Forgy seeds stand unrefined
     for _ in range(_PQ_ITERS):
