@@ -41,10 +41,19 @@ def _d(v: float) -> str:
     return f"{v!r}D"
 
 
+def double_array_sql(values: Iterable[float]) -> str:
+    """The SQL text of an array<double> literal — for callers that
+    build a whole projection as ONE ``selectExpr``/``F.expr`` string
+    (the same per-element-py4j argument as below, applied to the full
+    expression tree: a 15-step GD loop spent ~15 s/step-loop just
+    constructing DSL Column objects over the socket)."""
+    body = ",".join(_d(v) for v in values)
+    return f"array({body})" if body else _EMPTY_D
+
+
 def lit_double_array(values: Iterable[float]) -> Column:
     """array<double> literal in one py4j call (see module docstring)."""
-    body = ",".join(_d(v) for v in values)
-    return F.expr(f"array({body})" if body else _EMPTY_D)
+    return F.expr(double_array_sql(values))
 
 
 def lit_double_matrix(rows: Iterable[Iterable[float]]) -> Column:
