@@ -523,13 +523,27 @@ def _clean_token_counts(uniq_toks: DataFrame) -> DataFrame:
     """Stages 4: per-doc token count AFTER ExactSubstr removal over the
     (doc_id, t array<string>) frame — counts only (the manifest packs
     counts, not text; the 8-byte projection keeps this path's shuffles
-    lean)."""
-    stream = uniq_toks.select(
-        "doc_id", F.posexplode("t").alias("idx0", "tok")
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"))
-    kept = stream.join(_removed_indices(uniq_toks), ["doc_id", "idx"], "left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tok")
+    lean).
+
+    r14 opt (guide §1.2 — don't recompute what arithmetic gives you):
+    kept-count ≡ size(t) − |removed positions| exactly — ``removed`` is
+    a DISTINCT (doc_id, idx) set with idx ∈ [1, size(t)] by
+    construction — so the count path no longer explodes the full token
+    stream and anti-joins it; it aggregates only the removal set (a
+    small fraction of the stream) and subtracts.  Docs whose every
+    position is removed had NO kept row before; the n_tok > 0 filter
+    preserves that contract bit-for-bit (funnel oracle unchanged)."""
+    n_removed = _removed_indices(uniq_toks).groupBy("doc_id").agg(
+        F.count("*").alias("n_rm")
+    )
+    return (
+        uniq_toks.select("doc_id", F.size("t").cast("long").alias("n_all"))
+        .join(n_removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_all") - F.coalesce("n_rm", F.lit(0))).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
     )
 
 
@@ -667,16 +681,18 @@ def export_packed_shards(
     uniq_toks = _funnel_uniq_toks(
         spark, sf_dir, doc_vec_map, coverage_k, coverage_sketch
     )
-    # ONE kept-stream definition feeds both consumers; deliberately NOT
-    # persisted — measured at sf0.1, materializing the corpus-scale
-    # token stream costs more than re-running the removal pass off the
-    # persisted uniq_toks front (8.8 vs 7.0 s warm), and at 100 TB
-    # persisting the pipeline's biggest frame is the memory-pressure
-    # path; the recompute is two removal passes of bounded shuffles
+    # The kept stream is deliberately NOT persisted — measured at
+    # sf0.1, materializing the corpus-scale token stream costs more
+    # than re-running the removal pass off the persisted uniq_toks
+    # front (8.8 vs 7.0 s warm), and at 100 TB persisting the
+    # pipeline's biggest frame is the memory-pressure path.  r14 opt:
+    # the counts→spans side no longer touches the stream at all — it
+    # uses the manifest's size(t) − |removed| arithmetic
+    # (_clean_token_counts, provably the kept-row count), so only the
+    # PLACEMENT below pays the explode + anti-join pass, and counts
+    # stay definitionally identical to what the manifest packed
     kept = _kept_tokens(uniq_toks)
-    counts = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tok")
-    )
+    counts = _clean_token_counts(uniq_toks)
     spans = _doc_spans(spark, counts)
     L = _PACK_SEQ_LEN
     wdoc = Window.partitionBy("doc_id").orderBy("idx")

@@ -235,7 +235,11 @@ def _gate_epoch_body(
             )
             .groupBy(F.col("batch_doc").alias("doc_id"))
             .agg(F.min("corpus_doc").alias("matched_doc"))
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14 opt): the pairs checkpoint below is
+            # the first action over this frame (via cand_batch's anti
+            # join) and materializes it as a side effect — an eager
+            # checkpoint here was one extra per-epoch job
+            .localCheckpoint(eager=False)
         )
     else:
         vs_corpus = spark.createDataFrame([], "doc_id long, matched_doc long")
