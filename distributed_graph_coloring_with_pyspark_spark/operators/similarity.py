@@ -2845,6 +2845,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are recall-gated against their exact twins (test_similarity_extra)
 # and benched for the sub-quadratic scaling story.
 _KCENTER_K = 16  # centers selected by the greedy max-min sweep
+_KCENTER_POOL_CAP = max(16 * _KCENTER_K, 64)  # exact-greedy candidate
+# pool (r14 opt): bounded driver state per pool refresh; tests shrink
+# it to force the refresh + full-scan fallback paths
 
 
 def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2923,7 +2926,7 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         return X / np.where(n == 0.0, 1.0, n)
 
     if k > 1:
-        pool_cap = max(16 * _KCENTER_K, 64)
+        pool_cap = _KCENTER_POOL_CAP
         pids = np.empty(0, dtype=np.int64)
         PX = Pn = maxcos = None
         selected = np.zeros(0, dtype=bool)

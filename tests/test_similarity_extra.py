@@ -567,3 +567,94 @@ def test_kcenter_both_variants_on_tiny_corpus(spark, tmp_path):
         assert [(r.sel_rank, r.vec_id, r.dist_at_selection) for r in got] == [
             (0, 0, None)
         ]
+
+
+def test_kcenter_pool_fallback_paths_stay_exact(spark, monkeypatch):
+    """r14 opt: the exact greedy now runs over a bounded candidate pool
+    with refresh-on-bound-crossing and a full-scan fallback.  Shrink the
+    pool to 4 (<< K) so nearly every round must refresh AND routinely
+    fail its refreshed bound (the bound sits at the 5th-best distance),
+    exercising refresh + fallback heavily — the output must STILL equal
+    the plain numpy greedy the normal-pool test pins."""
+    import numpy as np
+
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        similarity as S,
+    )
+
+    monkeypatch.setattr(S, "_KCENTER_POOL_CAP", 4)
+    got = [
+        (r.sel_rank, r.vec_id, r.dist_at_selection)
+        for r in S.kcenter_select(spark, SF).orderBy("sel_rank").collect()
+    ]
+
+    rows = sorted(
+        (
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows], dtype=np.int64)
+    X = np.array([t[1] for t in rows], dtype=np.float64)
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+    sel = [0]
+    expect = [(0, int(ids[0]), None)]
+    while len(sel) < min(S._KCENTER_K, len(ids)):
+        d = np.round(1.0 - (Xn @ Xn[sel].T).max(axis=1), 9)
+        d[sel] = -np.inf
+        j = int(np.argmax(d))
+        sel.append(j)
+        expect.append((len(sel) - 1, int(ids[j]), float(d[j])))
+
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, gd), (_, _, ed) in zip(got[1:], expect[1:]):
+        assert gd == pytest.approx(ed, abs=1e-9)
+
+
+def test_lit_double_array_exact_roundtrip(spark):
+    """r14 opt: litutil builds model-sized double literals as one
+    F.expr string.  Pin value exactness through a query — including
+    negative zero, denormals, large/small magnitudes and non-finite
+    values — against the same values carried by per-element F.lit."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_coloring_with_pyspark_spark.litutil import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.5,
+        1 / 3,
+        math.pi,
+        1e-300,
+        -1e300,
+        5e-324,
+        float("inf"),
+        float("-inf"),
+        float("nan"),
+        0.1 + 0.2,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+            lit_double_matrix([vals, list(reversed(vals))]).alias("m"),
+        )
+        .head()
+    )
+    import struct as st
+
+    def bits(x):
+        return st.pack("<d", x)
+
+    assert [bits(x) for x in row.a] == [bits(x) for x in row.b]
+    assert [bits(x) for x in row.m[0]] == [bits(v) for v in vals]
+    assert [bits(x) for x in row.m[1]] == [bits(v) for v in reversed(vals)]
