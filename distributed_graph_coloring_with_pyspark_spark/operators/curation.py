@@ -209,19 +209,19 @@ def _dsir_selected_ids(src: DataFrame, n_src: int) -> DataFrame:
         "lang",
         (_hash32_col(F.col("g")) % _DSIR_BUCKETS).alias("bucket"),
     ).agg(F.count("*").cast("long").alias("c"))
-    raw = doc_buckets.groupBy("bucket").agg(F.sum("c").alias("r_b"))
-    tgt = (
-        doc_buckets.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("t_b"))
+    # r14 opt — the dsir_select fused-model treatment (see
+    # text_dedup.dsir_select): one B-row aggregate carries BOTH domain
+    # models (the conditional sum's NULLs are exactly the old
+    # en-filtered agg's missing buckets), and the totals are a
+    # second-level agg OF the model rows — the gated corpus's
+    # explode+agg subtree drops from four consumers to two (models +
+    # the scoring join; Spark did not ReuseExchange the duplicates)
+    models = doc_buckets.groupBy("bucket").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t_b"),
     )
-    totals = raw.crossJoin(
-        F.broadcast(
-            doc_buckets.agg(
-                F.sum("c").alias("r_tot"),
-                F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t_tot"),
-            )
-        )
+    totals_row = F.broadcast(
+        models.agg(F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot"))
     )
     a_num, a_den = _DSIR_ALPHA_NUM, _DSIR_ALPHA_DEN
 
@@ -230,7 +230,7 @@ def _dsir_selected_ids(src: DataFrame, n_src: int) -> DataFrame:
             tot * a_den + a_num * _DSIR_BUCKETS
         )
 
-    lam = totals.join(tgt, "bucket", "left").select(
+    lam = models.crossJoin(totals_row).select(
         "bucket",
         (
             _logp(F.coalesce(F.col("t_b"), F.lit(0)), F.col("t_tot"))

@@ -3633,26 +3633,39 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    doc_buckets = grams.groupBy(
-        "doc_id",
-        "lang",
-        (_hash32_col(F.col("g")) % _DSIR_BUCKETS).alias("bucket"),
-    ).agg(F.count("*").cast("long").alias("c"))
-
-    raw = doc_buckets.groupBy("bucket").agg(F.sum("c").alias("r_b"))
-    tgt = (
-        doc_buckets.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("t_b"))
+    # r14 opt: the (doc, bucket) count frame used to feed FOUR separate
+    # subtrees (raw model, target model, the 1-row totals, the scoring
+    # join), and Spark's ReuseExchange did not canonicalize them — the
+    # executed plan recomputed the corpus-scale explode+agg EIGHT times
+    # (explain: 8 Generate nodes, 8 scans, 0 ReusedExchange).  The two
+    # domain models are now ONE fused B-row aggregate (sum + conditional
+    # sum — identical integers: the old en-filtered agg's missing
+    # buckets surfaced as NULL t_b, exactly what the conditional sum
+    # yields), the totals are a second-level 1-row agg OF THE B-ROW
+    # MODEL (not another corpus pass), and doc_buckets itself is a
+    # tracked persist so the model pass and the scoring join share one
+    # materialization (the simhash-signature persist pattern;
+    # released by release_session_caches).
+    doc_buckets = persist_tracked(
+        spark,
+        grams.groupBy(
+            "doc_id",
+            "lang",
+            (_hash32_col(F.col("g")) % _DSIR_BUCKETS).alias("bucket"),
+        ).agg(F.count("*").cast("long").alias("c")),
     )
-    # 1-row totals, broadcast onto the B-row model (the repo's standing
-    # broadcast-1-row-aggregate crossJoin pattern)
-    totals = raw.crossJoin(
-        F.broadcast(
-            doc_buckets.agg(
-                F.sum("c").alias("r_tot"),
-                F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t_tot"),
-            )
+
+    models = doc_buckets.groupBy("bucket").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t_b"),
+    )
+    # 1-row totals over the B-row model, broadcast back onto it (the
+    # repo's standing broadcast-1-row-aggregate crossJoin pattern);
+    # r_tot/t_tot are sums of the per-bucket sums — identical integers
+    totals_row = F.broadcast(
+        models.agg(
+            F.sum("r_b").alias("r_tot"),
+            F.sum("t_b").alias("t_tot"),
         )
     )
     a_num, a_den = _DSIR_ALPHA_NUM, _DSIR_ALPHA_DEN
@@ -3665,7 +3678,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.log(cnt * a_den + a_num) - F.log(tot * a_den + a_num * b_cnt)
 
     lam = (
-        totals.join(tgt, "bucket", "left")
+        models.crossJoin(totals_row)
         .select(
             "bucket",
             (

@@ -1,6 +1,15 @@
 """A/B probe: per-GD-step cost with the 257-node F.array(*lits) weight
 literal vs one F.lit(list) array literal (the _cell_scores lesson).
 Run: python tools/probe_gd_literal.py [sf_dir]
+
+HISTORICAL NOTE (r14 opt): this probe produced the first evidence
+(identical weights/losses, ~20-35% off the build) that led to
+litutil.py.  Since then _train_dual builds its per-step projections as
+SQL strings and no longer calls _weight_array at all, so the two arms
+below now measure the SAME code path; the probe is kept only to
+document the measurement that motivated the change (cProfile then
+showed even F.lit(list) is per-element py4j — see litutil's module
+docstring for the final numbers).
 """
 import os
 import sys
