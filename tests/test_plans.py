@@ -317,9 +317,16 @@ def test_dsir_select_plan_shape(spark):
 
     df = TD.dsir_select(spark, SF)
     plan = plan_string(df, "simple")
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # λ + bucket joins
+    # r14 opt: the raw/target models are ONE fused aggregate, so the
+    # old λ-side keyed join is GONE — the only keyed join left is the
+    # broadcast λ-table onto the doc-bucket frame (was >= 2 BHJ when
+    # the two models joined each other first)
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # λ → bucket join
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan  # no corpus-keyed model join
+    # the shared doc-bucket materialization (one corpus explode for the
+    # model pass AND the scoring join — was 8 Generate subtrees)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
 def test_hybrid_search_plan_shape(spark):
