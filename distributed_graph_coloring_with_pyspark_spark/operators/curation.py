@@ -549,12 +549,79 @@ def _clean_token_counts(uniq_toks: DataFrame) -> DataFrame:
 
 def _kept_tokens(uniq_toks: DataFrame) -> DataFrame:
     """The surviving token stream itself — (doc_id, idx, tok) after
-    ExactSubstr removal, token values carried (the export path; the
-    manifest path uses the leaner count-only twin above)."""
+    ExactSubstr removal, token values carried.  Since r15 this is the
+    REFERENCE definition (tests pin the export's arithmetic placement
+    against it); the export itself places tokens via ``_placed_tokens``
+    below, which never shuffles the full stream."""
     stream = uniq_toks.select(
         "doc_id", F.posexplode("t").alias("idx0", "tok")
     ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
     return stream.join(_removed_indices(uniq_toks), ["doc_id", "idx"], "left_anti")
+
+
+def _placed_tokens(uniq_toks: DataFrame, spans: DataFrame) -> DataFrame:
+    """Every kept token at its global packed position → (tok, gpos).
+
+    r15 opt (VERDICT r14 #4, guide §1.2/§2 — shuffle metadata, not the
+    stream): placement used to explode the FULL token stream, anti-join
+    it against the removal set on (doc_id, idx), and run a per-doc
+    row_number window for each token's kept-rank — two corpus-stream
+    shuffles for information the removal set already determines.  The
+    rank is arithmetic: with the doc's removal set sorted ascending,
+    the removed positions split [1, size(t)] into ≤ m+1 kept SEGMENTS,
+    and every kept token in segment j (= #removed positions before it)
+    has kept-rank idx − j, hence gpos = start + idx − j − 1.  So:
+    aggregate the (small) removal set to a per-doc sorted array, join
+    it DOC-level onto ``uniq_toks`` + ``spans``, explode the segments,
+    and posexplode each segment's token slice — the stream is exploded
+    exactly once, map-side, with no (doc_id, idx) shuffle and no
+    window; the only stream-wide shuffle left in the export is the
+    packer's own groupBy(seq_id).  Output provably identical to the
+    ``_kept_tokens`` + window formulation (pinned row-for-row by
+    test_export_placement_matches_stream_anti_join, and by the shard
+    roundtrip/line-order pins downstream):
+    a doc with no removals has one segment [1, n] (rank = idx); a doc
+    removed entirely is absent from ``spans`` (n_tok = 0) and emits no
+    rows, exactly like the anti-join."""
+    rm = _removed_indices(uniq_toks).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("idx")).alias("rm")
+    )
+    base = (
+        uniq_toks.join(rm, "doc_id", "left")
+        .join(spans.select("doc_id", "start"), "doc_id")
+        .select(
+            "t",
+            "start",
+            F.coalesce("rm", F.array().cast("array<int>")).alias("rm"),
+        )
+        .withColumn(
+            "bounds",
+            F.concat(F.array(F.lit(0)), F.col("rm"), F.array(F.size("t") + 1)),
+        )
+        .withColumn(
+            "segs",
+            F.expr(
+                "filter(transform(sequence(0, size(rm)), "
+                "j -> named_struct("
+                "'j', j, 's', bounds[j] + 1, 'e', bounds[j + 1] - 1)), "
+                "x -> x.s <= x.e)"
+            ),
+        )
+    )
+    seg = base.select("t", "start", F.explode("segs").alias("seg")).select(
+        "start",
+        F.col("seg.j").alias("j"),
+        F.col("seg.s").alias("s"),
+        F.posexplode(
+            F.slice("t", F.col("seg.s"), F.col("seg.e") - F.col("seg.s") + 1)
+        ).alias("p", "tok"),
+    )
+    return seg.select(
+        "tok",
+        (F.col("start") + F.col("s") + F.col("p") - F.col("j") - F.lit(1)).alias(
+            "gpos"
+        ),
+    )
 
 
 def _funnel_uniq_toks(
@@ -662,13 +729,11 @@ def export_packed_shards(
 
     Placement: each surviving token's GLOBAL position is its doc's span
     start (``_doc_spans`` — the exact cut points the manifest used,
-    here derived from the SAME kept-stream definition it places — the
-    counts→spans path and the token placement share one
-    ``_kept_tokens`` plan (review r14; see the persist note in the
-    body for why the shared plan is recomputed, not materialized)
-    plus its kept-rank inside the doc (a per-doc
-    window: docs are bounded-length, so the partitionBy("doc_id")
-    window never funnels the corpus through one task).  seq_id = gpos
+    derived from the same removal-set arithmetic) plus its kept-rank
+    inside the doc, computed ARITHMETICALLY from the doc's sorted
+    removal array (``_placed_tokens``, r15: rank = idx − #removed
+    before idx, per kept segment — no full-stream anti-join, no per-doc
+    window; the stream is exploded once, map-side).  seq_id = gpos
     div L; the in-sequence offset orders tokens inside
     ``collect_list`` via ``array_sort`` on (off, tok) structs — one
     hash aggregation, no global sort; the write repartitions to one
@@ -681,29 +746,20 @@ def export_packed_shards(
     uniq_toks = _funnel_uniq_toks(
         spark, sf_dir, doc_vec_map, coverage_k, coverage_sketch
     )
-    # The kept stream is deliberately NOT persisted — measured at
-    # sf0.1, materializing the corpus-scale token stream costs more
-    # than re-running the removal pass off the persisted uniq_toks
-    # front (8.8 vs 7.0 s warm), and at 100 TB persisting the
-    # pipeline's biggest frame is the memory-pressure path.  r14 opt:
-    # the counts→spans side no longer touches the stream at all — it
-    # uses the manifest's size(t) − |removed| arithmetic
-    # (_clean_token_counts, provably the kept-row count), so only the
-    # PLACEMENT below pays the explode + anti-join pass, and counts
-    # stay definitionally identical to what the manifest packed
-    kept = _kept_tokens(uniq_toks)
+    # The kept stream is deliberately NOT persisted — at 100 TB
+    # persisting the pipeline's biggest frame is the memory-pressure
+    # path.  r14 opt: the counts→spans side uses the manifest's
+    # size(t) − |removed| arithmetic (_clean_token_counts, provably the
+    # kept-row count).  r15 opt (VERDICT r14 #4): PLACEMENT now rides
+    # the same removal-set math (_placed_tokens — per-doc kept segments
+    # from the sorted removal array), so the full token stream is
+    # exploded once, map-side, and never shuffled or windowed; counts
+    # and placement stay definitionally identical to what the manifest
+    # packed
     counts = _clean_token_counts(uniq_toks)
     spans = _doc_spans(spark, counts)
     L = _PACK_SEQ_LEN
-    wdoc = Window.partitionBy("doc_id").orderBy("idx")
-    placed = (
-        kept.withColumn("rk", F.row_number().over(wdoc))
-        .join(spans.select("doc_id", "start"), "doc_id")
-        .select(
-            "tok",
-            (F.col("start") + F.col("rk") - 1).alias("gpos"),
-        )
-    )
+    placed = _placed_tokens(uniq_toks, spans)
     seqs = persist_tracked(
         spark,
         placed.select(

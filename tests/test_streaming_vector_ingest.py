@@ -135,6 +135,46 @@ def test_streaming_vector_ingest_resume_exactly_once(spark, tmp_path):
     S.clear_pq_cache(spark)
 
 
+def test_epoch_publish_is_staged_rename(spark, tmp_path):
+    """r15 opt (VERDICT r14 #5): an epoch is staged under an invisible
+    ``_staged_epoch_N`` dir and published with one atomic rename — after
+    ingest no staging dirs remain, every epoch dir is a complete
+    partitioned parquet dir, and a STALE crashed staging dir is both
+    invisible to readers and overwritten by the epoch's replay."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    base, slices = _slices(emb)
+    sidx = str(tmp_path / "stream_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    VI.build_streaming_ivfpq_base(spark, SF, sidx, base, opq=True)
+
+    # plant a stale staging dir as a crashed earlier attempt would
+    stale = os.path.join(sidx, "_staged_epoch_0")
+    os.makedirs(os.path.join(stale, "cell=0"))
+    with open(os.path.join(stale, "cell=0", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    before = spark.read.parquet(sidx).count()  # invisible to readers
+
+    write_arrival_file(slices[0], str(src), "slice0")
+    VI.streaming_vector_index_ingest(spark, str(src), sidx, checkpoint_dir=ckpt)
+
+    entries = os.listdir(sidx)
+    assert not any(e.startswith("_staged") for e in entries)  # all published
+    epochs = sorted(e for e in entries if e.startswith("epoch="))
+    assert epochs == ["epoch=-1", "epoch=0"]
+    # the published epoch is a complete partitioned dir: its rows are
+    # exactly the slice, readable through the root with epoch recovered
+    # from the dir name
+    got = spark.read.parquet(sidx).filter(F.col("epoch") == 0)
+    assert got.count() == slices[0].count()
+    assert before + slices[0].count() == spark.read.parquet(sidx).count()
+    S.clear_ivf_cache(spark)
+    S.clear_pq_cache(spark)
+
+
 def test_corpus_entry_report_shape(spark):
     """The bench/pytest (spark, sf_dir) entry: epochs are the base plus
     the arrival slices, counts cover the corpus exactly once."""
