@@ -62,6 +62,18 @@ from ..operators.text_dedup import (
 DOC_STREAM_SCHEMA = "doc_id long, text string"
 _N_CHUNKS = 4  # arrival slices for the corpus-driven entry below
 
+# The fused state store's on-file schema (every kind partition carries
+# the full union schema with typed NULLs; ``kind`` and ``epoch`` are
+# partition columns — ``kind`` is below each reader's root, so only
+# ``epoch`` appears).  Passed EXPLICITLY to every state read (r15,
+# guide §1.2 driver work): schema inference re-listed and re-read
+# parquet footers on every per-epoch read — measured 135 -> 42 ms per
+# read construction, ×2 reads per epoch, plus one fewer tiny job each.
+_STORE_SCHEMA = (
+    "doc_id long, verdict string, matched_doc long, "
+    "text string, band int, bucket long, epoch int"
+)
+
 
 def _greedy_survivors(
     cand: DataFrame, pairs: DataFrame
@@ -165,7 +177,11 @@ def _decisions_frame(spark: SparkSession, dec_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, verdict string, matched_doc long"
         )
-    return spark.read.parquet(dec_dir).select("doc_id", "verdict", "matched_doc")
+    return (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(dec_dir)
+        .select("doc_id", "verdict", "matched_doc")
+    )
 
 
 def _gate_epoch(
@@ -219,7 +235,8 @@ def _gate_epoch_body(
     # a replay of THIS epoch must not see its own partial writes) ---
     if _has_epochs(idx_dir):
         idx = (
-            spark.read.parquet(idx_dir)
+            spark.read.schema(_STORE_SCHEMA)
+            .parquet(idx_dir)
             .filter(F.col("epoch") < cur)
             .select(F.col("doc_id").alias("corpus_doc"), "band", "bucket")
         )
@@ -230,7 +247,8 @@ def _gate_epoch_body(
             .distinct()
         )
         corpus_sh = (
-            spark.read.parquet(kept_dir)
+            spark.read.schema(_STORE_SCHEMA)
+            .parquet(kept_dir)
             .filter(F.col("epoch") < cur)
             .join(
                 cand.select(F.col("corpus_doc").alias("doc_id")).distinct(),
